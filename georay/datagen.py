@@ -1,0 +1,295 @@
+"""Deterministic synthetic input tables (BASELINE.json input_hint shape).
+
+The engine's primary input is an image+caption table
+
+    (image_id: string, bytes: binary, w: int32, h: int32,
+     fmt: string, caption: string, phash: int64)
+
+joined against a polygon layer.  The driver's testdata has no such
+tables, so we synthesize them deterministically (seeded counter-mode
+splitmix64 — every row depends only on its index) at a scale derived
+from the sf directory, and cache them as parquet under
+``/tmp/georay_data/<sf>/``.  The DuckDB oracle reads the same parquet
+via ``read_parquet`` (``georay.sqlgen`` emits the SQL), so both engines
+see byte-identical input.
+
+Polygon generator mix mirrors the reference's randomized bench shapes
+(`geo-benches/src/utils/random.rs:55-110`): radial "circular" polygons,
+rectilinear "steppy" polygons, grid squares, plus circular polygons
+with a hole.  A deterministic fraction is clustered in a hot region
+(dense-urban skew) to exercise hot-cell salting.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import geom, imagecodec, rng
+
+DATA_ROOT = os.environ.get("GEORAY_DATA_ROOT", "/tmp/georay_data")
+
+# stream tags (arbitrary distinct constants)
+TAG_PHASH = 0x1111AA01
+TAG_PIXEL = 0x1111AA02
+TAG_CAPTION = 0x1111AA03
+TAG_POLY = 0x1111AA04
+
+DIMS = np.array([16, 24, 32], dtype=np.int32)  # w/h classes, kept small so sf0.1 generates fast
+VOCAB = [
+    "amber", "basalt", "cedar", "delta", "ember", "fjord", "granite", "harbor",
+    "isle", "juniper", "karst", "lagoon", "mesa", "nimbus", "onyx", "prairie",
+]
+HOT_CENTER = (10.0, 20.0)  # lon, lat of the dense "urban" region
+HOT_HALF = 1.5             # degrees half-width of the hot box
+
+
+def scale_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if name.startswith("sf"):
+        try:
+            return float(name[2:])
+        except ValueError:
+            pass
+    return 0.001
+
+
+def sizes_for(sf: float) -> tuple[int, int]:
+    """(n_images, n_polygons) for a scale factor."""
+    n_images = max(1000, int(2_000_000 * sf))
+    n_polygons = max(64, min(4096, int(10_000 * sf)))
+    return n_images, n_polygons
+
+
+def data_dir(sf_dir: str) -> str:
+    return os.path.join(DATA_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+
+
+def images_path(sf_dir: str) -> str:
+    return os.path.join(data_dir(sf_dir), "images.parquet")
+
+
+def polygons_path(sf_dir: str) -> str:
+    return os.path.join(data_dir(sf_dir), "polygons.parquet")
+
+
+def segments_path(sf_dir: str) -> str:
+    return os.path.join(data_dir(sf_dir), "segments.parquet")
+
+
+# ---------------------------------------------------------------------------
+# image table
+# ---------------------------------------------------------------------------
+
+def _pixels_for(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixels for image index i."""
+    n_u64 = (w * h * 3 + 7) // 8
+    words = rng.stream(TAG_PIXEL, np.uint64(i) * np.uint64(1 << 12) + np.arange(n_u64, dtype=np.uint64))
+    raw = words.view(np.uint8)[: w * h * 3]
+    return raw.reshape(h, w, 3)
+
+
+def _caption_for(i: int) -> str:
+    bits = int(rng.stream(TAG_CAPTION, np.asarray([i], dtype=np.uint64))[0])
+    words = [VOCAB[(bits >> (4 * k)) & 0xF] for k in range(3)]
+    return f"caption {i} " + " ".join(words)
+
+
+def generate_images(n: int) -> pa.Table:
+    idx = np.arange(n, dtype=np.uint64)
+    phash = rng.stream(TAG_PHASH, idx).view(np.int64)
+    w = DIMS[(idx % 3).astype(np.int64)]
+    h = DIMS[((idx + 1) % 3).astype(np.int64)]
+    fmt = np.where(idx % 2 == 0, "png", "jpeg")
+    image_id = [f"img-{i:012d}" for i in range(n)]
+    captions = [_caption_for(i) for i in range(n)]
+    blobs = []
+    for i in range(n):
+        px = _pixels_for(i, int(w[i]), int(h[i]))
+        if fmt[i] == "png":
+            blobs.append(imagecodec.encode_png(px))
+        else:
+            blobs.append(imagecodec.encode_fake_jpeg(px))
+    return pa.table(
+        {
+            "image_id": pa.array(image_id, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(w, pa.int32()),
+            "h": pa.array(h, pa.int32()),
+            "fmt": pa.array(fmt, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phash, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# polygon layer
+# ---------------------------------------------------------------------------
+
+def _poly_rand(j: int, k: int, n: int = 1) -> np.ndarray:
+    """n uniform [0,1) floats for polygon j, sub-stream k."""
+    base = np.uint64(j) * np.uint64(1 << 16) + np.uint64(k) * np.uint64(1 << 10)
+    return rng.uniform01(rng.stream(TAG_POLY, base + np.arange(n, dtype=np.uint64)))
+
+
+def _circular_ring(cx: float, cy: float, r0: float, j: int, k: int, nv: int) -> np.ndarray:
+    """Radial polygon with jittered radii (random.rs circular_polygon analogue)."""
+    ang = np.linspace(0.0, 2 * np.pi, nv, endpoint=False)
+    radii = r0 * (0.6 + 0.8 * _poly_rand(j, k, nv))
+    xs = cx + radii * np.cos(ang)
+    ys = cy + radii * np.sin(ang)
+    ring = np.column_stack([xs, ys])
+    return geom.close_ring(ring)
+
+
+def _steppy_ring(cx: float, cy: float, r0: float, j: int, nv: int) -> np.ndarray:
+    """Rectilinear zig-zag polygon (random.rs steppy_polygon analogue)."""
+    steps = max(3, nv // 4)
+    u = _poly_rand(j, 7, 2 * steps)
+    xs = np.linspace(cx - r0, cx + r0, steps)
+    top = cy + r0 * (0.3 + 0.7 * u[:steps])
+    bot = cy - r0 * (0.3 + 0.7 * u[steps:])
+    pts = []
+    for i in range(steps):  # staircase along the top, right to left along the bottom
+        pts.append((xs[i], top[i]))
+        if i + 1 < steps:
+            pts.append((xs[i + 1], top[i]))
+    for i in range(steps - 1, -1, -1):
+        pts.append((xs[i], bot[i]))
+        if i > 0:
+            pts.append((xs[i - 1], bot[i]))
+    return geom.close_ring(np.asarray(pts))
+
+
+def _square_ring(cx: float, cy: float, r0: float) -> np.ndarray:
+    return np.asarray(
+        [(cx - r0, cy - r0), (cx + r0, cy - r0), (cx + r0, cy + r0), (cx - r0, cy + r0), (cx - r0, cy - r0)]
+    )
+
+
+def generate_polygons(n: int) -> pa.Table:
+    ids, polys = [], []
+    bbox = np.empty((n, 4), dtype=np.float64)
+    for j in range(n):
+        u = _poly_rand(j, 0, 4)
+        hot = (j % 8) < 2  # 25% of polygons crowd the hot region -> cell skew
+        if hot:
+            cx = HOT_CENTER[0] + (u[0] - 0.5) * 2 * HOT_HALF
+            cy = HOT_CENTER[1] + (u[1] - 0.5) * 2 * HOT_HALF
+            r0 = 0.05 + 0.45 * u[2]
+        else:
+            cx = -170.0 + 340.0 * u[0]
+            cy = -80.0 + 160.0 * u[1]
+            r0 = 0.3 + 3.0 * u[2]
+        nv = 8 + int(u[3] * 24)
+        kind = j % 4
+        if kind == 0:
+            rings = [_circular_ring(cx, cy, r0, j, 1, nv)]
+        elif kind == 1:
+            rings = [_steppy_ring(cx, cy, r0, j, nv)]
+        elif kind == 2:
+            rings = [_square_ring(cx, cy, r0)]
+        else:  # circular with a hole
+            rings = [
+                _circular_ring(cx, cy, r0, j, 2, nv),
+                _circular_ring(cx, cy, 0.25 * r0, j, 3, max(6, nv // 2))[::-1].copy(),
+            ]
+        ids.append(f"poly-{j:06d}")
+        polys.append(rings)
+        allc = np.vstack(rings)
+        bbox[j] = (allc[:, 0].min(), allc[:, 1].min(), allc[:, 0].max(), allc[:, 1].max())
+    rings_arr = geom.rings_to_arrow(polys)
+    return pa.table(
+        {
+            "polygon_id": pa.array(ids, pa.string()),
+            "rings": rings_arr,
+            "minx": pa.array(bbox[:, 0], pa.float64()),
+            "miny": pa.array(bbox[:, 1], pa.float64()),
+            "maxx": pa.array(bbox[:, 2], pa.float64()),
+            "maxy": pa.array(bbox[:, 3], pa.float64()),
+        }
+    )
+
+
+def segments_table(layer: geom.PolygonLayer) -> pa.Table:
+    """Flat (polygon_id, ring_idx, x1, y1, x2, y2) edge table — this is the
+    representation the DuckDB oracle uses for pure-SQL point-in-polygon
+    (crossing-number over edges) and shoelace area/centroid."""
+    x1, y1, x2, y2, seg_ring = layer.segments()
+    poly_of_seg = layer.ring_poly[seg_ring]
+    ring_local = np.zeros(layer.num_rings, dtype=np.int64)
+    for p in range(layer.num_polys):
+        lo, hi = layer.poly_ring_offsets[p], layer.poly_ring_offsets[p + 1]
+        ring_local[lo:hi] = np.arange(hi - lo)
+    return pa.table(
+        {
+            "polygon_id": pa.array(layer.poly_ids[poly_of_seg], pa.string()),
+            "ring_idx": pa.array(ring_local[seg_ring], pa.int32()),
+            "x1": pa.array(x1, pa.float64()),
+            "y1": pa.array(y1, pa.float64()),
+            "x2": pa.array(x2, pa.float64()),
+            "y2": pa.array(y2, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# cache management
+# ---------------------------------------------------------------------------
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, path)  # atomic: concurrent generators converge on identical bytes
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def ensure_tables(sf_dir: str, force: bool = False) -> dict[str, str]:
+    """Generate (once) and return paths of the derived tables for sf_dir."""
+    sf = scale_of(sf_dir)
+    n_images, n_polygons = sizes_for(sf)
+    paths = {
+        "images": images_path(sf_dir),
+        "polygons": polygons_path(sf_dir),
+        "segments": segments_path(sf_dir),
+    }
+    if force or not os.path.exists(paths["images"]):
+        _atomic_write(generate_images(n_images), paths["images"])
+    if force or not os.path.exists(paths["polygons"]):
+        poly = generate_polygons(n_polygons)
+        _atomic_write(poly, paths["polygons"])
+        layer = geom.PolygonLayer.from_arrow(poly)
+        _atomic_write(segments_table(layer), paths["segments"])
+    elif force or not os.path.exists(paths["segments"]):
+        poly = pq.read_table(paths["polygons"])
+        layer = geom.PolygonLayer.from_arrow(poly)
+        _atomic_write(segments_table(layer), paths["segments"])
+    return paths
+
+
+def ensure_bench_points(n: int) -> str:
+    """Slim (image_id, phash) table for large-scale benchmarking — image
+    bytes are irrelevant to the join hot path and are never shuffled
+    through it (SURVEY.md §7 hard part (c))."""
+    path = os.path.join(DATA_ROOT, f"bench_{n}", "points.parquet")
+    if not os.path.exists(path):
+        idx = np.arange(n, dtype=np.uint64)
+        phash = rng.stream(TAG_PHASH, idx).view(np.int64)
+        table = pa.table(
+            {
+                "image_id": pa.array([f"img-{i:012d}" for i in range(n)], pa.string()),
+                "phash": pa.array(phash, pa.int64()),
+            }
+        )
+        _atomic_write(table, path)
+    return path

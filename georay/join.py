@@ -1,0 +1,238 @@
+"""Two-phase spatial join plans (SURVEY.md §7 step 5).
+
+Plan A — broadcast-small-side (the default): the polygon layer is
+``ray.put`` ONCE on the driver; each actor in the PiP pool rebuilds its
+prepared :class:`GridIndex` ONCE in ``__init__`` from the broadcast
+table (mirrors `indexed/interval_tree_multipolygon.rs` build-once /
+query-many).  The image table is never shuffled at all — the join is a
+streaming ``map_batches`` over slim (image_id, lon, lat) projections.
+At 100 TB this is the right plan whenever the polygon layer + index fit
+worker memory (typical: admin boundaries ~10^5-10^6 polygons).
+
+Plan B — cell-co-shuffle: both sides large.  Points get a ``cell``
+column; polygons are replicated to every cell their bbox covers; both
+sides co-group by cell and refine per group.  Hot cells (dense urban
+skew) are salted: points split into ``(cell, salt)`` sub-groups with
+polygon candidates replicated to every salt — output is provably
+independent of the salt factor (tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from . import cells
+from .geom import PolygonLayer
+from .index import GridIndex
+from .kernels import pip
+from .rng import lonlat_from_phash
+
+PREDICATES = {"contains": pip.INSIDE, "intersects": None, "covers": None}
+
+
+def add_lonlat(batch: pa.Table) -> pa.Table:
+    """phash -> (lon, lat) geolocation stage (deterministic bit-mix)."""
+    lon, lat = lonlat_from_phash(batch.column("phash").to_numpy(zero_copy_only=False))
+    return batch.append_column("lon", pa.array(lon, pa.float64())).append_column(
+        "lat", pa.array(lat, pa.float64())
+    )
+
+
+def add_cell(batch: pa.Table, res: int) -> pa.Table:
+    """Batched cell-encode stage: uint64 quad-cell id + grid x/y."""
+    lon = batch.column("lon").to_numpy(zero_copy_only=False)
+    lat = batch.column("lat").to_numpy(zero_copy_only=False)
+    ix, iy = cells.cell_xy(lon, lat, res)
+    cell = cells.encode_xy(ix, iy, res)
+    return (
+        batch.append_column("cell", pa.array(cell.view(np.int64), pa.int64()))
+        .append_column("cell_x", pa.array(ix, pa.int64()))
+        .append_column("cell_y", pa.array(iy, pa.int64()))
+    )
+
+
+class PipJoinActor:
+    """Actor-pool PiP refine stage: prepared index once per actor.
+
+    __init__ runs once per actor (index build); __call__ per batch.
+    Emits one output row per matching (image, polygon) pair.
+    """
+
+    def __init__(self, layer_ref, predicate: str = "contains", keep_cols: tuple = ("image_id",)):
+        table = ray.get(layer_ref) if not isinstance(layer_ref, pa.Table) else layer_ref
+        self.layer = PolygonLayer.from_arrow(table)
+        self.index = GridIndex(self.layer)
+        self.predicate = predicate
+        self.keep_cols = list(keep_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        pair_pt, pair_poly = self.index.candidates(lon, lat)
+        pts = np.column_stack([lon, lat])
+        pos = pip.classify(pts, self.layer, pair_pt, pair_poly)
+        if self.predicate == "contains":
+            keep = pos == pip.INSIDE
+        else:  # intersects / covers: position != Outside
+            keep = pos != pip.OUTSIDE
+        pair_pt, pair_poly = pair_pt[keep], pair_poly[keep]
+        cols = {}
+        for c in self.keep_cols:
+            cols[c] = batch.column(c).take(pa.array(pair_pt, pa.int64()))
+        cols["polygon_id"] = pa.array(self.layer.poly_ids[pair_poly], pa.string())
+        return pa.table(cols)
+
+
+class PipMatchCountActor(PipJoinActor):
+    """Variant keeping every input row, adding n_matches + first match id
+    (the flagship's enrich stage: no row explosion, bytes pass through)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        pair_pt, pair_poly = self.index.candidates(lon, lat)
+        pts = np.column_stack([lon, lat])
+        pos = pip.classify(pts, self.layer, pair_pt, pair_poly)
+        keep = pos == pip.INSIDE if self.predicate == "contains" else pos != pip.OUTSIDE
+        pair_pt, pair_poly = pair_pt[keep], pair_poly[keep]
+        n = len(batch)
+        counts = np.bincount(pair_pt, minlength=n).astype(np.int64)
+        first = np.full(n, -1, dtype=np.int64)
+        # deterministic "first": smallest polygon index per point
+        order = np.lexsort((pair_poly, pair_pt))
+        pp, pl = pair_pt[order], pair_poly[order]
+        if len(pp):
+            first_idx = np.concatenate([[True], pp[1:] != pp[:-1]])
+            first[pp[first_idx]] = pl[first_idx]
+        first_id = np.where(first >= 0, self.layer.poly_ids[np.maximum(first, 0)], None)
+        return batch.append_column("n_matches", pa.array(counts, pa.int64())).append_column(
+            "polygon_id", pa.array(first_id.tolist(), pa.string())
+        )
+
+
+def broadcast_pip_join(
+    points,
+    polygons: pa.Table,
+    predicate: str = "contains",
+    keep_cols: tuple = ("image_id",),
+    concurrency: int | tuple = 4,
+    batch_size: int = 32768,
+):
+    """points: Dataset with (lon, lat, keep_cols...). Returns match pairs."""
+    ref = ray.put(polygons)
+    return points.map_batches(
+        PipJoinActor,
+        fn_constructor_kwargs={"layer_ref": ref, "predicate": predicate, "keep_cols": keep_cols},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Plan B: cell-co-shuffle join with hot-cell salting
+# ---------------------------------------------------------------------------
+
+def _poly_cell_replicas(polygons: pa.Table, res: int, n_salt: int) -> pa.Table:
+    """Replicate each polygon row to every cell its bbox covers x every salt."""
+    layer = PolygonLayer.from_arrow(polygons)
+    rows_cell, rows_poly = [], []
+    for p in range(layer.num_polys):
+        cc = cells.cells_for_bbox(*layer.bbox[p], res)
+        rows_cell.append(cc)
+        rows_poly.append(np.full(len(cc), p, dtype=np.int64))
+    cell = np.concatenate(rows_cell).view(np.int64)
+    poly = np.concatenate(rows_poly)
+    cell = np.repeat(cell, n_salt)
+    poly = np.repeat(poly, n_salt)
+    salt = np.tile(np.arange(n_salt, dtype=np.int64), len(poly) // n_salt)
+    return pa.table(
+        {
+            "cell": pa.array(cell, pa.int64()),
+            "salt": pa.array(salt, pa.int64()),
+            "poly_idx": pa.array(poly, pa.int64()),
+        }
+    )
+
+
+def shuffle_pip_join(
+    points,
+    polygons: pa.Table,
+    predicate: str = "contains",
+    res: int = 6,
+    n_salt: int = 4,
+):
+    """Cell-partitioned co-shuffle join (both sides large).
+
+    The polygon side ships only (cell, salt, poly_idx) replicas through
+    the shuffle; ring coords stay in one broadcast object fetched once
+    per group task.  Points shuffle by (cell, salt) so a hot cell's
+    points spread over n_salt groups (skew mitigation); each group still
+    sees every polygon replica for its cell, keeping output independent
+    of n_salt.
+    """
+    import zlib as _zlib
+
+    layer_ref = ray.put(polygons)
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        cell = cells.encode(lon, lat, res).view(np.int64)
+        # deterministic salt (crc32, not Python hash()) spreads hot cells
+        ids = batch.column("image_id").to_pylist()
+        salt = np.asarray([_zlib.crc32(i.encode()) % n_salt for i in ids], dtype=np.int64)
+        return batch.append_column("cell", pa.array(cell, pa.int64())).append_column(
+            "salt", pa.array(salt, pa.int64())
+        )
+
+    pts = points.map_batches(tag_points, batch_format="pyarrow")
+
+    _cache: dict = {}
+
+    def group_join(group: pa.Table) -> pa.Table:
+        if "layer" not in _cache:  # fetched once per worker process, zero-copy
+            _cache["layer"] = PolygonLayer.from_arrow(ray.get(layer_ref))
+        layer = _cache["layer"]
+        is_pt = pa.compute.is_valid(group.column("image_id"))
+        pts_t = group.filter(is_pt)
+        polys_t = group.filter(pa.compute.invert(is_pt))
+        if len(pts_t) == 0 or len(polys_t) == 0:
+            return pa.table({"image_id": pa.array([], pa.string()),
+                             "polygon_id": pa.array([], pa.string())})
+        lon = pts_t.column("lon").to_numpy(zero_copy_only=False)
+        lat = pts_t.column("lat").to_numpy(zero_copy_only=False)
+        cand_polys = np.unique(polys_t.column("poly_idx").to_numpy(zero_copy_only=False))
+        n_pt, n_pl = len(lon), len(cand_polys)
+        pair_pt = np.repeat(np.arange(n_pt, dtype=np.int64), n_pl)
+        pair_poly = np.tile(cand_polys, n_pt)
+        bb = layer.bbox[pair_poly]
+        px, py = lon[pair_pt], lat[pair_pt]
+        keep = (px >= bb[:, 0]) & (px <= bb[:, 2]) & (py >= bb[:, 1]) & (py <= bb[:, 3])
+        pair_pt, pair_poly = pair_pt[keep], pair_poly[keep]
+        pos = pip.classify(np.column_stack([lon, lat]), layer, pair_pt, pair_poly)
+        keep = pos == pip.INSIDE if predicate == "contains" else pos != pip.OUTSIDE
+        pair_pt, pair_poly = pair_pt[keep], pair_poly[keep]
+        ids = pts_t.column("image_id").take(pa.array(pair_pt, pa.int64()))
+        return pa.table(
+            {"image_id": ids, "polygon_id": pa.array(layer.poly_ids[pair_poly], pa.string())}
+        )
+
+    replicas = _poly_cell_replicas(polygons, res, n_salt)
+    import ray.data as rd
+
+    poly_ds = rd.from_arrow(replicas).map_batches(
+        lambda t: t.append_column("image_id", pa.array([None] * len(t), pa.string()))
+        .append_column("lon", pa.array([None] * len(t), pa.float64()))
+        .append_column("lat", pa.array([None] * len(t), pa.float64())),
+        batch_format="pyarrow",
+    )
+    pts_tagged = pts.map_batches(
+        lambda t: t.append_column("poly_idx", pa.array([None] * len(t), pa.int64())),
+        batch_format="pyarrow",
+    )
+    pt_cols = ["image_id", "lon", "lat", "cell", "salt", "poly_idx"]
+    unioned = pts_tagged.select_columns(pt_cols).union(poly_ds.select_columns(pt_cols))
+    return unioned.groupby(["cell", "salt"]).map_groups(group_join, batch_format="pyarrow")

@@ -1,0 +1,74 @@
+"""Per-partition lineage records + resume-from-checkpoint.
+
+Resumable output layout (SURVEY.md §4 checkpoint/resume row): the
+flagship pipeline writes one directory per tile-bucket partition, each
+committed ATOMICALLY (write to ``<dir>.tmp-<pid>``, fsync, rename) with
+a ``_lineage.json`` manifest recording input fragments, row counts,
+kernel versions and wall time.  A re-run lists committed manifests and
+anti-joins them against the partition plan — finished partitions are
+skipped without reading their input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+KERNEL_VERSION = "georay-0.1.0"
+
+
+def partition_dir(root: str, key: str) -> str:
+    return os.path.join(root, f"part={key}")
+
+
+def is_committed(root: str, key: str) -> bool:
+    return os.path.exists(os.path.join(partition_dir(root, key), "_lineage.json"))
+
+
+def committed_partitions(root: str) -> set[str]:
+    if not os.path.isdir(root):
+        return set()
+    out = set()
+    for name in os.listdir(root):
+        if name.startswith("part=") and os.path.exists(os.path.join(root, name, "_lineage.json")):
+            out.add(name[len("part=") :])
+    return out
+
+
+def commit_partition(
+    root: str,
+    key: str,
+    table: pa.Table,
+    inputs: list[str] | None = None,
+    metrics: dict | None = None,
+) -> str:
+    """Atomically write one partition + its lineage manifest."""
+    final = partition_dir(root, key)
+    os.makedirs(root, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=root, prefix=f".tmp-{key}-")
+    try:
+        pq.write_table(table, os.path.join(tmp, "data.parquet"), compression="zstd")
+        manifest = {
+            "partition": key,
+            "rows": table.num_rows,
+            "columns": table.schema.names,
+            "inputs": inputs or [],
+            "kernel_version": KERNEL_VERSION,
+            "committed_at": time.time(),
+            "metrics": metrics or {},
+        }
+        with open(os.path.join(tmp, "_lineage.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        return final
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
