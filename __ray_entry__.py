@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the georay engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in the georay package) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` pairs are hash-compared by the driver
+at sf=0.01.  The spatial queries run over the deterministic derived
+image+polygon tables (BASELINE.json input_hint shape) that both sides
+read from the same parquet cache — generation happens lazily on first
+call, inside these functions, never at import time.
 """
 
 from __future__ import annotations
@@ -18,27 +15,28 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: geolocate -> cell -> tile ->
+    broadcast PiP join (actor pool, prepared index) over the synthetic
+    image table; returns the annotated Dataset."""
+    from georay.pipelines import flagship
+
+    return flagship.run_flagship(SF001, out_dir=None, with_bytes=False, concurrency=(1, 4))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from georay import datagen, queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    datagen.ensure_tables(SF01)  # so the DuckDB oracle's read_parquet never races us
+    return dict(q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from georay import datagen, sqlgen
+
+    datagen.ensure_tables(SF01)
+    return {name: build(SF01) for name, build in sqlgen.ORACLE_BUILDERS.items()}

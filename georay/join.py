@@ -117,7 +117,7 @@ def broadcast_pip_join(
     polygons: pa.Table,
     predicate: str = "contains",
     keep_cols: tuple = ("image_id",),
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple = (1, 8),
     batch_size: int = 32768,
 ):
     """points: Dataset with (lon, lat, keep_cols...). Returns match pairs."""

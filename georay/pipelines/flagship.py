@@ -44,7 +44,7 @@ def polygon_table(sf_dir: str) -> pa.Table:
     return pq.read_table(paths["polygons"])
 
 
-def join_rows(sf_dir: str, predicate: str = "contains", concurrency=4):
+def join_rows(sf_dir: str, predicate: str = "contains", concurrency=(1, 8)):
     """The join archetype: (image_id, polygon_id) match pairs."""
     pts = points_dataset(sf_dir)
     polys = polygon_table(sf_dir)
@@ -81,7 +81,7 @@ def run_flagship(
     sf_dir: str,
     out_dir: str | None = None,
     predicate: str = "contains",
-    concurrency=4,
+    concurrency=(1, 8),
     with_bytes: bool = True,
     resume: bool = True,
 ):

@@ -1,0 +1,430 @@
+"""Ray Data implementations of every driver-checked query.
+
+Each entry mirrors a key in :mod:`georay.sqlgen` (same output column
+names and dtypes — the driver hash-compares after sorting columns by
+name).  All pipelines are lazy Datasets; heavy math is vectorized numpy
+inside ``map_batches(batch_format="pyarrow")``; the PiP join runs as an
+actor pool with a broadcast prepared index (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from . import cells, datagen, join, sqlgen, tiles
+from .geom import PolygonLayer
+from .kernels import measures, summaries
+from .sqlgen import (
+    CELL_RES,
+    EMB_K,
+    EMB_SAMPLE_MOD,
+    HOT_LAT,
+    HOT_LON,
+    KNN_K,
+    KNN_SAMPLE_MOD,
+    TILE_RES,
+)
+
+
+def _points(sf_dir: str, columns=("image_id", "phash")):
+    paths = datagen.ensure_tables(sf_dir)
+    ds = rd.read_parquet(paths["images"], columns=list(columns))
+    return ds.map_batches(join.add_lonlat, batch_format="pyarrow")
+
+
+def _polygons_ds(sf_dir: str):
+    paths = datagen.ensure_tables(sf_dir)
+    return rd.read_parquet(paths["polygons"])
+
+
+# ---------------------------------------------------------------------------
+# spatial queries
+# ---------------------------------------------------------------------------
+
+def phash_lonlat(sf_dir: str):
+    return _points(sf_dir).select_columns(["image_id", "lon", "lat"])
+
+
+def cell_assign(sf_dir: str):
+    return (
+        _points(sf_dir)
+        .map_batches(lambda b: join.add_cell(b, CELL_RES), batch_format="pyarrow")
+        .select_columns(["image_id", "cell_x", "cell_y"])
+    )
+
+
+def tile_assign(sf_dir: str):
+    return (
+        _points(sf_dir)
+        .map_batches(lambda b: tiles.add_tile(b, TILE_RES), batch_format="pyarrow")
+        .select_columns(["image_id", "tile_id"])
+    )
+
+
+def pip_contains(sf_dir: str):
+    paths = datagen.ensure_tables(sf_dir)
+    polys = pq.read_table(paths["polygons"])
+    return join.broadcast_pip_join(_points(sf_dir), polys, predicate="contains", concurrency=(1, 8))
+
+
+def pip_count_by_polygon(sf_dir: str):
+    matched = pip_contains(sf_dir)
+    out = matched.groupby("polygon_id").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["polygon_id", "n_images"]), batch_format="pyarrow"
+    )
+
+
+def tile_counts(sf_dir: str):
+    ds = tile_assign(sf_dir)
+    out = ds.groupby("tile_id").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["tile_id", "n_images"]), batch_format="pyarrow"
+    )
+
+
+def haversine_to_hot(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        d = measures.haversine_distance(lon, lat, HOT_LON, HOT_LAT)
+        return pa.table({"image_id": b.column("image_id"), "dist_m": pa.array(np.round(d, 1))})
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def euclidean_to_hot(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        dx, dy = lon - HOT_LON, lat - HOT_LAT
+        d = np.sqrt(dx * dx + dy * dy)  # sqrt form matches the SQL text; hypot
+        # (euclidean/distance.rs:31-35) differs from sqrt by <=1 ulp
+        return pa.table({"image_id": b.column("image_id"), "dist_deg": pa.array(np.round(d, 6))})
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def bearing_to_hot(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        brg = measures.haversine_bearing(lon, lat, HOT_LON, HOT_LAT)
+        return pa.table(
+            {"image_id": b.column("image_id"), "bearing_deg": pa.array(np.round(brg, 4))}
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def extent(sf_dir: str):
+    from ray.data.aggregate import Max, Min
+
+    res = _points(sf_dir).aggregate(
+        Min("lon", alias_name="min_lon"),
+        Max("lon", alias_name="max_lon"),
+        Min("lat", alias_name="min_lat"),
+        Max("lat", alias_name="max_lat"),
+    )
+    return pa.table({k: [v] for k, v in res.items()})
+
+
+def _layer_batch(b: pa.Table) -> PolygonLayer:
+    return PolygonLayer.from_arrow(b)
+
+
+def poly_area(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        area = summaries.signed_area(layer)
+        return pa.table({"polygon_id": b.column("polygon_id"), "area": pa.array(np.round(area, 6))})
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def poly_bbox(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        bb = summaries.bounding_rects(layer)
+        return pa.table(
+            {
+                "polygon_id": b.column("polygon_id"),
+                "minx": pa.array(bb[:, 0]),
+                "miny": pa.array(bb[:, 1]),
+                "maxx": pa.array(bb[:, 2]),
+                "maxy": pa.array(bb[:, 3]),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# kNN (broadcast query set -> per-batch partial top-k -> per-query merge)
+# ---------------------------------------------------------------------------
+
+def _image_index(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return pc.cast(pc.utf8_slice_codeunits(ids, 4, 99), pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def knn_sample(sf_dir: str, k: int = KNN_K, sample_mod: int = KNN_SAMPLE_MOD):
+    """k nearest neighbours (haversine, ties by (distance, neighbor_id) —
+    ball_tree.rs query semantics) for a deterministic query sample.
+
+    Plan: the query side is small -> broadcast its coordinate matrix
+    once; every batch of the big side computes a vectorized distance
+    block and emits only its local top-k per query (nq x k rows per
+    batch); a final groupby(qid) merge keeps the global top-k.  The big
+    side streams — no NxN materialization anywhere.
+    """
+    pts = _points(sf_dir)
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        idx = _image_index(b.column("image_id"))
+        mask = idx % sample_mod == 0
+        return b.filter(pa.array(mask))
+
+    qtab = pts.map_batches(pick_queries, batch_format="pyarrow").to_pandas()
+    qids = qtab["image_id"].to_numpy()
+    qlon = qtab["lon"].to_numpy()
+    qlat = qtab["lat"].to_numpy()
+    order = np.argsort(qids)
+    qids, qlon, qlat = qids[order], qlon[order], qlat[order]
+    qref = ray.put((qids, qlon, qlat))
+
+    class PartialTopK:
+        def __init__(self):
+            self.qids, self.qlon, self.qlat = ray.get(qref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lon = b.column("lon").to_numpy(zero_copy_only=False)
+            lat = b.column("lat").to_numpy(zero_copy_only=False)
+            ids = np.asarray(b.column("image_id").to_pylist(), dtype=object)
+            # (nq, nb) distance block, vectorized
+            d = measures.haversine_distance(
+                self.qlon[:, None], self.qlat[:, None], lon[None, :], lat[None, :]
+            )
+            d[ids[None, :] == self.qids[:, None]] = np.inf  # exclude self
+            kk = min(k, d.shape[1])
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(np.arange(len(self.qids)), kk)
+            rows_n = part.ravel()
+            return pa.table(
+                {
+                    "qid": pa.array(self.qids[rows_q]),
+                    "neighbor_id": pa.array(ids[rows_n]),
+                    "dist": pa.array(d[rows_q, rows_n]),
+                }
+            )
+
+    partials = pts.map_batches(
+        PartialTopK, batch_format="pyarrow", batch_size=16384, concurrency=(1, 4)
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        dist = group.column("dist").to_numpy(zero_copy_only=False)
+        nid = np.asarray(group.column("neighbor_id").to_pylist(), dtype=object)
+        order = np.lexsort((nid, dist))[:k]  # ties by (distance, neighbor_id)
+        return pa.table(
+            {
+                "image_id": group.column("qid").take(pa.array(order, pa.int64())),
+                "neighbor_id": pa.array(nid[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over the driver's testdata tables
+# ---------------------------------------------------------------------------
+
+def _testdata(sf_dir: str, name: str):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash partition + per-group min-id survivor."""
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in b.column("text").to_pylist()]
+        return pa.table({"content_hash": pa.array(hs), "doc_id": b.column("doc_id")})
+
+    from ray.data.aggregate import Count, Min
+
+    ds = _testdata(sf_dir, "documents").map_batches(add_hash, batch_format="pyarrow")
+    out = ds.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_dups"), "n_dups", pc.cast(t.column("n_dups"), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_WS = re.compile(r"\s+")
+
+
+def token_stats(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n_chars = np.asarray([len(t) for t in texts], dtype=np.int64)
+        n_tokens = np.asarray(
+            [0 if not t.strip() else len(_WS.split(t.strip())) for t in texts], dtype=np.int64
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "n_chars": pa.array(n_chars), "n_tokens": pa.array(n_tokens)}
+        )
+
+    return _testdata(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+_PUNCT = re.compile(r"[a-zA-Z0-9\s]")
+
+
+def _round_half_away(x: float, digits: int) -> float:
+    """SQL ROUND semantics (half away from zero), unlike Python/numpy's
+    banker's rounding — ratios of small ints hit exact .5 boundaries."""
+    import math
+
+    p = 10.0**digits
+    return math.floor(abs(x) * p + 0.5) / p * (1.0 if x >= 0 else -1.0)
+
+
+def quality_score(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        pr, mtl = [], []
+        for t in texts:
+            n = max(len(t), 1)
+            pr.append(_round_half_away(len(_PUNCT.sub("", t)) / n, 4))
+            st = t.strip()
+            if not st:
+                mtl.append(0.0)
+            else:
+                toks = _WS.split(st)
+                mtl.append(_round_half_away(len(_WS.sub("", st)) / len(toks), 2))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "punct_ratio": pa.array(np.asarray(pr)),
+                "mean_tok_len": pa.array(np.asarray(mtl)),
+            }
+        )
+
+    return _testdata(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+def embed_knn(sf_dir: str, k: int = EMB_K, sample_mod: int = EMB_SAMPLE_MOD):
+    """Brute-force cosine top-k vs a broadcast query matrix (the ANN
+    baseline; numpy matmul per batch, rank-only output)."""
+    ds = _testdata(sf_dir, "embeddings")
+
+    def _pick(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % sample_mod == 0))
+
+    qtab = ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
+    qids = qtab["vec_id"].to_numpy().astype(np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qref = ray.put((qids, qmat, qnorm))
+
+    class Partial:
+        def __init__(self):
+            self.qids, self.qmat, self.qnorm = ray.get(qref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            emb = b.column("embedding")
+            flat = np.asarray(emb.combine_chunks().flatten(), dtype=np.float64)
+            mat = flat.reshape(len(ids), -1)
+            sims = (self.qmat @ mat.T) / (self.qnorm[:, None] * np.linalg.norm(mat, axis=1)[None, :])
+            sims[self.qids[:, None] == ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rq = np.repeat(np.arange(len(self.qids)), kk)
+            rn = part.ravel()
+            return pa.table(
+                {
+                    "qid": pa.array(self.qids[rq]),
+                    "neighbor_id": pa.array(ids[rn]),
+                    "sim": pa.array(sims[rq, rn]),
+                }
+            )
+
+    partials = ds.map_batches(Partial, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
+
+    def merge(group: pa.Table) -> pa.Table:
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table(
+            {
+                "qid": group.column("qid").take(pa.array(order, pa.int64())),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate per user (streaming-shaped op:
+    the events log partitions by user and windows by floor(ts/size))."""
+    from ray.data.aggregate import Count, Sum
+
+    def f(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = ts // 3_600_000_000
+        return pa.table(
+            {"user_id": b.column("user_id"), "win": pa.array(win), "value": b.column("value")}
+        )
+
+    ds = _testdata(sf_dir, "events").map_batches(f, batch_format="pyarrow")
+    out = ds.groupby(["user_id", "win"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sv = np.round(t.column("sum_value").to_numpy(zero_copy_only=False), 6)
+        t = t.set_column(t.schema.get_field_index("sum_value"), "sum_value", pa.array(sv))
+        return t.set_column(
+            t.schema.get_field_index("n_events"), "n_events", pc.cast(t.column("n_events"), pa.int64())
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES = {
+    "phash_lonlat": phash_lonlat,
+    "cell_assign": cell_assign,
+    "tile_assign": tile_assign,
+    "pip_contains": pip_contains,
+    "pip_count_by_polygon": pip_count_by_polygon,
+    "tile_counts": tile_counts,
+    "haversine_to_hot": haversine_to_hot,
+    "euclidean_to_hot": euclidean_to_hot,
+    "bearing_to_hot": bearing_to_hot,
+    "extent": extent,
+    "poly_area": poly_area,
+    "poly_bbox": poly_bbox,
+    "knn_sample": knn_sample,
+    "dedup_exact": dedup_exact,
+    "token_stats": token_stats,
+    "quality_score": quality_score,
+    "embed_knn": embed_knn,
+    "events_window": events_window,
+}

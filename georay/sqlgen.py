@@ -1,0 +1,260 @@
+"""DuckDB oracle SQL for every driver-checked query.
+
+Each builder returns ANSI-ish SQL DuckDB 1.0 runs over (a) the driver's
+pre-registered testdata views and (b) the derived image/polygon parquet
+(read_parquet on the deterministic cache — byte-identical input to the
+Ray side).  The SQL recomputes results INDEPENDENTLY: geolocation via
+the splitmix64 HUGEINT emitters (georay.rng), point-in-polygon via
+crossing-number parity over the flat segment table, distances via the
+haversine formula, areas/centroids via shoelace sums — not by reading
+any golden produced by the engine.
+
+Float-output policy (driver hashes values exactly): outputs are either
+IEEE-exact (lon/lat, extents: identical arithmetic both sides) or
+rounded with a step many orders above the cross-engine noise
+(haversine ~1e-9 m noise -> 0.1 m step; shoelace ~1e-12 -> 1e-6 step);
+rank-style outputs drop the float entirely.
+"""
+
+from __future__ import annotations
+
+from . import datagen
+from .rng import sql_lonlat_cte
+
+R = 6_371_008.8
+CELL_RES = 6
+TILE_RES = 4
+HOT_LON, HOT_LAT = 10.0, 20.0
+KNN_K = 5
+KNN_SAMPLE_MOD = 50
+EMB_SAMPLE_MOD = 50
+EMB_K = 5
+
+
+def _pts_cte(sf_dir: str) -> str:
+    images = datagen.images_path(sf_dir)
+    return sql_lonlat_cte(f"read_parquet('{images}')")
+
+
+def _hav_expr(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Identical operation order to kernels.measures.haversine_distance."""
+    return (
+        f"2.0 * asin(sqrt(least("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2.0), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2.0), 2), 1.0))) * {R!r}"
+    )
+
+
+def q_phash_lonlat(sf_dir: str) -> str:
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, lon, lat FROM pts"
+    )
+
+
+def q_cell_assign(sf_dir: str) -> str:
+    n = 1 << CELL_RES
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, "
+        f"LEAST(GREATEST(floor((lon + 180.0) / 360.0 * {float(n)}), 0), {n - 1})::BIGINT AS cell_x, "
+        f"LEAST(GREATEST(floor((lat + 90.0) / 180.0 * {float(n)}), 0), {n - 1})::BIGINT AS cell_y "
+        f"FROM pts"
+    )
+
+
+def q_tile_assign(sf_dir: str) -> str:
+    n = 1 << TILE_RES
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, "
+        f"(LEAST(GREATEST(floor((lat + 90.0) / 180.0 * {float(n)}), 0), {n - 1})::BIGINT * {n} + "
+        f" LEAST(GREATEST(floor((lon + 180.0) / 360.0 * {float(n)}), 0), {n - 1})::BIGINT) AS tile_id "
+        f"FROM pts"
+    )
+
+
+def _pip_pairs_cte(sf_dir: str) -> str:
+    """CTEs pts/cand/hits: crossing-number parity PiP (half-open edge rule;
+    equivalent to the winding test for the simple rings the generator
+    emits, boundary cases having measure zero for random points)."""
+    polys = datagen.polygons_path(sf_dir)
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"{_pts_cte(sf_dir)}), "
+        f"cand AS (SELECT p.image_id, p.lon, p.lat, b.polygon_id "
+        f"  FROM pts p JOIN read_parquet('{polys}') b "
+        f"  ON p.lon >= b.minx AND p.lon <= b.maxx AND p.lat >= b.miny AND p.lat <= b.maxy), "
+        f"hits AS (SELECT c.image_id, c.polygon_id "
+        f"  FROM cand c JOIN read_parquet('{segs}') s ON s.polygon_id = c.polygon_id "
+        f"  WHERE ((s.y1 <= c.lat AND s.y2 > c.lat) OR (s.y2 <= c.lat AND s.y1 > c.lat)) "
+        f"    AND c.lon < s.x1 + (c.lat - s.y1) * (s.x2 - s.x1) / (s.y2 - s.y1) "
+        f"  GROUP BY c.image_id, c.polygon_id HAVING count(*) % 2 = 1"
+    )
+
+
+def q_pip_contains(sf_dir: str) -> str:
+    return f"WITH pts AS ({_pip_pairs_cte(sf_dir)}) SELECT image_id, polygon_id FROM hits"
+
+
+def q_pip_count_by_polygon(sf_dir: str) -> str:
+    return (
+        f"WITH pts AS ({_pip_pairs_cte(sf_dir)}) "
+        f"SELECT polygon_id, count(*)::BIGINT AS n_images FROM hits GROUP BY polygon_id"
+    )
+
+
+def q_tile_counts(sf_dir: str) -> str:
+    n = 1 << TILE_RES
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), t AS ("
+        f"SELECT (LEAST(GREATEST(floor((lat + 90.0) / 180.0 * {float(n)}), 0), {n - 1})::BIGINT * {n} + "
+        f" LEAST(GREATEST(floor((lon + 180.0) / 360.0 * {float(n)}), 0), {n - 1})::BIGINT) AS tile_id "
+        f"FROM pts) SELECT tile_id, count(*)::BIGINT AS n_images FROM t GROUP BY tile_id"
+    )
+
+
+def q_haversine_to_hot(sf_dir: str) -> str:
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, round({_hav_expr('lon', 'lat', str(HOT_LON), str(HOT_LAT))}, 1) AS dist_m "
+        f"FROM pts"
+    )
+
+
+def q_euclidean_to_hot(sf_dir: str) -> str:
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, round(sqrt((lon - {HOT_LON}) * (lon - {HOT_LON}) + "
+        f"(lat - {HOT_LAT}) * (lat - {HOT_LAT})), 6) AS dist_deg FROM pts"
+    )
+
+
+def q_bearing_to_hot(sf_dir: str) -> str:
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, round(("
+        f"degrees(atan2(cos(radians({HOT_LAT})) * sin(radians({HOT_LON} - lon)), "
+        f"cos(radians(lat)) * sin(radians({HOT_LAT})) - "
+        f"sin(radians(lat)) * cos(radians({HOT_LAT})) * cos(radians({HOT_LON} - lon)))) "
+        f"+ 360.0) % 360.0, 4) AS bearing_deg FROM pts"
+    )
+
+
+def q_extent(sf_dir: str) -> str:
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT min(lon) AS min_lon, max(lon) AS max_lon, "
+        f"min(lat) AS min_lat, max(lat) AS max_lat FROM pts"
+    )
+
+
+def q_poly_area(sf_dir: str) -> str:
+    segs = datagen.segments_path(sf_dir)
+    # shoelace over the segment table; holes are stored with their own
+    # winding so the plain signed sum matches area.rs:80-88 semantics
+    return (
+        f"SELECT polygon_id, "
+        f"round(sum((x1 * y2 - x2 * y1)) / 2.0, 6) AS area "
+        f"FROM read_parquet('{segs}') GROUP BY polygon_id"
+    )
+
+
+def q_poly_bbox(sf_dir: str) -> str:
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, min(LEAST(x1, x2)) AS minx, min(LEAST(y1, y2)) AS miny, "
+        f"max(GREATEST(x1, x2)) AS maxx, max(GREATEST(y1, y2)) AS maxy "
+        f"FROM read_parquet('{segs}') GROUP BY polygon_id"
+    )
+
+
+def q_knn_sample(sf_dir: str) -> str:
+    hav = _hav_expr("q.qlon", "q.qlat", "p.lon", "p.lat")
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"q AS (SELECT image_id AS qid, lon AS qlon, lat AS qlat FROM pts "
+        f"  WHERE CAST(substr(image_id, 5) AS BIGINT) % {KNN_SAMPLE_MOD} = 0), "
+        f"d AS (SELECT q.qid, p.image_id AS neighbor_id, {hav} AS dist "
+        f"  FROM q CROSS JOIN pts p WHERE p.image_id <> q.qid), "
+        f"r AS (SELECT qid, neighbor_id, "
+        f"  row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rank FROM d) "
+        f"SELECT qid AS image_id, neighbor_id, rank::BIGINT AS rank FROM r WHERE rank <= {KNN_K}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over the driver's testdata views
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> str:
+    return (
+        "SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id, "
+        "count(*)::BIGINT AS n_dups FROM documents GROUP BY md5(text)"
+    )
+
+
+def q_token_stats(sf_dir: str) -> str:
+    return (
+        "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens "
+        "FROM documents"
+    )
+
+
+def q_quality_score(sf_dir: str) -> str:
+    # punctuation+digit density and mean token length, rounded coarse
+    return (
+        "SELECT doc_id, "
+        "round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE / "
+        "GREATEST(length(text), 1), 4) AS punct_ratio, "
+        "CASE WHEN trim(text) = '' THEN 0.0 ELSE "
+        "round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE / "
+        "length(regexp_split_to_array(trim(text), '\\s+')), 2) END AS mean_tok_len "
+        "FROM documents"
+    )
+
+
+def q_embed_knn(sf_dir: str) -> str:
+    return (
+        f"WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+        f"  WHERE vec_id % {EMB_SAMPLE_MOD} = 0), "
+        f"d AS (SELECT q.qid, e.vec_id AS neighbor_id, "
+        f"  list_cosine_similarity(e.embedding, q.qv) AS sim "
+        f"  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), "
+        f"r AS (SELECT qid, neighbor_id, "
+        f"  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank FROM d) "
+        f"SELECT qid, neighbor_id, rank::BIGINT AS rank FROM r WHERE rank <= {EMB_K}"
+    )
+
+
+def q_events_window(sf_dir: str) -> str:
+    return (
+        "SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS win, "
+        "count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY user_id, (epoch_us(ts) // 3600000000)"
+    )
+
+
+ORACLE_BUILDERS = {
+    "phash_lonlat": q_phash_lonlat,
+    "cell_assign": q_cell_assign,
+    "tile_assign": q_tile_assign,
+    "pip_contains": q_pip_contains,
+    "pip_count_by_polygon": q_pip_count_by_polygon,
+    "tile_counts": q_tile_counts,
+    "haversine_to_hot": q_haversine_to_hot,
+    "euclidean_to_hot": q_euclidean_to_hot,
+    "bearing_to_hot": q_bearing_to_hot,
+    "extent": q_extent,
+    "poly_area": q_poly_area,
+    "poly_bbox": q_poly_bbox,
+    "knn_sample": q_knn_sample,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "embed_knn": q_embed_knn,
+    "events_window": q_events_window,
+}

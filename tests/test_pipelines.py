@@ -1,0 +1,121 @@
+"""End-to-end pipeline tests: flagship, joins (both plans), lineage/resume."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sf(ray_session, tiny_sf):
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return tiny_sf
+
+
+def _brute_force_pairs(paths, predicate="contains"):
+    """Scalar-oracle join at tiny scale (the conformance harness)."""
+    from georay import geom, oracle, rng
+
+    img = pq.read_table(paths["images"], columns=["image_id", "phash"])
+    lon, lat = rng.lonlat_from_phash(img.column("phash").to_numpy(zero_copy_only=False))
+    ids = img.column("image_id").to_pylist()
+    layer = geom.PolygonLayer.from_arrow(pq.read_table(paths["polygons"]))
+    want = set()
+    for i in range(len(ids)):
+        for p in range(layer.num_polys):
+            bb = layer.bbox[p]
+            if not (bb[0] <= lon[i] <= bb[2] and bb[1] <= lat[i] <= bb[3]):
+                continue
+            pos = oracle.polygon_position(lon[i], lat[i], layer.poly_rings(p))
+            hit = pos == oracle.INSIDE if predicate == "contains" else pos != oracle.OUTSIDE
+            if hit:
+                want.add((ids[i], layer.poly_ids[p]))
+    return want
+
+
+def test_broadcast_join_matches_scalar_oracle(sf):
+    sf_dir, paths = sf
+    from georay import queries
+
+    got = queries.pip_contains(sf_dir).to_pandas()
+    got_pairs = set(zip(got["image_id"], got["polygon_id"]))
+    assert got_pairs == _brute_force_pairs(paths)
+    assert len(got_pairs) > 0
+
+
+def test_shuffle_join_matches_broadcast_and_salting_invariance(sf):
+    sf_dir, paths = sf
+    import pyarrow.parquet as pq
+
+    from georay import join, queries
+    from georay.pipelines import flagship
+
+    polys = pq.read_table(paths["polygons"])
+    want = queries.pip_contains(sf_dir).to_pandas()
+    want_pairs = set(zip(want["image_id"], want["polygon_id"]))
+    for n_salt in (1, 4):  # output must be independent of the salt factor
+        pts = flagship.points_dataset(sf_dir)
+        got = join.shuffle_pip_join(pts, polys, n_salt=n_salt).to_pandas()
+        got_pairs = set(zip(got["image_id"], got["polygon_id"]))
+        assert got_pairs == want_pairs, f"n_salt={n_salt}"
+
+
+def test_flagship_tiled_output_and_resume(sf, tmp_path):
+    sf_dir, paths = sf
+    from georay import lineage
+    from georay.pipelines import flagship
+
+    out = str(tmp_path / "tiles")
+    s1 = flagship.run_flagship(sf_dir, out_dir=out, with_bytes=True, concurrency=2)
+    assert s1["rows_written"] == 2000  # every image lands in exactly one tile partition
+    assert s1["skipped"] == 0
+    parts = lineage.committed_partitions(out)
+    assert len(parts) == s1["partitions"]
+    # manifests are valid and rows sum to the input size
+    import json
+
+    total = 0
+    for p in parts:
+        with open(os.path.join(lineage.partition_dir(out, p), "_lineage.json")) as f:
+            m = json.load(f)
+        assert m["kernel_version"]
+        total += m["rows"]
+    assert total == 2000
+    # resume: a second run skips every committed partition
+    s2 = flagship.run_flagship(sf_dir, out_dir=out, with_bytes=True, concurrency=2)
+    assert s2["rows_written"] == 0
+    assert s2["skipped"] == s2["partitions"]
+
+
+def test_entry_smoke(sf):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    assert len(df) == 2000
+    assert {"image_id", "n_matches", "polygon_id", "tile_id"} <= set(df.columns)
+    assert (df["n_matches"] >= 0).all()
+    # matches found by the count-variant agree with the pair-join
+    assert int(df["n_matches"].sum()) > 0
+
+
+def test_knn_matches_bruteforce(sf):
+    sf_dir, paths = sf
+    from georay import queries, rng
+    from georay.kernels import measures
+
+    got = queries.knn_sample(sf_dir).to_pandas()
+    img = pq.read_table(paths["images"], columns=["image_id", "phash"])
+    lon, lat = rng.lonlat_from_phash(img.column("phash").to_numpy(zero_copy_only=False))
+    ids = np.asarray(img.column("image_id").to_pylist(), dtype=object)
+    qmask = np.asarray([int(i[4:]) % queries.KNN_SAMPLE_MOD == 0 for i in ids])
+    for qi in np.nonzero(qmask)[0][:10]:
+        d = measures.haversine_distance(lon[qi], lat[qi], lon, lat)
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))[:5]
+        expected = list(ids[order])
+        rows = got[got["image_id"] == ids[qi]].sort_values("rank")
+        assert list(rows["neighbor_id"]) == expected
