@@ -1,0 +1,155 @@
+"""Benchmark driver: headline spatial-join+tiling throughput + per-query times.
+
+Prints ONE JSON line:
+  {"metric": "spatial_join_tile_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_sec": ...}
+
+``--scaling`` runs the headline job in fresh subprocesses at num_cpus=8
+and num_cpus=32 over the SAME input and reports both throughputs plus
+scaling efficiency (the sandbox evidence for the north rule's N->4N
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_POINTS = int(os.environ.get("GEORAY_BENCH_POINTS", "32000000"))
+
+
+def headline(ray, sf_dir: str, n_points: int) -> dict:
+    """Spatial join + tile assignment over a slim n_points image table
+    (BASELINE.json metric: images joined + tiled per second)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from georay import datagen
+    from georay.pipelines import flagship
+
+    pts_path = datagen.ensure_bench_points(n_points)
+    paths = datagen.ensure_tables(sf_dir)
+    polys = pq.read_table(paths["polygons"])
+
+    def run():
+        ds = rd.read_parquet(pts_path)
+        s = flagship.join_tile_summarize(ds, polys).to_pandas()
+        return int(s["rows"].sum()), int(s["matches"].sum())
+
+    # untimed warm-up: page cache, Ray worker pool and per-worker
+    # prepared-index build — the timed run measures steady-state
+    # streaming throughput
+    run()
+
+    t0 = time.time()
+    n_rows, n_matches = run()
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n_rows, "matches": n_matches, "rows_per_sec": n_rows / dt}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from georay import queries
+
+    times: dict[str, float] = {}
+    subset: list[tuple[str, object]] = [
+        ("pip_contains", queries.pip_contains),
+        ("pip_count_by_polygon", queries.pip_count_by_polygon),
+        ("tile_counts", queries.tile_counts),
+        ("haversine_to_hot", queries.haversine_to_hot),
+        # kNN at bench scale: fixed ~100-query sample (the per-query cost
+        # is what scales; the driver's correctness run uses mod=50)
+        ("knn_sample", lambda sf: queries.knn_sample(sf, sample_mod=2000)),
+        ("dedup_exact", queries.dedup_exact),
+        ("embed_knn", queries.embed_knn),
+        ("events_window", queries.events_window),
+    ]
+    for name, fn in subset:
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        # a longer job than the plain bench so fixed startup/scheduling
+        # overhead (~1-2 s) doesn't mask compute scaling
+        scaling_points = str(int(os.environ.get("GEORAY_SCALING_POINTS", "128000000")))
+        out = {}
+        for n in (8, 32):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                GEORAY_HEADLINE_ONLY="1",
+                GEORAY_BENCH_POINTS=scaling_points,
+            )
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            out[n] = json.loads(r.stdout.strip().splitlines()[-1])
+        tput8 = out[8]["rows_per_sec"]
+        tput32 = out[32]["rows_per_sec"]
+        eff = (tput32 / tput8) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32",
+                    "rows_per_sec_8": round(tput8),
+                    "rows_per_sec_32": round(tput32),
+                    "sec_8": out[8]["value"],
+                    "sec_32": out[32]["value"],
+                    "speedup": round(tput32 / tput8, 3),
+                    "scaling_efficiency": round(eff, 3),
+                    "rows": int(scaling_points),
+                }
+            )
+        )
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    hl = headline(ray, SF_DIR, BENCH_POINTS)
+    qt = {} if os.environ.get("GEORAY_HEADLINE_ONLY") else run_queries(SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_sec",
+                "value": round(hl["sec"], 3),
+                "unit": "sec",
+                "rows": hl["rows"],
+                "matches": hl["matches"],
+                "rows_per_sec": round(hl["rows_per_sec"]),
+                "queries": qt,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

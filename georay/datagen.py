@@ -277,19 +277,29 @@ def ensure_tables(sf_dir: str, force: bool = False) -> dict[str, str]:
     return paths
 
 
-def ensure_bench_points(n: int) -> str:
+def ensure_bench_points(n: int, n_shards: int = 64) -> str:
     """Slim (image_id, phash) table for large-scale benchmarking — image
     bytes are irrelevant to the join hot path and are never shuffled
-    through it (SURVEY.md §7 hard part (c))."""
-    path = os.path.join(DATA_ROOT, f"bench_{n}", "points.parquet")
-    if not os.path.exists(path):
-        idx = np.arange(n, dtype=np.uint64)
-        phash = rng.stream(TAG_PHASH, idx).view(np.int64)
-        table = pa.table(
-            {
-                "image_id": pa.array([f"img-{i:012d}" for i in range(n)], pa.string()),
-                "phash": pa.array(phash, pa.int64()),
-            }
-        )
-        _atomic_write(table, path)
-    return path
+    through it (SURVEY.md §7 hard part (c)).  Written as n_shards files
+    so the read fans out (one block per shard minimum) — at 100 TB this
+    is the input-shard layout the resume logic keys on."""
+    root = os.path.join(DATA_ROOT, f"bench_{n}")
+    done = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(done):
+        per = (n + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            lo, hi = s * per, min(n, (s + 1) * per)
+            if lo >= hi:
+                break
+            idx = np.arange(lo, hi, dtype=np.uint64)
+            phash = rng.stream(TAG_PHASH, idx).view(np.int64)
+            table = pa.table(
+                {
+                    "image_id": pa.array([f"img-{i:012d}" for i in range(lo, hi)], pa.string()),
+                    "phash": pa.array(phash, pa.int64()),
+                }
+            )
+            _atomic_write(table, os.path.join(root, f"shard-{s:04d}.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return root

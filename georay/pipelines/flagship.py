@@ -77,6 +77,29 @@ def check_invariants(batch: pa.Table, sample_mod: int = 64) -> pa.Table:
     return batch
 
 
+def join_tile_summarize(points_ds, polys: pa.Table, tile_res: int = TILE_RES):
+    """The benchmark hot path: ONE fused map_batches composing the
+    logical stages (geolocate -> tile -> PiP annotate -> per-block
+    summary row).  Explicit composition keeps the stage fused with the
+    parquet read (one task per input shard: read -> compute -> 1-row
+    summary; nothing but 8-byte summaries crosses the object store),
+    which measured ~2x faster than separately-declared map stages."""
+    ref = ray.put(polys)
+
+    def fused(b: pa.Table) -> pa.Table:
+        b = join.add_lonlat(b)
+        b = tiles.add_tile(b, tile_res)
+        b = join._prepared(ref, join.PipMatchCountActor, predicate="contains")(b)
+        return pa.table(
+            {
+                "rows": pa.array([len(b)], pa.int64()),
+                "matches": pa.array([int(b.column("n_matches").to_numpy().sum())], pa.int64()),
+            }
+        )
+
+    return points_ds.map_batches(fused, batch_format="pyarrow", batch_size=None)
+
+
 def run_flagship(
     sf_dir: str,
     out_dir: str | None = None,
@@ -98,13 +121,8 @@ def run_flagship(
     if with_bytes:
         ds = ds.map_batches(check_invariants, batch_format="pyarrow")
     polys = pq.read_table(paths["polygons"])
-    ref = ray.put(polys)
-    ds = ds.map_batches(
-        join.PipMatchCountActor,
-        fn_constructor_kwargs={"layer_ref": ref, "predicate": predicate},
-        batch_format="pyarrow",
-        batch_size=8192 if with_bytes else 65536,
-        concurrency=concurrency,
+    ds = join.broadcast_pip_annotate(
+        ds, polys, predicate=predicate, batch_size=8192 if with_bytes else 65536
     )
     if out_dir is None:
         return ds

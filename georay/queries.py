@@ -72,7 +72,7 @@ def tile_assign(sf_dir: str):
 def pip_contains(sf_dir: str):
     paths = datagen.ensure_tables(sf_dir)
     polys = pq.read_table(paths["polygons"])
-    return join.broadcast_pip_join(_points(sf_dir), polys, predicate="contains", concurrency=(1, 8))
+    return join.broadcast_pip_join(_points(sf_dir), polys, predicate="contains")
 
 
 def pip_count_by_polygon(sf_dir: str):
@@ -84,10 +84,24 @@ def pip_count_by_polygon(sf_dir: str):
 
 
 def tile_counts(sf_dir: str):
-    ds = tile_assign(sf_dir)
-    out = ds.groupby("tile_id").count()
+    """Pre-aggregated count: per-batch bincount partials (one row per
+    tile per batch) -> tiny groupby-sum — the combiner pattern that
+    keeps the shuffle O(tiles x batches), not O(rows)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        tid = b.column("tile_id").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(tid, return_counts=True)
+        return pa.table({"tile_id": pa.array(uniq), "n_part": pa.array(cnt.astype(np.int64))})
+
+    partials = tile_assign(sf_dir).map_batches(partial, batch_format="pyarrow")
+    # partials are tiny (tiles x batches rows): collapse blocks before the shuffle
+    out = partials.repartition(4).groupby("tile_id").aggregate(Sum("n_part", alias_name="n_images"))
     return out.map_batches(
-        lambda t: t.rename_columns(["tile_id", "n_images"]), batch_format="pyarrow"
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_images"), "n_images", pc.cast(t.column("n_images"), pa.int64())
+        ),
+        batch_format="pyarrow",
     )
 
 
