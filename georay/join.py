@@ -66,22 +66,44 @@ class PipJoinActor:
         self.index = GridIndex(self.layer)
         self.predicate = predicate
         self.keep_cols = list(keep_cols)
+        # Arrow-native id lookup: output columns come from take() on this
+        # array — never from per-row Python string objects
+        self.poly_id_arr = pa.array(self.layer.poly_ids.tolist(), pa.string())
+
+    #: points per internal chunk — bounds the expanded (pair x segment)
+    #: temporaries to a few tens of MB so worker heaps stay small even
+    #: with large blocks and many concurrent workers
+    CHUNK = 131072
+
+    def _matches(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Matching (point_idx, poly_idx) pairs: interior-cell pairs match
+        outright; boundary-cell pairs go through the exact winding kernel."""
+        pts_all = np.column_stack([lon, lat])
+        out_pt: list[np.ndarray] = []
+        out_poly: list[np.ndarray] = []
+        for lo in range(0, len(lon), self.CHUNK):
+            hi = min(len(lon), lo + self.CHUNK)
+            pair_pt, pair_poly, sure = self.index.candidates(lon[lo:hi], lat[lo:hi])
+            unc_pt, unc_poly = pair_pt[~sure], pair_poly[~sure]
+            pos = pip.classify(pts_all[lo:hi], self.layer, unc_pt, unc_poly)
+            if self.predicate == "contains":
+                keep = pos == pip.INSIDE
+            else:  # intersects / covers: position != Outside
+                keep = pos != pip.OUTSIDE
+            out_pt.append(pair_pt[sure] + lo)
+            out_pt.append(unc_pt[keep] + lo)
+            out_poly.append(pair_poly[sure])
+            out_poly.append(unc_poly[keep])
+        return np.concatenate(out_pt), np.concatenate(out_poly)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        pair_pt, pair_poly = self.index.candidates(lon, lat)
-        pts = np.column_stack([lon, lat])
-        pos = pip.classify(pts, self.layer, pair_pt, pair_poly)
-        if self.predicate == "contains":
-            keep = pos == pip.INSIDE
-        else:  # intersects / covers: position != Outside
-            keep = pos != pip.OUTSIDE
-        pair_pt, pair_poly = pair_pt[keep], pair_poly[keep]
+        pair_pt, pair_poly = self._matches(lon, lat)
         cols = {}
         for c in self.keep_cols:
             cols[c] = batch.column(c).take(pa.array(pair_pt, pa.int64()))
-        cols["polygon_id"] = pa.array(self.layer.poly_ids[pair_poly], pa.string())
+        cols["polygon_id"] = self.poly_id_arr.take(pa.array(pair_poly, pa.int64()))
         return pa.table(cols)
 
 
@@ -92,11 +114,7 @@ class PipMatchCountActor(PipJoinActor):
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        pair_pt, pair_poly = self.index.candidates(lon, lat)
-        pts = np.column_stack([lon, lat])
-        pos = pip.classify(pts, self.layer, pair_pt, pair_poly)
-        keep = pos == pip.INSIDE if self.predicate == "contains" else pos != pip.OUTSIDE
-        pair_pt, pair_poly = pair_pt[keep], pair_poly[keep]
+        pair_pt, pair_poly = self._matches(lon, lat)
         n = len(batch)
         counts = np.bincount(pair_pt, minlength=n).astype(np.int64)
         first = np.full(n, -1, dtype=np.int64)
@@ -106,9 +124,11 @@ class PipMatchCountActor(PipJoinActor):
         if len(pp):
             first_idx = np.concatenate([[True], pp[1:] != pp[:-1]])
             first[pp[first_idx]] = pl[first_idx]
-        first_id = np.where(first >= 0, self.layer.poly_ids[np.maximum(first, 0)], None)
+        valid = first >= 0
+        taken = self.poly_id_arr.take(pa.array(np.maximum(first, 0), pa.int64()))
+        first_id = pa.compute.if_else(pa.array(valid), taken, pa.scalar(None, pa.string()))
         return batch.append_column("n_matches", pa.array(counts, pa.int64())).append_column(
-            "polygon_id", pa.array(first_id.tolist(), pa.string())
+            "polygon_id", first_id
         )
 
 

@@ -82,15 +82,15 @@ def ring_positions(
         nz = np.nonzero(need)[0]
         sign[nz] = orient2d_sign(x1[nz], y1[nz], x2[nz], y2[nz], px[nz], py[nz])
 
-    contrib = np.zeros(len(px), dtype=np.int64)
-    contrib[up & (sign > 0) & (y2 != py)] = 1
-    contrib[down & (sign < 0)] = -1
+    up_cross = up & (sign > 0) & (y2 != py)
+    down_cross = down & (sign < 0)
     on_boundary = need & (sign == 0) & _value_in_between(px, x1, x2)
 
-    wn = np.zeros(n_tasks, dtype=np.int64)
-    np.add.at(wn, task, contrib)
-    bnd = np.zeros(n_tasks, dtype=bool)
-    np.logical_or.at(bnd, task, on_boundary)
+    # grouped sums via bincount (np.add.at is ~10x slower)
+    wn = np.bincount(task[up_cross], minlength=n_tasks) - np.bincount(
+        task[down_cross], minlength=n_tasks
+    )
+    bnd = np.bincount(task[on_boundary], minlength=n_tasks) > 0
 
     pos = np.where(wn != 0, INSIDE, OUTSIDE).astype(np.int8)
     pos[bnd] = BOUNDARY

@@ -1,0 +1,230 @@
+"""Distributed self-kNN: cell + halo co-partition with exact fallback.
+
+The reference's kNN engine is a BallTree (ball_tree.rs:380-658, queries
+sorted by distance).  The Ray-native plan (SURVEY.md §7 step 6):
+
+1. every point gets its quad-cell at a density-derived resolution;
+2. each point is replicated as a CANDIDATE to its 3x3 cell neighborhood
+   (slim columns only) and as a QUERY to its own cell;
+3. ``groupby(cell).map_groups`` brute-forces queries x candidates per
+   group (vectorized haversine block, ties broken by (distance,
+   neighbor_id) like ball_tree's deterministic ordering);
+4. a per-query GUARANTEE bound (provable lower bound on the distance to
+   anything outside the halo: dist >= R*dphi and dist >=
+   (2/pi)*R*cos(phi_max)*dlambda) certifies most results exact; the few
+   uncertified queries (sparse cells, grid edges, antimeridian) rerun
+   against the full dataset via the broadcast partial-top-k pattern.
+
+Everything streams; the only wide op is the groupby(cell) shuffle of
+slim (id, lon, lat) projections.  Replication factor is 9 on the slim
+side — never on payload columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from . import cells
+from .kernels.measures import MEAN_EARTH_RADIUS, haversine_distance
+
+
+def pick_resolution(n_points: int, target_per_cell: int = 64) -> int:
+    """Cell resolution so the mean occupied cell holds ~target points."""
+    n_cells = max(1.0, n_points / target_per_cell)
+    return int(np.clip(np.floor(np.log2(np.sqrt(n_cells))), 2, 16))
+
+
+def _lon_edge_bound(phi1: np.ndarray, dlam: np.ndarray) -> np.ndarray:
+    """Sound lower bound (radians of arc) on the distance to any point
+    whose longitude differs by >= dlam.  Split on latitude: a point
+    either moved >= D in latitude (dist >= D) or stayed within D of
+    phi1, where cos(phi2) >= cos(|phi1| + D) bounds the haversine's
+    longitude term (using asin x >= x and sin t >= (2/pi) t)."""
+    base = (2.0 / np.pi) * np.cos(phi1) * dlam
+    d = 0.5 * np.maximum(base, 0.0)
+    phi_cap = np.minimum(np.abs(phi1) + d, np.pi / 2)
+    alt = (2.0 / np.pi) * np.cos(phi_cap) * dlam
+    return np.minimum(d, np.maximum(alt, 0.0))
+
+
+def _halo_guarantee(lon, lat, ix, iy, res):
+    """Lower bound on the haversine distance from each point to the
+    nearest location OUTSIDE its 3x3 halo (inf when the halo covers
+    the whole sphere in that direction)."""
+    n = 1 << res
+    cw, ch = 360.0 / n, 180.0 / n
+    # clamp to the grid: at the +-180 edge the halo is clipped, so the
+    # antimeridian IS the boundary (wrap neighbours live outside it and
+    # the small resulting guarantee correctly forces the exact fallback)
+    lon_w = np.maximum((ix - 1) * cw - 180.0, -180.0)
+    lon_e = np.minimum((ix + 2) * cw - 180.0, 180.0)
+    lat_s = (iy - 1) * ch - 90.0
+    lat_n = (iy + 2) * ch - 90.0
+    phi1 = np.radians(lat)
+    d_s = np.where(lat_s <= -90.0, np.inf, np.radians(lat - lat_s))
+    d_n = np.where(lat_n >= 90.0, np.inf, np.radians(lat_n - lat))
+    d_w = _lon_edge_bound(phi1, np.radians(lon - lon_w))
+    d_e = _lon_edge_bound(phi1, np.radians(lon_e - lon))
+    g = np.minimum(np.minimum(d_s, d_n), np.minimum(d_w, d_e))
+    return MEAN_EARTH_RADIUS * np.maximum(g, 0.0)
+
+
+def _topk_block(qlon, qlat, qid, clon, clat, cid, k):
+    """Vectorized (queries x candidates) top-k, self-excluded,
+    tie-broken by (distance, neighbor_id). Returns ragged arrays."""
+    d = haversine_distance(qlon[:, None], qlat[:, None], clon[None, :], clat[None, :])
+    d[qid[:, None] == cid[None, :]] = np.inf
+    kk = min(k, d.shape[1])
+    part = np.argpartition(d, kk - 1, axis=1)[:, :kk] if d.shape[1] > kk else np.tile(
+        np.arange(d.shape[1]), (len(qid), 1)
+    )
+    rows = np.repeat(np.arange(len(qid)), part.shape[1])
+    cols = part.ravel()
+    dist = d[rows, cols]
+    # per-query deterministic ordering
+    order = np.lexsort((cid[cols], dist, rows))
+    return rows[order], cols[order], dist[order]
+
+
+def knn_join(points, k: int = 5, n_points: int | None = None, res: int | None = None):
+    """points: Dataset with (image_id, lon, lat). Returns
+    (image_id, neighbor_id, rank, dist_m) for every point, exact."""
+    if res is None:
+        if n_points is None:
+            n_points = points.count()
+        res = pick_resolution(n_points)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        ids = b.column("image_id")
+        ix, iy = cells.cell_xy(lon, lat, res)
+        n = 1 << res
+        out_cell, out_idx, out_q = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+                out_cell.append((jx[ok] * n + jy[ok]).astype(np.int64))
+                out_idx.append(np.nonzero(ok)[0])
+                out_q.append(np.full(int(ok.sum()), dx == 0 and dy == 0))
+        cell = np.concatenate(out_cell)
+        idx = np.concatenate(out_idx)
+        is_q = np.concatenate(out_q)
+        take = pa.array(idx, pa.int64())
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "image_id": ids.take(take),
+                "lon": pa.array(lon[idx]),
+                "lat": pa.array(lat[idx]),
+                "is_query": pa.array(is_q),
+            }
+        )
+
+    replicated = points.map_batches(replicate, batch_format="pyarrow")
+
+    def group_knn(g: pa.Table) -> pa.Table:
+        is_q = g.column("is_query").to_numpy(zero_copy_only=False)
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
+        qm = is_q.astype(bool)
+        if not qm.any():
+            return pa.table(
+                {"image_id": pa.array([], pa.string()), "neighbor_id": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.int64()), "dist_m": pa.array([], pa.float64()),
+                 "certified": pa.array([], pa.bool_())}
+            )
+        qlon, qlat, qid = lon[qm], lat[qm], ids[qm]
+        rows, cols, dist = _topk_block(qlon, qlat, qid, lon, lat, ids, k)
+        ix, iy = cells.cell_xy(qlon, qlat, res)
+        guarantee = _halo_guarantee(qlon, qlat, ix, iy, res)
+        n_cand = len(lon) - 1  # excluding self
+        kth = np.full(len(qid), np.inf)
+        cnt = np.bincount(rows, minlength=len(qid))
+        # kth distance per query (rows are sorted by (query, dist))
+        ends = np.cumsum(cnt) - 1
+        kth[cnt > 0] = dist[ends[cnt > 0]]
+        certified = (cnt >= min(k, n_cand)) & (kth <= guarantee) & (n_cand >= k)
+        rank = (np.arange(len(rows)) - np.concatenate([[0], np.cumsum(cnt)[:-1]])[rows] + 1).astype(np.int64)
+        return pa.table(
+            {
+                "image_id": pa.array(qid[rows]),
+                "neighbor_id": pa.array(ids[cols]),
+                "rank": pa.array(rank),
+                "dist_m": pa.array(dist),
+                "certified": pa.array(certified[rows]),
+            }
+        )
+
+    local = replicated.groupby("cell").map_groups(group_knn, batch_format="pyarrow")
+    return local
+
+
+def finalize_knn(points, local, k: int = 5):
+    """Split certified/uncertified; rerun uncertified queries exactly via
+    the broadcast partial-top-k pattern; union the results."""
+    import pyarrow.compute as pc
+
+    # split is a double consume — pin the (n*k)-row result once
+    local = local.materialize()
+    certified = local.map_batches(
+        lambda t: t.filter(t.column("certified")).drop_columns(["certified"]),
+        batch_format="pyarrow",
+    )
+    flagged_tbl = local.map_batches(
+        lambda t: t.filter(pc.invert(t.column("certified"))).select(["image_id"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    flagged_ids = sorted(set(flagged_tbl["image_id"]))
+    if not flagged_ids:
+        return certified
+    idset_ref = ray.put(set(flagged_ids))
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id").to_pylist()
+        s = ray.get(idset_ref)
+        return b.filter(pa.array([i in s for i in ids]))
+
+    queries = points.map_batches(pick, batch_format="pyarrow").to_pandas()
+    qids = queries["image_id"].to_numpy()
+    qlon = queries["lon"].to_numpy()
+    qlat = queries["lat"].to_numpy()
+    qref = ray.put((qids, qlon, qlat))
+
+    def partial(b: pa.Table) -> pa.Table:
+        qi, ql, qt = ray.get(qref)
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        ids = np.asarray(b.column("image_id").to_pylist(), dtype=object)
+        rows, cols, dist = _topk_block(ql, qt, qi, lon, lat, ids, k)
+        return pa.table(
+            {"qid": pa.array(qi[rows]), "neighbor_id": pa.array(ids[cols]), "dist": pa.array(dist)}
+        )
+
+    partials = points.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        dist = g.column("dist").to_numpy(zero_copy_only=False)
+        nid = np.asarray(g.column("neighbor_id").to_pylist(), dtype=object)
+        order = np.lexsort((nid, dist))[:k]
+        return pa.table(
+            {
+                "image_id": g.column("qid").take(pa.array(order, pa.int64())),
+                "neighbor_id": pa.array(nid[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "dist_m": pa.array(dist[order]),
+            }
+        )
+
+    fallback = partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
+    return certified.union(fallback)
+
+
+def knn_full(points, k: int = 5, n_points: int | None = None, res: int | None = None):
+    """Exact self-kNN for every point (certified local + exact fallback)."""
+    local = knn_join(points, k=k, n_points=n_points, res=res)
+    return finalize_knn(points, local, k=k)

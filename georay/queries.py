@@ -442,3 +442,300 @@ QUERIES = {
     "embed_knn": embed_knn,
     "events_window": events_window,
 }
+
+
+# ---------------------------------------------------------------------------
+# phase 2: polygon measures/transforms + relational/streaming ops
+# ---------------------------------------------------------------------------
+
+def poly_perimeter(sf_dir: str):
+    """Exterior-ring Length (line_measures/length.rs, euclidean)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        x1, y1, x2, y2, seg_ring = layer.segments()
+        per_ring = np.zeros(layer.num_rings)
+        np.add.at(per_ring, seg_ring, np.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)))
+        ext = ~layer.ring_is_hole
+        out = np.zeros(layer.num_polys)
+        out[layer.ring_poly[ext]] = per_ring[ext]
+        return pa.table(
+            {"polygon_id": b.column("polygon_id"), "perimeter": pa.array(np.round(out, 6))}
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def densify_counts_q(sf_dir: str):
+    """Densify vertex budget per polygon (line_measures/densify.rs):
+    edges after densifying the exterior ring at max_len=0.25 deg."""
+    from .kernels import simplify as ksimplify
+    from .sqlgen import DENSIFY_MAX_LEN
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        x1, y1, x2, y2, seg_ring = layer.segments()
+        ext = ~layer.ring_is_hole[seg_ring]
+        ins = ksimplify.densify_counts(x1[ext], y1[ext], x2[ext], y2[ext], DENSIFY_MAX_LEN)
+        out = np.zeros(layer.num_polys, dtype=np.int64)
+        np.add.at(out, layer.ring_poly[seg_ring[ext]], 1 + ins)
+        return pa.table(
+            {"polygon_id": b.column("polygon_id"), "n_densified_edges": pa.array(out)}
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def affine_bbox(sf_dir: str):
+    """One composed affine pass over every ring coord, then bbox —
+    AffineTransform applied via MapCoords (affine_ops.rs:36,138-480)."""
+    from .kernels import affine as kaffine
+    from .sqlgen import AFF_A, AFF_B, AFF_D, AFF_E, AFF_XOFF, AFF_YOFF
+
+    m = (AFF_A, AFF_B, AFF_XOFF, AFF_D, AFF_E, AFF_YOFF)
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        tx, ty = kaffine.apply(m, layer.coords[:, 0], layer.coords[:, 1])
+        n_coords = np.diff(layer.ring_offsets)
+        coord_poly = np.repeat(layer.ring_poly, n_coords)
+        # the segment table drops each ring's closing coord; exclude it
+        # here too so both engines see the same coord multiset
+        keep = np.ones(len(tx), dtype=bool)
+        keep[layer.ring_offsets[1:] - 1] = False
+        out = np.full((layer.num_polys, 4), np.inf)
+        out[:, 2:] = -np.inf
+        np.minimum.at(out[:, 0], coord_poly[keep], tx[keep])
+        np.minimum.at(out[:, 1], coord_poly[keep], ty[keep])
+        np.maximum.at(out[:, 2], coord_poly[keep], tx[keep])
+        np.maximum.at(out[:, 3], coord_poly[keep], ty[keep])
+        return pa.table(
+            {
+                "polygon_id": b.column("polygon_id"),
+                "minx": pa.array(out[:, 0]),
+                "miny": pa.array(out[:, 1]),
+                "maxx": pa.array(out[:, 2]),
+                "maxy": pa.array(out[:, 3]),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def ring_winding(sf_dir: str):
+    """Winding order per ring (winding_order.rs:63-116)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        w = summaries.winding_order(layer).astype(np.int64)
+        ring_local = np.concatenate(
+            [np.arange(layer.poly_ring_offsets[p + 1] - layer.poly_ring_offsets[p])
+             for p in range(layer.num_polys)]
+        ) if layer.num_polys else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "polygon_id": pa.array(layer.poly_ids[layer.ring_poly], pa.string()),
+                "ring_idx": pa.array(ring_local.astype(np.int64)),
+                "winding": pa.array(w),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def poly_validity(sf_dir: str):
+    """Validation flags (validation/mod.rs:62-102) — SQL-checkable subset
+    (size/closure/area codes); the full check incl. hole containment +
+    self-intersection runs in kernels.validation (pytest-gated)."""
+    from .kernels import validation as kval
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        codes = kval.validate(layer, check_self_intersection=False).astype(np.int64)
+        return pa.table({"polygon_id": b.column("polygon_id"), "code": pa.array(codes)})
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def asof_join(sf_dir: str):
+    """As-of join (events x orders): per-user merge_asof inside
+    map_groups over the user-partitioned event log (the reference has no
+    temporal joins; this is the Ray-native as-of pattern with the small
+    side broadcast)."""
+    import pandas as pd
+
+    orders = (
+        _testdata(sf_dir, "orders")
+        .to_pandas()
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+        .max()
+        .sort_values(["o_custkey", "o_orderdate"])
+        .reset_index(drop=True)
+    )
+    oref = ray.put(orders)
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        odf = ray.get(oref)
+        uid = int(g["user_id"].iloc[0])
+        right = odf[odf["o_custkey"] == uid]
+        g = g.sort_values(["ts", "event_id"])
+        if right.empty:
+            return pd.DataFrame({"event_id": [], "o_orderkey": []}).astype(
+                {"event_id": "int64", "o_orderkey": "int64"}
+            )
+        out = pd.merge_asof(
+            g[["event_id", "ts"]],
+            right[["o_orderdate", "o_orderkey"]],
+            left_on="ts",
+            right_on="o_orderdate",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = out.dropna(subset=["o_orderkey"])
+        return pd.DataFrame(
+            {"event_id": out["event_id"].astype("int64"), "o_orderkey": out["o_orderkey"].astype("int64")}
+        )
+
+    ev = _testdata(sf_dir, "events")
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user over the event log —
+    groupby(key).map_groups windowing over the sorted group (streaming-
+    shaped op; ordering assumption: per-user groups fit in memory)."""
+    import pandas as pd
+
+    from .sqlgen import SESSION_GAP_US
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        t = g["ts"].astype("int64")
+        brk = (t.diff().fillna(0) > SESSION_GAP_US).astype("int64")
+        sess = brk.cumsum()
+        first = g.groupby(sess)["event_id"].transform("min")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "session_id": first.astype("int64"),
+            }
+        )
+
+    return _testdata(sf_dir, "events").groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped relational aggregate (generic engine surface):
+    vectorized derived column + multi-key groupby aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us")))
+        b = b.filter(keep)
+        disc = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "l_quantity": b.column("l_quantity"),
+                "l_extendedprice": b.column("l_extendedprice"),
+                "disc_price": disc,
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("sum_qty"), "sum_qty",
+            pa.array(np.round(t.column("sum_qty").to_numpy(zero_copy_only=False), 6)),
+        )
+        for c in ("sum_base_price", "sum_disc_price"):
+            t = t.set_column(
+                t.schema.get_field_index(c), c,
+                pa.array(np.round(t.column(c).to_numpy(zero_copy_only=False), 4)),
+            )
+        return t.set_column(
+            t.schema.get_field_index("count_order"), "count_order",
+            pc.cast(t.column("count_order"), pa.int64()),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def simplify_rdp(sf_dir: str):
+    """RDP simplification over the polygon exteriors (simplify.rs:21-135)
+    — rows-only driver check (recursion isn't SQL-expressible); exact
+    conformance is pytest-gated against the scalar oracle."""
+    from .kernels import simplify as ksimplify
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        n_before = np.zeros(layer.num_polys, dtype=np.int64)
+        n_after = np.zeros(layer.num_polys, dtype=np.int64)
+        for p in range(layer.num_polys):
+            ring = layer.poly_rings(p)[0]
+            n_before[p] = len(ring)
+            n_after[p] = len(ksimplify.rdp(ring, 0.05))
+        return pa.table(
+            {
+                "polygon_id": b.column("polygon_id"),
+                "n_before": pa.array(n_before),
+                "n_after": pa.array(n_after),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def poly_hull(sf_dir: str):
+    """Per-polygon convex hull vertex count + area (convex_hull/qhull.rs)
+    — rows-only driver check; hull semantics are pytest-gated."""
+    from . import oracle as _oracle
+    from .kernels import hull as khull
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        n = np.zeros(layer.num_polys, dtype=np.int64)
+        area = np.zeros(layer.num_polys)
+        for p in range(layer.num_polys):
+            h = khull.convex_hull_points(layer.poly_rings(p)[0][:-1])
+            n[p] = len(h) - 1
+            area[p] = _oracle.signed_area([h])
+        return pa.table(
+            {
+                "polygon_id": b.column("polygon_id"),
+                "hull_n": pa.array(n),
+                "hull_area": pa.array(np.round(area, 6)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES.update(
+    {
+        "poly_perimeter": poly_perimeter,
+        "densify_counts": densify_counts_q,
+        "affine_bbox": affine_bbox,
+        "ring_winding": ring_winding,
+        "poly_validity": poly_validity,
+        "asof_join": asof_join,
+        "sessionize": sessionize,
+        "lineitem_pricing": lineitem_pricing,
+        "simplify_rdp": simplify_rdp,
+        "poly_hull": poly_hull,
+    }
+)

@@ -258,3 +258,131 @@ ORACLE_BUILDERS = {
     "embed_knn": q_embed_knn,
     "events_window": q_events_window,
 }
+
+
+# ---------------------------------------------------------------------------
+# phase 2: measures over polygons, transforms, relational/streaming ops
+# ---------------------------------------------------------------------------
+
+def q_poly_perimeter(sf_dir: str) -> str:
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, "
+        f"round(sum(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))), 6) AS perimeter "
+        f"FROM read_parquet('{segs}') WHERE ring_idx = 0 GROUP BY polygon_id"
+    )
+
+
+DENSIFY_MAX_LEN = 0.25
+
+
+def q_densify_counts(sf_dir: str) -> str:
+    # Densify semantics (line_measures/densify.rs): each segment longer
+    # than max_len gains ceil(len/max_len)-1 interior points
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, "
+        f"(count(*) + sum(GREATEST(ceil(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) "
+        f"/ {DENSIFY_MAX_LEN}) - 1, 0)))::BIGINT AS n_densified_edges "
+        f"FROM read_parquet('{segs}') WHERE ring_idx = 0 GROUP BY polygon_id"
+    )
+
+
+AFF_A, AFF_B, AFF_XOFF = 0.5, 0.25, 10.0
+AFF_D, AFF_E, AFF_YOFF = -0.125, 2.0, -3.0
+
+
+def q_affine_bbox(sf_dir: str) -> str:
+    # one affine pass over every ring coord, then bbox — exact IEEE
+    # arithmetic, identical expression both engines, no rounding
+    segs = datagen.segments_path(sf_dir)
+    ax = f"({AFF_A!r} * x1 + {AFF_B!r} * y1 + {AFF_XOFF!r})"
+    ay = f"({AFF_D!r} * x1 + {AFF_E!r} * y1 + {AFF_YOFF!r})"
+    return (
+        f"SELECT polygon_id, min({ax}) AS minx, min({ay}) AS miny, "
+        f"max({ax}) AS maxx, max({ay}) AS maxy "
+        f"FROM read_parquet('{segs}') GROUP BY polygon_id"
+    )
+
+
+def q_ring_winding(sf_dir: str) -> str:
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, ring_idx::BIGINT AS ring_idx, "
+        f"CASE WHEN sum(x1 * y2 - x2 * y1) > 0 THEN 1 "
+        f"WHEN sum(x1 * y2 - x2 * y1) < 0 THEN -1 ELSE 0 END::BIGINT AS winding "
+        f"FROM read_parquet('{segs}') GROUP BY polygon_id, ring_idx"
+    )
+
+
+def q_poly_validity(sf_dir: str) -> str:
+    # SQL-expressible subset of the validation flags: ring size, closure
+    # (last segment returns to first vertex by construction), zero area
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, "
+        f"CASE WHEN min(cnt) < 3 THEN 1 WHEN min(absarea) = 0 THEN 3 ELSE 0 END::BIGINT AS code "
+        f"FROM (SELECT polygon_id, ring_idx, count(*) AS cnt, abs(sum(x1 * y2 - x2 * y1)) AS absarea "
+        f"      FROM read_parquet('{segs}') GROUP BY polygon_id, ring_idx) "
+        f"GROUP BY polygon_id"
+    )
+
+
+def q_asof_join(sf_dir: str) -> str:
+    # for each event: the most recent order of customer user_id at ts;
+    # the right side is deduped to one row per (custkey, orderdate) so
+    # equal-timestamp ties are deterministic in both engines
+    return (
+        "WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey "
+        "FROM orders GROUP BY o_custkey, o_orderdate) "
+        "SELECT e.event_id, o.o_orderkey "
+        "FROM events e ASOF JOIN o "
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    )
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def q_sessionize(sf_dir: str) -> str:
+    # session windows: a new session starts when the gap to the previous
+    # event of the same user exceeds 30 min; session_id = first event_id
+    return (
+        f"WITH w AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        f"  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        f"    (PARTITION BY user_id ORDER BY ts, event_id) > {SESSION_GAP_US} "
+        f"  THEN 1 ELSE 0 END AS brk "
+        f"  FROM events), "
+        f"s AS (SELECT event_id, user_id, t, "
+        f"  sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id "
+        f"  ROWS UNBOUNDED PRECEDING) AS sess_no FROM w) "
+        f"SELECT event_id, user_id, "
+        f"min(event_id) OVER (PARTITION BY user_id, sess_no) AS session_id FROM s"
+    )
+
+
+def q_lineitem_pricing(sf_dir: str) -> str:
+    # TPC-H Q1-shaped relational aggregate (generic engine surface)
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 6) AS sum_qty, "
+        "round(sum(l_extendedprice), 4) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+        "count(*)::BIGINT AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+ORACLE_BUILDERS.update(
+    {
+        "poly_perimeter": q_poly_perimeter,
+        "densify_counts": q_densify_counts,
+        "affine_bbox": q_affine_bbox,
+        "ring_winding": q_ring_winding,
+        "poly_validity": q_poly_validity,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "lineitem_pricing": q_lineitem_pricing,
+    }
+)

@@ -1,0 +1,129 @@
+"""Distributed kNN / DBSCAN / k-means vs brute-force scalar references."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pts_ds(ray_session):
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    rs = np.random.RandomState(21)
+    n = 1200
+    # two dense blobs + uniform background (forces both certified and
+    # fallback paths, plus real DBSCAN clusters)
+    blob1 = rs.normal([10.0, 20.0], 0.3, (300, 2))
+    blob2 = rs.normal([-60.0, -30.0], 0.5, (300, 2))
+    bg = np.column_stack([rs.uniform(-179, 179, n - 600), rs.uniform(-84, 84, n - 600)])
+    xy = np.vstack([blob1, blob2, bg])
+    ids = [f"img-{i:012d}" for i in range(n)]
+    table = pa.table(
+        {"image_id": pa.array(ids), "lon": pa.array(xy[:, 0]), "lat": pa.array(xy[:, 1])}
+    )
+    return rd.from_arrow(table), ids, xy
+
+
+def test_knn_full_matches_bruteforce(pts_ds):
+    from georay import knn
+    from georay.kernels.measures import haversine_distance
+
+    ds, ids, xy = pts_ds
+    got = knn.knn_full(ds, k=5, n_points=len(ids)).to_pandas()
+    assert len(got) == len(ids) * 5
+    ids_arr = np.asarray(ids, dtype=object)
+    rs = np.random.RandomState(0)
+    for qi in rs.choice(len(ids), 40, replace=False):
+        d = haversine_distance(xy[qi, 0], xy[qi, 1], xy[:, 0], xy[:, 1])
+        d[qi] = np.inf
+        order = np.lexsort((ids_arr, d))[:5]
+        expected = list(ids_arr[order])
+        rows = got[got["image_id"] == ids[qi]].sort_values("rank")
+        assert list(rows["neighbor_id"]) == expected, ids[qi]
+
+
+def test_knn_guarantee_is_sound(pts_ds):
+    """Certified rows from the local pass must equal the global truth —
+    i.e. the halo guarantee can never certify a wrong neighbour set."""
+    from georay import knn
+    from georay.kernels.measures import haversine_distance
+
+    ds, ids, xy = pts_ds
+    local = knn.knn_join(ds, k=5, n_points=len(ids)).to_pandas()
+    ids_arr = np.asarray(ids, dtype=object)
+    cert = local[local["certified"]]
+    checked = 0
+    for qid in list(dict.fromkeys(cert["image_id"]))[:40]:
+        qi = int(qid[4:])
+        d = haversine_distance(xy[qi, 0], xy[qi, 1], xy[:, 0], xy[:, 1])
+        d[qi] = np.inf
+        order = np.lexsort((ids_arr, d))[:5]
+        rows = cert[cert["image_id"] == qid].sort_values("rank")
+        assert list(rows["neighbor_id"]) == list(ids_arr[order])
+        checked += 1
+    assert checked > 10  # the certified path actually exercises
+
+
+def _scalar_dbscan(xy, ids, eps, min_pts):
+    n = len(xy)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    within = d2 <= eps * eps
+    core = within.sum(1) >= min_pts
+    # BFS over core connectivity
+    label = {}
+    for seed in range(n):
+        if not core[seed] or ids[seed] in label:
+            continue
+        comp = [seed]
+        seen = {seed}
+        while comp:
+            cur = comp.pop()
+            for nb in np.nonzero(within[cur] & core)[0]:
+                if nb not in seen:
+                    seen.add(int(nb))
+                    comp.append(int(nb))
+        members = sorted(ids[i] for i in seen)
+        root = members[0]
+        for i in seen:
+            label[ids[i]] = root
+    # border points
+    for i in range(n):
+        if core[i] or ids[i] in label:
+            continue
+        cands = [label[ids[j]] for j in np.nonzero(within[i] & core)[0] if j != i]
+        if cands:
+            label[ids[i]] = min(cands)
+    return label, core
+
+
+def test_dbscan_matches_bruteforce(pts_ds):
+    from georay import cluster
+
+    ds, ids, xy = pts_ds
+    eps, min_pts = 1.5, 4
+    got = cluster.dbscan(ds, eps=eps, min_pts=min_pts, n_points=len(ids))
+    exp_label, exp_core = _scalar_dbscan(xy, ids, eps, min_pts)
+    got_map = dict(zip(got["image_id"], got["cluster"]))
+    got_core = dict(zip(got["image_id"], got["is_core"]))
+    assert len(got) == len(ids)
+    for i, iid in enumerate(ids):
+        assert got_core[iid] == bool(exp_core[i]), iid
+        assert got_map.get(iid, "") == exp_label.get(iid, ""), iid
+
+
+def test_kmeans_deterministic_and_converges(pts_ds):
+    from georay import cluster
+
+    ds, ids, xy = pts_ds
+    cent1, assign1 = cluster.kmeans(ds, k=8, max_iter=8)
+    a1 = assign1.to_pandas().sort_values("image_id").reset_index(drop=True)
+    cent2, assign2 = cluster.kmeans(ds, k=8, max_iter=8)
+    a2 = assign2.to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert np.array_equal(cent1, cent2)
+    assert a1.equals(a2)
+    # every assignment is the argmin centroid
+    d2 = ((xy[:, None, :] - cent1[None, :, :]) ** 2).sum(-1)
+    expected = np.argmin(d2, axis=1)
+    got = a1.set_index("image_id").loc[ids, "cluster"].to_numpy()
+    assert np.array_equal(got, expected)

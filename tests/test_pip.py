@@ -135,17 +135,22 @@ def test_kernel_matches_oracle_on_generated_layer(rand_points):
         assert pos[k] == exp, (i, j)
 
 
-def test_grid_index_candidates_complete(rand_points):
-    """Index coarse phase must be a superset of true matches."""
+def test_grid_index_sound_and_complete(rand_points):
+    """Prepared-grid invariants: candidate pairs cover every true match
+    (completeness) and every 'sure' (interior-cell) pair really is
+    inside (soundness) — the two properties the fast path rests on."""
     table = datagen.generate_polygons(48)
     layer = geom.PolygonLayer.from_arrow(table)
     idx = GridIndex(layer)
-    pts = rand_points[:1500]
-    pair_pt, pair_poly = idx.candidates(pts[:, 0], pts[:, 1])
+    pts = rand_points[:800]
+    pair_pt, pair_poly, sure = idx.candidates(pts[:, 0], pts[:, 1])
     got = set(zip(pair_pt.tolist(), pair_poly.tolist()))
-    # brute force bbox pairs
+    sure_pairs = list(zip(pair_pt[sure].tolist(), pair_poly[sure].tolist()))
+    for i, j in sure_pairs:
+        assert oracle.polygon_position(pts[i, 0], pts[i, 1], layer.poly_rings(j)) == oracle.INSIDE
     for i in range(len(pts)):
         for j in range(layer.num_polys):
             bb = layer.bbox[j]
             if bb[0] <= pts[i, 0] <= bb[2] and bb[1] <= pts[i, 1] <= bb[3]:
-                assert (i, j) in got
+                if oracle.polygon_position(pts[i, 0], pts[i, 1], layer.poly_rings(j)) != oracle.OUTSIDE:
+                    assert (i, j) in got
