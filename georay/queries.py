@@ -739,3 +739,170 @@ QUERIES.update(
         "poly_hull": poly_hull,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# phase 3: text / similarity / clustering / multimodal queries
+# ---------------------------------------------------------------------------
+
+def lang_guess(sf_dir: str):
+    """Heuristic language-ID (stopword-ratio argmax; georay.text)."""
+    from . import text as gtext
+
+    def f(b: pa.Table) -> pa.Table:
+        guesses = [gtext.guess_lang(t) for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"), "lang_guess": pa.array(guesses)})
+
+    return _testdata(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+def ngram_jaccard(sf_dir: str):
+    """Distinct char-3-gram Jaccard for a deterministic doc-pair sample
+    (pairs with zero overlap omitted, matching the SQL inner join)."""
+    from .sqlgen import NGRAM_SAMPLE_MOD
+
+    df = _testdata(sf_dir, "documents").to_pandas()
+    df = df[df["doc_id"] % NGRAM_SAMPLE_MOD == 0]
+    grams = {
+        int(r.doc_id): {r.text[i : i + 3] for i in range(max(len(r.text) - 2, 0))} or {r.text}
+        for r in df.itertuples()
+    }
+    ids = sorted(grams)
+    a_out, b_out, j_out = [], [], []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            ia, ib = ids[x], ids[y]
+            ni = len(grams[ia] & grams[ib])
+            if ni == 0:
+                continue
+            a_out.append(ia)
+            b_out.append(ib)
+            j_out.append(round(ni / (len(grams[ia]) + len(grams[ib]) - ni), 6))
+    return pa.table(
+        {
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+            "jaccard": pa.array(j_out, pa.float64()),
+        }
+    )
+
+
+def embed_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (georay.dedup)."""
+    from . import dedup as gdedup
+    from .sqlgen import EMB_NEARDUP_T
+
+    ds = gdedup.embed_neardup_pairs(_testdata(sf_dir, "embeddings"), threshold=EMB_NEARDUP_T)
+    # collect to an explicit-schema table: an all-empty Dataset would
+    # otherwise lose its column schema on conversion
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if len(b)]
+    return pa.concat_tables(batches) if batches else schema.empty_table()
+
+
+def minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup groups (rows-only: banded LSH + exact-Jaccard
+    verify aren't SQL-expressible; conformance is pytest-gated against
+    brute-force all-pairs Jaccard)."""
+    from . import dedup as gdedup
+
+    out = gdedup.minhash_lsh_dedup(_testdata(sf_dir, "documents"), threshold=0.8)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "group": pa.array(out["group"], pa.int64()),
+            "keep": pa.array(out["keep"].astype(bool)),
+        }
+    )
+
+
+def simhash_sig(sf_dir: str):
+    """SimHash signatures + near-dup groups (rows-only)."""
+    from . import dedup as gdedup
+
+    out = gdedup.simhash_dedup(_testdata(sf_dir, "documents"))
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "simhash": pa.array(out["simhash"], pa.int64()),
+            "group": pa.array(out["group"], pa.int64()),
+        }
+    )
+
+
+def doc_fingerprints(sf_dir: str):
+    """Winnowing fingerprint counts per document (rows-only)."""
+    from . import text as gtext
+
+    def f(b: pa.Table) -> pa.Table:
+        fps = [gtext.winnow_fingerprints(t) for t in b.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_fingerprints": pa.array([len(x) for x in fps], pa.int64()),
+                "min_fp": pa.array(
+                    [min((h for _, h in x), default=0) for x in fps], pa.int64()
+                ),
+            }
+        )
+
+    return _testdata(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+def image_stats(sf_dir: str):
+    """Decode + channel means + aHash over the image table (rows-only:
+    PNG decode is not SQL-expressible; pixel-level conformance is
+    pytest-gated against the deterministic generator)."""
+    from . import multimodal
+
+    paths = datagen.ensure_tables(sf_dir)
+    images = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "fmt"])
+    return multimodal.decode_stats(images, concurrency=(1, 8), batch_size=2048)
+
+
+def dbscan_hot(sf_dir: str):
+    """DBSCAN over the image points (hot region forms the main cluster;
+    rows-only — pytest-gated against brute force)."""
+    from . import cluster
+
+    out = cluster.dbscan(_points(sf_dir), eps=0.5, min_pts=5)
+    return pa.table(
+        {
+            "image_id": pa.array(out["image_id"]),
+            "cluster": pa.array(out["cluster"]),
+            "is_core": pa.array(out["is_core"].astype(bool)),
+        }
+    )
+
+
+def kmeans_assign(sf_dir: str):
+    """k-means cluster assignment (rows-only; deterministic seeded init)."""
+    from . import cluster
+
+    _, assign = cluster.kmeans(_points(sf_dir), k=16, max_iter=5)
+    return assign
+
+
+def knn_all(sf_dir: str):
+    """Exact self-kNN for EVERY image (cell+halo plan with certified
+    guarantee + fallback; rows-only — the sampled variant knn_sample is
+    the SQL-checked one)."""
+    from . import knn as gknn
+
+    return gknn.knn_full(_points(sf_dir), k=5)
+
+
+QUERIES.update(
+    {
+        "lang_guess": lang_guess,
+        "ngram_jaccard": ngram_jaccard,
+        "embed_neardup": embed_neardup,
+        "minhash_dedup": minhash_dedup,
+        "simhash_sig": simhash_sig,
+        "doc_fingerprints": doc_fingerprints,
+        "image_stats": image_stats,
+        "dbscan_hot": dbscan_hot,
+        "kmeans_assign": kmeans_assign,
+        "knn_all": knn_all,
+    }
+)

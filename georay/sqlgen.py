@@ -386,3 +386,69 @@ ORACLE_BUILDERS.update(
         "lineitem_pricing": q_lineitem_pricing,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# phase 3: text / similarity oracles
+# ---------------------------------------------------------------------------
+
+def q_lang_guess(sf_dir: str) -> str:
+    # generated from georay.text.STOPWORDS — single source of truth for
+    # both engines; argmax with lexicographic tie-break
+    from .text import STOPWORDS
+
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    score_exprs = {}
+    for lang, words in sorted(STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs[lang] = (
+            f"(len(list_filter({toks}, x -> x IN ({lst})))::DOUBLE / "
+            f"GREATEST(len({toks}), 1))"
+        )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in sorted(score_exprs)) + ")"
+    case = "CASE WHEN trim(text) = '' OR " + best + " = 0 THEN 'und' "
+    for lang in sorted(score_exprs):
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    selects = ", ".join(f"{expr} AS s_{lang}" for lang, expr in sorted(score_exprs.items()))
+    return (
+        f"WITH s AS (SELECT doc_id, text, {selects} FROM documents) "
+        f"SELECT doc_id, {case} AS lang_guess FROM s"
+    )
+
+
+NGRAM_SAMPLE_MOD = 25
+EMB_NEARDUP_T = 0.35  # synthetic embeddings: ~top-0.3% of random-pair cosines
+
+
+def q_ngram_jaccard(sf_dir: str) -> str:
+    # distinct char-3-gram Jaccard for a deterministic doc-pair sample;
+    # pairs with zero overlap are omitted (inner join) on both sides
+    return (
+        f"WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % {NGRAM_SAMPLE_MOD} = 0), "
+        f"e AS (SELECT doc_id, text, unnest(range(1, GREATEST(length(text) - 2, 0) + 1)) AS i FROM d), "
+        f"g AS (SELECT DISTINCT doc_id, substr(text, i::INTEGER, 3) AS gram FROM e), "
+        f"cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+        f"inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni "
+        f"  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        f"  GROUP BY a.doc_id, b.doc_id) "
+        f"SELECT i.a, i.b, round(i.ni::DOUBLE / (ca.n + cb.n - i.ni), 6) AS jaccard "
+        f"FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b"
+    )
+
+
+def q_embed_neardup(sf_dir: str) -> str:
+    return (
+        f"SELECT a.vec_id AS a, b.vec_id AS b "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_NEARDUP_T}"
+    )
+
+
+ORACLE_BUILDERS.update(
+    {
+        "lang_guess": q_lang_guess,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embed_neardup": q_embed_neardup,
+    }
+)

@@ -1,0 +1,181 @@
+"""Dedup suite, text analysis, and multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(ray_session):
+    """Corpus with planted exact + near duplicates."""
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    rs = np.random.RandomState(3)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+    base = []
+    for i in range(40):
+        base.append(" ".join(rs.choice(vocab, 60)))
+    docs = []
+    for i, t in enumerate(base):
+        docs.append((i, t))
+    # near-dups: copy docs 0-9 with one word changed
+    for j in range(10):
+        words = base[j].split()
+        words[7] = "zulu"
+        docs.append((100 + j, " ".join(words)))
+    # exact dup of doc 5
+    docs.append((200, base[5]))
+    table = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+        }
+    )
+    return rd.from_arrow(table), dict(docs)
+
+
+def _brute_jaccard_groups(texts: dict, threshold: float, k: int = 5):
+    from georay.dedup import _UF, jaccard, shingle_hashes
+
+    sh = {i: np.sort(shingle_hashes(t, k)) for i, t in texts.items()}
+    uf = _UF()
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if jaccard(sh[ids[x]], sh[ids[y]]) >= threshold:
+                uf.union(ids[x], ids[y])
+    return {i: uf.find(i) for i in ids}
+
+
+def test_minhash_lsh_matches_bruteforce(dup_corpus):
+    from georay.dedup import minhash_lsh_dedup
+
+    ds, texts = dup_corpus
+    got = minhash_lsh_dedup(ds, threshold=0.8)
+    expected = _brute_jaccard_groups(texts, 0.8)
+    got_map = dict(zip(got["doc_id"], got["group"]))
+    assert got_map == expected
+    # the planted near-dups actually grouped
+    assert got_map[100] == 0 or got_map[0] == got_map[100]
+    assert got_map[200] == got_map[5]
+    # survivors are exactly the group minima
+    keep = set(got.loc[got["keep"], "doc_id"])
+    assert keep == {g for g in set(expected.values())}
+
+
+def test_simhash_groups_exact_and_near(dup_corpus):
+    from georay.dedup import simhash_dedup, simhash64
+
+    ds, texts = dup_corpus
+    got = simhash_dedup(ds, max_hamming=3)
+    m = dict(zip(got["doc_id"], got["group"]))
+    assert m[200] == m[5]  # exact dup: same simhash
+    # determinism
+    assert simhash64(texts[0]) == simhash64(texts[0])
+    # one-word-changed docs land within small hamming of the original
+    from georay.dedup import hamming64
+
+    assert hamming64(simhash64(texts[0]), simhash64(texts[100])) <= 12
+
+
+def test_embed_neardup_pairs(ray_session):
+    import ray.data as rd
+
+    from georay.dedup import embed_neardup_pairs
+
+    rs = np.random.RandomState(9)
+    base = rs.randn(50, 16).astype(np.float32)
+    # plant near-dups: vectors 50..54 are tiny perturbations of 0..4
+    near = base[:5] + rs.randn(5, 16).astype(np.float32) * 0.01
+    mat = np.vstack([base, near])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        }
+    )
+    got = embed_neardup_pairs(rd.from_arrow(t), threshold=0.95).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    for i in range(5):
+        assert (i, 50 + i) in pairs
+    # brute check: no false positives/negatives at the threshold
+    m64 = mat.astype(np.float64)
+    sims = (m64 @ m64.T) / (
+        np.linalg.norm(m64, axis=1)[:, None] * np.linalg.norm(m64, axis=1)[None, :]
+    )
+    expected = {
+        (i, j)
+        for i in range(len(mat))
+        for j in range(i + 1, len(mat))
+        if sims[i, j] >= 0.95
+    }
+    assert pairs == expected
+
+
+def test_lang_guess_deterministic():
+    from georay.text import guess_lang
+
+    assert guess_lang("the cat and the hat is in a box") == "en"
+    assert guess_lang("der hund und die katze ist nicht da") == "de"
+    assert guess_lang("xyzzy qwerty plugh") == "und"
+    # tie-break: a text hitting en and es stopwords equally -> lexicographic
+    assert guess_lang("la the") in ("en", "es", "fr")
+
+
+def test_winnowing_guarantee():
+    """Shared substrings of length >= w + k - 1 share a fingerprint."""
+    from georay.text import fingerprint_set
+
+    rs = np.random.RandomState(5)
+    alphabet = "abcdefgh"
+    a = "".join(rs.choice(list(alphabet), 80))
+    b = "".join(rs.choice(list(alphabet), 80))
+    shared = "".join(rs.choice(list(alphabet), 20))  # >= w+k-1 = 8
+    d1 = a + shared + "".join(rs.choice(list(alphabet), 30))
+    d2 = b + shared
+    assert fingerprint_set(d1) & fingerprint_set(d2)
+    # determinism
+    assert fingerprint_set(d1) == fingerprint_set(d1)
+
+
+def test_decode_stats_and_resize(ray_session, tiny_sf):
+    import ray.data as rd
+
+    from georay import datagen, multimodal
+    from georay.imagecodec import decode_png
+
+    sf_dir, paths = tiny_sf
+    images = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "fmt"]).limit(64)
+    stats = multimodal.decode_stats(images, concurrency=(1, 2)).to_pandas()
+    assert len(stats) == 64
+    # cross-check one row against regenerated pixels
+    row = stats[stats["image_id"] == "img-000000000000"].iloc[0]
+    px = datagen._pixels_for(0, 16, 24)
+    assert row["mean_r"] == round(float(px[:, :, 0].mean()), 4)
+    # resize halves dimensions and emits valid PNGs
+    out = multimodal.resize(images, factor=2, concurrency=(1, 2)).to_pandas()
+    r0 = out[out["image_id"] == "img-000000000000"].iloc[0]
+    decoded = decode_png(r0["bytes"])
+    assert decoded.shape == (12, 8, 3)
+
+
+def test_frame_sample_contract(ray_session):
+    import ray.data as rd
+
+    from georay.multimodal import FrameSample
+
+    t = pa.table(
+        {
+            "image_id": pa.array(["v1"]),
+            "bytes": pa.array([b"\x00\x01"], pa.binary()),
+            "fmt": pa.array(["video/mp4"]),
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        rd.from_arrow(t).map_batches(
+            FrameSample, batch_format="pyarrow", concurrency=1
+        ).to_pandas()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
