@@ -94,22 +94,30 @@ def main() -> None:
         scaling_points = str(int(os.environ.get("GEORAY_SCALING_POINTS", "128000000")))
         lo = int(os.environ.get("GEORAY_SCALE_LO", "4"))
         hi = int(os.environ.get("GEORAY_SCALE_HI", "16"))
+        reps = int(os.environ.get("GEORAY_SCALE_REPS", "3"))
+        # the sandbox VM's deliverable compute fluctuates (shared
+        # hypervisor): alternate the two levels and take each level's
+        # best rep so a noisy window doesn't bias one side
         out = {}
-        for n in (lo, hi):
-            env = dict(
-                os.environ,
-                RAY_GRAFT_CPUS=str(n),
-                GEORAY_HEADLINE_ONLY="1",
-                GEORAY_BENCH_POINTS=scaling_points,
-            )
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            out[n] = json.loads(r.stdout.strip().splitlines()[-1])
+        for rep in range(reps):
+            for n in (lo, hi):
+                env = dict(
+                    os.environ,
+                    RAY_GRAFT_CPUS=str(n),
+                    GEORAY_HEADLINE_ONLY="1",
+                    GEORAY_BENCH_POINTS=scaling_points,
+                    GEORAY_ARROW_SINGLE_THREAD="1",
+                )
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                res = json.loads(r.stdout.strip().splitlines()[-1])
+                if n not in out or res["rows_per_sec"] > out[n]["rows_per_sec"]:
+                    out[n] = res
         tput_lo = out[lo]["rows_per_sec"]
         tput_hi = out[hi]["rows_per_sec"]
         eff = (tput_hi / tput_lo) / (hi / lo)

@@ -23,3 +23,16 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("GEORAY_ARROW_SINGLE_THREAD") == "1":
+    # honest per-CPU accounting for scaling benchmarks: pyarrow's
+    # internal pools default to ALL hardware threads, letting a
+    # "4-CPU" Ray session decompress parquet on 32 cores — which
+    # inflates low-parallelism throughput and corrupts the N->4N
+    # efficiency measurement.  Workers import georay, so this caps them.
+    import pyarrow as _pa
+
+    _pa.set_cpu_count(1)
+    _pa.set_io_thread_count(1)

@@ -226,10 +226,16 @@ def segments_table(layer: geom.PolygonLayer) -> pa.Table:
     for p in range(layer.num_polys):
         lo, hi = layer.poly_ring_offsets[p], layer.poly_ring_offsets[p + 1]
         ring_local[lo:hi] = np.arange(hi - lo)
+    # per-ring segment ordinal (order-dependent SQL oracles need it)
+    from .geom import _ranges
+
+    seg_counts = np.bincount(seg_ring, minlength=layer.num_rings)
+    seg_idx = _ranges(seg_counts)
     return pa.table(
         {
             "polygon_id": pa.array(layer.poly_ids[poly_of_seg], pa.string()),
             "ring_idx": pa.array(ring_local[seg_ring], pa.int32()),
+            "seg_idx": pa.array(seg_idx, pa.int32()),
             "x1": pa.array(x1, pa.float64()),
             "y1": pa.array(y1, pa.float64()),
             "x2": pa.array(x2, pa.float64()),
@@ -274,6 +280,11 @@ def ensure_tables(sf_dir: str, force: bool = False) -> dict[str, str]:
         poly = pq.read_table(paths["polygons"])
         layer = geom.PolygonLayer.from_arrow(poly)
         _atomic_write(segments_table(layer), paths["segments"])
+    else:
+        # schema migration: older caches lack seg_idx
+        if "seg_idx" not in pq.read_schema(paths["segments"]).names:
+            layer = geom.PolygonLayer.from_arrow(pq.read_table(paths["polygons"]))
+            _atomic_write(segments_table(layer), paths["segments"])
     return paths
 
 

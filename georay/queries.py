@@ -906,3 +906,289 @@ QUERIES.update(
         "knn_all": knn_all,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# phase 4: breadth-operator queries
+# ---------------------------------------------------------------------------
+
+def poly_is_convex(sf_dir: str):
+    """Exterior-ring convexity flags (is_convex.rs)."""
+    from .kernels import more as kmore
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        flags = [kmore.is_convex(layer.poly_rings(p)[0]) for p in range(layer.num_polys)]
+        return pa.table({"polygon_id": b.column("polygon_id"), "is_convex": pa.array(flags)})
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def closest_point_to_hot(sf_dir: str):
+    """ClosestPoint (closest_point.rs): nearest point on each exterior
+    ring to the hot centre, with distance."""
+    from .kernels import more as kmore
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        cx = np.empty(layer.num_polys)
+        cy = np.empty(layer.num_polys)
+        d = np.empty(layer.num_polys)
+        x1, y1, x2, y2, seg_ring = layer.segments()
+        ext = ~layer.ring_is_hole[seg_ring]
+        seg_poly = layer.ring_poly[seg_ring]
+        for p in range(layer.num_polys):
+            m = ext & (seg_poly == p)
+            cx[p], cy[p], d[p] = kmore.closest_point_on_segments(
+                HOT_LON, HOT_LAT, x1[m], y1[m], x2[m], y2[m]
+            )
+        return pa.table(
+            {
+                "polygon_id": b.column("polygon_id"),
+                "cx": pa.array(np.round(cx, 9)),
+                "cy": pa.array(np.round(cy, 9)),
+                "dist": pa.array(np.round(d, 6)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def hausdorff_pairs(sf_dir: str):
+    """Pointwise Hausdorff distance (hausdorff_distance.rs:28-55) for a
+    deterministic polygon-pair sample."""
+    from .kernels import more as kmore
+    from .sqlgen import HAUS_A_MOD, HAUS_B_MOD
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        idx_of = {str(layer.poly_ids[p]): p for p in range(layer.num_polys)}
+        sample_a = [i for i in idx_of if int(i[5:]) % HAUS_A_MOD == 0]
+        sample_b = [i for i in idx_of if int(i[5:]) % HAUS_A_MOD == HAUS_B_MOD]
+        a_out, b_out, h_out = [], [], []
+        for ia in sorted(sample_a):
+            va = layer.poly_rings(idx_of[ia])[0][:-1]
+            for ib in sorted(sample_b):
+                vb = layer.poly_rings(idx_of[ib])[0][:-1]
+                a_out.append(ia)
+                b_out.append(ib)
+                h_out.append(round(kmore.hausdorff_distance(va, vb), 6))
+        return pa.table(
+            {"a": pa.array(a_out), "b": pa.array(b_out), "hausdorff": pa.array(h_out, pa.float64())}
+        )
+
+    # single batch (polygon layer is small); repartition(1) guards the
+    # cross-pair logic against block splits
+    return _polygons_ds(sf_dir).repartition(1).map_batches(f, batch_format="pyarrow")
+
+
+def frechet_pairs(sf_dir: str):
+    """Discrete Frechet distance between exterior rings for the same pair
+    sample (rows-only: the DP coupling isn't SQL-expressible)."""
+    from .kernels import more as kmore
+    from .sqlgen import HAUS_A_MOD, HAUS_B_MOD
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        idx_of = {str(layer.poly_ids[p]): p for p in range(layer.num_polys)}
+        sample_a = [i for i in idx_of if int(i[5:]) % HAUS_A_MOD == 0]
+        sample_b = [i for i in idx_of if int(i[5:]) % HAUS_A_MOD == HAUS_B_MOD]
+        a_out, b_out, h_out = [], [], []
+        for ia in sorted(sample_a):
+            va = layer.poly_rings(idx_of[ia])[0]
+            for ib in sorted(sample_b):
+                vb = layer.poly_rings(idx_of[ib])[0]
+                a_out.append(ia)
+                b_out.append(ib)
+                h_out.append(round(kmore.frechet_distance(va, vb), 6))
+        return pa.table(
+            {"a": pa.array(a_out), "b": pa.array(b_out), "frechet": pa.array(h_out, pa.float64())}
+        )
+
+    return _polygons_ds(sf_dir).repartition(1).map_batches(f, batch_format="pyarrow")
+
+
+def cd_area(sf_dir: str):
+    """Chamberlain-Duquette spherical area (chamberlain_duquette_area.rs)."""
+    from .kernels import more as kmore
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        areas = [
+            kmore.chamberlain_duquette_ring_area(layer.poly_rings(p)[0])
+            for p in range(layer.num_polys)
+        ]
+        return pa.table(
+            {"polygon_id": b.column("polygon_id"), "cd_area": pa.array(np.round(areas, 0))}
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def earcut_area(sf_dir: str):
+    """TriangulateEarcut (triangulate_earcut.rs): triangles partition the
+    polygon, so their area sum must equal the shoelace area — that
+    equality IS the oracle check."""
+    from .kernels import clip as kclip
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        out = np.empty(layer.num_polys)
+        for p in range(layer.num_polys):
+            ring = layer.poly_rings(p)[0]
+            pts = ring[:-1]
+            tris = kclip.triangulate_earcut(ring)
+            out[p] = sum(
+                abs(
+                    (pts[t1, 0] - pts[t0, 0]) * (pts[t2, 1] - pts[t0, 1])
+                    - (pts[t1, 1] - pts[t0, 1]) * (pts[t2, 0] - pts[t0, 0])
+                )
+                / 2.0
+                for t0, t1, t2 in tris
+            )
+        return pa.table(
+            {"polygon_id": b.column("polygon_id"), "tri_area": pa.array(np.round(out, 6))}
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def line_locate_hot(sf_dir: str):
+    """LineLocatePoint (line_locate_point.rs:38) along exterior rings."""
+    from .kernels import more as kmore
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        fr = [
+            kmore.line_locate_point(layer.poly_rings(p)[0], HOT_LON, HOT_LAT)
+            for p in range(layer.num_polys)
+        ]
+        return pa.table(
+            {"polygon_id": b.column("polygon_id"), "frac": pa.array(np.round(fr, 6))}
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def wkt_roundtrip(sf_dir: str):
+    """I/O surface: export the polygon layer to WKT, reparse, count rings
+    + coords (oracle recomputes the counts from the segment table)."""
+    from . import io as gio
+    from .geom import PolygonLayer
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        ids, n_rings, n_coords = [], [], []
+        for p in range(layer.num_polys):
+            wkt = gio.to_wkt("polygon", layer.poly_rings(p))
+            kind, rings = gio.parse_wkt(wkt)
+            assert kind == "polygon"
+            ids.append(str(layer.poly_ids[p]))
+            n_rings.append(len(rings))
+            n_coords.append(int(sum(len(r) for r in rings)))
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids),
+                "n_rings": pa.array(n_rings, pa.int64()),
+                "n_coords": pa.array(n_coords, pa.int64()),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def mrr_area(sf_dir: str):
+    """MinimumRotatedRect area (minimum_rotated_rect.rs; rows-only —
+    rotating-calipers isn't SQL-expressible; invariants pytest-gated)."""
+    from .kernels import more as kmore
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        areas = [
+            kmore.minimum_rotated_rect(layer.poly_rings(p)[0][:-1])[1]
+            for p in range(layer.num_polys)
+        ]
+        return pa.table(
+            {"polygon_id": b.column("polygon_id"), "mrr_area": pa.array(np.round(areas, 6))}
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def interior_points(sf_dir: str):
+    """InteriorPoint (interior_point.rs; rows-only — containment is the
+    pytest-gated invariant)."""
+    from .kernels import more as kmore
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        xs, ys = [], []
+        for p in range(layer.num_polys):
+            x, y = kmore.interior_point(layer.poly_rings(p))
+            xs.append(x)
+            ys.append(y)
+        return pa.table(
+            {
+                "polygon_id": b.column("polygon_id"),
+                "x": pa.array(np.round(xs, 9)),
+                "y": pa.array(np.round(ys, 9)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def tile_clip_areas(sf_dir: str):
+    """Raster<->vector tile clipping (Sutherland-Hodgman rect clip per
+    tile; rows-only — per-tile area conservation is pytest-gated)."""
+    from . import tiles as gtiles
+    from .kernels import clip as kclip
+    from .oracle import signed_area as _sarea
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        n = 1 << TILE_RES
+        pid, tid, areas = [], [], []
+        for p in range(layer.num_polys):
+            ring = layer.poly_rings(p)[0]
+            for t in gtiles.tiles_for_bbox(*layer.bbox[p], TILE_RES):
+                ty, tx = divmod(int(t), n)
+                rect = (
+                    tx * 360.0 / n - 180.0,
+                    ty * 180.0 / n - 90.0,
+                    (tx + 1) * 360.0 / n - 180.0,
+                    (ty + 1) * 180.0 / n - 90.0,
+                )
+                c = kclip.clip_ring_to_rect(ring, *rect)
+                if len(c):
+                    a = abs(_sarea([c]))
+                    if a > 0:
+                        pid.append(str(layer.poly_ids[p]))
+                        tid.append(int(t))
+                        areas.append(round(a, 6))
+        return pa.table(
+            {
+                "polygon_id": pa.array(pid),
+                "tile_id": pa.array(tid, pa.int64()),
+                "clip_area": pa.array(areas, pa.float64()),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES.update(
+    {
+        "poly_is_convex": poly_is_convex,
+        "closest_point_to_hot": closest_point_to_hot,
+        "hausdorff_pairs": hausdorff_pairs,
+        "frechet_pairs": frechet_pairs,
+        "cd_area": cd_area,
+        "earcut_area": earcut_area,
+        "line_locate_hot": line_locate_hot,
+        "wkt_roundtrip": wkt_roundtrip,
+        "mrr_area": mrr_area,
+        "interior_points": interior_points,
+        "tile_clip_areas": tile_clip_areas,
+    }
+)

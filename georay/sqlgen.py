@@ -452,3 +452,136 @@ ORACLE_BUILDERS.update(
         "embed_neardup": q_embed_neardup,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# phase 4: breadth-operator oracles (seg_idx-ordered SQL)
+# ---------------------------------------------------------------------------
+
+HAUS_A_MOD, HAUS_B_MOD = 10, 5
+
+
+def q_poly_is_convex(sf_dir: str) -> str:
+    # consecutive-segment cross-product signs over the exterior ring
+    # (is_convex.rs): convex iff no two nonzero signs differ
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH s AS (SELECT polygon_id, seg_idx, x1, y1, x2, y2, "
+        f"  count(*) OVER (PARTITION BY polygon_id) AS n "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"x AS (SELECT a.polygon_id, "
+        f"  CASE WHEN (a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1) > 0 THEN 1 "
+        f"       WHEN (a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1) < 0 THEN -1 "
+        f"       ELSE 0 END AS s "
+        f"  FROM s a JOIN s b ON a.polygon_id = b.polygon_id AND b.seg_idx = (a.seg_idx + 1) % a.n) "
+        f"SELECT polygon_id, (max(CASE WHEN s = 1 THEN 1 ELSE 0 END) + "
+        f"max(CASE WHEN s = -1 THEN 1 ELSE 0 END) <= 1) AS is_convex FROM x GROUP BY polygon_id"
+    )
+
+
+def q_closest_point_to_hot(sf_dir: str) -> str:
+    # clamped projection onto each exterior segment; argmin by
+    # (distance, seg_idx) — mirrors kernels.more.closest_point_on_segments
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH s AS (SELECT polygon_id, seg_idx, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"t AS (SELECT polygon_id, seg_idx, x1, y1, dx, dy, "
+        f"  LEAST(GREATEST(CASE WHEN dx * dx + dy * dy > 0.0 "
+        f"    THEN (({HOT_LON} - x1) * dx + ({HOT_LAT} - y1) * dy) / (dx * dx + dy * dy) "
+        f"    ELSE 0.0 END, 0.0), 1.0) AS tt FROM s), "
+        f"c AS (SELECT polygon_id, seg_idx, x1 + tt * dx AS cx, y1 + tt * dy AS cy FROM t), "
+        f"r AS (SELECT polygon_id, cx, cy, "
+        f"  sqrt(({HOT_LON} - cx) * ({HOT_LON} - cx) + ({HOT_LAT} - cy) * ({HOT_LAT} - cy)) AS dist, "
+        f"  row_number() OVER (PARTITION BY polygon_id ORDER BY "
+        f"  sqrt(({HOT_LON} - cx) * ({HOT_LON} - cx) + ({HOT_LAT} - cy) * ({HOT_LAT} - cy)), seg_idx) AS rn FROM c) "
+        f"SELECT polygon_id, round(cx, 9) AS cx, round(cy, 9) AS cy, round(dist, 6) AS dist "
+        f"FROM r WHERE rn = 1"
+    )
+
+
+def q_hausdorff_pairs(sf_dir: str) -> str:
+    # symmetric pointwise max-min over exterior VERTEX sets
+    # (hausdorff_distance.rs:28-55) for a deterministic polygon-pair sample
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH v AS (SELECT polygon_id, x1 AS x, y1 AS y FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"pa AS (SELECT * FROM v WHERE CAST(substr(polygon_id, 6) AS BIGINT) % {HAUS_A_MOD} = 0), "
+        f"pb AS (SELECT * FROM v WHERE CAST(substr(polygon_id, 6) AS BIGINT) % {HAUS_A_MOD} = {HAUS_B_MOD}), "
+        f"dab AS (SELECT a.polygon_id AS a, b.polygon_id AS b, a.x AS ax, a.y AS ay, "
+        f"  min(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))) AS dmin "
+        f"  FROM pa a CROSS JOIN pb b GROUP BY a.polygon_id, b.polygon_id, a.x, a.y), "
+        f"hab AS (SELECT a, b, max(dmin) AS h1 FROM dab GROUP BY a, b), "
+        f"dba AS (SELECT a.polygon_id AS a, b.polygon_id AS b, b.x AS bx, b.y AS by, "
+        f"  min(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))) AS dmin "
+        f"  FROM pa a CROSS JOIN pb b GROUP BY a.polygon_id, b.polygon_id, b.x, b.y), "
+        f"hba AS (SELECT a, b, max(dmin) AS h2 FROM dba GROUP BY a, b) "
+        f"SELECT hab.a, hab.b, round(GREATEST(h1, h2), 6) AS hausdorff "
+        f"FROM hab JOIN hba ON hab.a = hba.a AND hab.b = hba.b"
+    )
+
+
+def q_cd_area(sf_dir: str) -> str:
+    # Chamberlain-Duquette spherical area per polygon exterior
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, round(sum(radians(x2 - x1) * "
+        f"(2.0 + sin(radians(y1)) + sin(radians(y2)))) * {R!r} * {R!r} / 2.0, 0) AS cd_area "
+        f"FROM read_parquet('{segs}') WHERE ring_idx = 0 GROUP BY polygon_id"
+    )
+
+
+def q_earcut_area(sf_dir: str) -> str:
+    # triangulation partitions the polygon: sum(|tri|) == |shoelace|
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, round(abs(sum(x1 * y2 - x2 * y1)) / 2.0, 6) AS tri_area "
+        f"FROM read_parquet('{segs}') WHERE ring_idx = 0 GROUP BY polygon_id"
+    )
+
+
+def q_line_locate_hot(sf_dir: str) -> str:
+    # fraction-along-exterior-ring of the closest point to HOT
+    # (line_locate_point.rs:38) — mirrors kernels.more.line_locate_point
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH s AS (SELECT polygon_id, seg_idx, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy, "
+        f"  sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS slen "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"w AS (SELECT *, sum(slen) OVER (PARTITION BY polygon_id ORDER BY seg_idx "
+        f"    ROWS UNBOUNDED PRECEDING) - slen AS prior, "
+        f"  sum(slen) OVER (PARTITION BY polygon_id) AS total, "
+        f"  LEAST(GREATEST(CASE WHEN dx * dx + dy * dy > 0.0 "
+        f"    THEN (({HOT_LON} - x1) * dx + ({HOT_LAT} - y1) * dy) / (dx * dx + dy * dy) "
+        f"    ELSE 0.0 END, 0.0), 1.0) AS tt FROM s), "
+        f"c AS (SELECT polygon_id, prior, total, tt, slen, "
+        f"  ({HOT_LON} - (x1 + tt * dx)) * ({HOT_LON} - (x1 + tt * dx)) + "
+        f"  ({HOT_LAT} - (y1 + tt * dy)) * ({HOT_LAT} - (y1 + tt * dy)) AS d2, seg_idx FROM w), "
+        f"r AS (SELECT polygon_id, (prior + tt * slen) / total AS frac, "
+        f"  row_number() OVER (PARTITION BY polygon_id ORDER BY d2, seg_idx) AS rn FROM c) "
+        f"SELECT polygon_id, round(frac, 6) AS frac FROM r WHERE rn = 1"
+    )
+
+
+def q_wkt_roundtrip(sf_dir: str) -> str:
+    # I/O check: ring + coord counts after WKT export/reparse must equal
+    # the segment-table-derived counts
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, count(DISTINCT ring_idx)::BIGINT AS n_rings, "
+        f"(count(*) + count(DISTINCT ring_idx))::BIGINT AS n_coords "
+        f"FROM read_parquet('{segs}') GROUP BY polygon_id"
+    )
+
+
+ORACLE_BUILDERS.update(
+    {
+        "poly_is_convex": q_poly_is_convex,
+        "closest_point_to_hot": q_closest_point_to_hot,
+        "hausdorff_pairs": q_hausdorff_pairs,
+        "cd_area": q_cd_area,
+        "earcut_area": q_earcut_area,
+        "line_locate_hot": q_line_locate_hot,
+        "wkt_roundtrip": q_wkt_roundtrip,
+    }
+)

@@ -1,0 +1,208 @@
+"""Breadth operators: extremes, convexity, linear referencing, curve
+similarity, MRR, CD-area, interior point, clipping, earcut, WKT/GeoJSON."""
+
+import numpy as np
+import pytest
+
+from georay import datagen, geom, io, oracle
+from georay.kernels import clip, more
+
+SQUARE = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)])
+L_SHAPE = np.array(
+    [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+)
+
+
+def test_extremes():
+    e = more.extremes(np.array([(3.0, 1.0), (0.0, 5.0), (7.0, -2.0), (2.0, 2.0)]))
+    assert (e["x_min_idx"], e["x_max_idx"]) == (1, 2)
+    assert (e["y_min_idx"], e["y_max_idx"]) == (2, 1)
+    assert e["x_max"] == 7.0 and e["y_min"] == -2.0
+
+
+def test_is_convex():
+    assert more.is_convex(SQUARE)
+    assert not more.is_convex(L_SHAPE)
+    collinear = np.array([(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)])
+    assert more.is_convex(collinear)
+    assert not more.is_convex(collinear, strict=True)
+
+
+def test_closest_point_and_distance():
+    x1, y1 = SQUARE[:-1, 0], SQUARE[:-1, 1]
+    x2, y2 = SQUARE[1:, 0], SQUARE[1:, 1]
+    cx, cy, d = more.closest_point_on_segments(5.0, 2.0, x1, y1, x2, y2)
+    assert (cx, cy, d) == (4.0, 2.0, 1.0)
+    cx, cy, d = more.closest_point_on_segments(6.0, 6.0, x1, y1, x2, y2)
+    assert (cx, cy) == (4.0, 4.0)  # corner clamp
+
+
+def test_line_locate_interpolate_roundtrip():
+    line = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)])
+    assert more.line_locate_point(line, 5.0, -1.0) == 0.25
+    assert more.line_interpolate_point(line, 0.25) == (5.0, 0.0)
+    assert more.line_interpolate_point(line, 0.75) == (10.0, 5.0)
+    assert more.line_interpolate_point(line, 0.0) == (0.0, 0.0)
+    assert more.line_interpolate_point(line, 1.0) == (10.0, 10.0)
+    # locate(interpolate(f)) == f
+    for f in (0.1, 0.33, 0.9):
+        px, py = more.line_interpolate_point(line, f)
+        assert more.line_locate_point(line, px, py) == pytest.approx(f, abs=1e-12)
+
+
+def test_substring():
+    line = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)])
+    sub = more.substring(line, 0.25, 0.75)
+    assert np.allclose(sub, [(5.0, 0.0), (10.0, 0.0), (10.0, 5.0)])
+
+
+def test_frechet_distance():
+    a = np.array([(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)])
+    b = a + (0.0, 1.0)
+    assert more.frechet_distance(a, b) == 1.0
+    # classic asymmetry vs hausdorff: frechet respects ordering
+    c = np.array([(0.0, 0.0), (2.0, 0.0), (0.0, 0.0), (2.0, 0.0)])
+    assert more.frechet_distance(a, a) == 0.0
+    assert more.frechet_distance(a, c) >= more.hausdorff_distance(a, c)
+
+
+def test_hausdorff_pointwise_semantics():
+    # hausdorff_distance.rs works on COORD sets: for these segments the
+    # coordwise answer is 1.0 even though segment-wise it'd be smaller
+    a = np.array([(0.0, 0.0), (1.0, 0.0)])
+    b = np.array([(0.0, 1.0), (1.0, 1.0)])
+    assert more.hausdorff_distance(a, b) == 1.0
+    assert more.hausdorff_distance(a, a) == 0.0
+
+
+def test_minimum_rotated_rect():
+    # tilted rectangle recovered exactly
+    ring, area = more.minimum_rotated_rect(
+        np.array([(0.0, 0.0), (2.0, 2.0), (1.0, 3.0), (-1.0, 1.0), (0.0, 0.0)])
+    )
+    assert area == pytest.approx(np.hypot(2, 2) * np.hypot(1, 1), rel=1e-12)
+    # axis-aligned square: mrr area == bbox area
+    _, a2 = more.minimum_rotated_rect(SQUARE)
+    assert a2 == pytest.approx(16.0, rel=1e-12)
+
+
+def test_chamberlain_duquette_area_sanity():
+    # ~1-degree square at the equator: ~ (111 km)^2, within a few percent
+    sq = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)])
+    a = more.chamberlain_duquette_ring_area(sq)
+    assert abs(a) == pytest.approx(111.19e3**2, rel=0.05)
+    # sign flips with winding (CCW positive, like area.rs)
+    assert more.chamberlain_duquette_ring_area(sq[::-1].copy()) == pytest.approx(-a)
+
+
+def test_interior_point_is_inside():
+    table = datagen.generate_polygons(40)
+    layer = geom.PolygonLayer.from_arrow(table)
+    for p in range(layer.num_polys):
+        rings = layer.poly_rings(p)
+        x, y = more.interior_point(rings)
+        assert oracle.polygon_position(x, y, rings) == oracle.INSIDE, p
+    # with a hole covering the bbox midline the point still lands inside
+    outer = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)])
+    hole = np.array([(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0), (2.0, 2.0)])
+    x, y = more.interior_point([outer, hole])
+    assert oracle.polygon_position(x, y, [outer, hole]) == oracle.INSIDE
+
+
+def test_clip_ring_to_rect():
+    clipped = clip.clip_ring_to_rect(SQUARE, 2.0, 2.0, 6.0, 6.0)
+    assert oracle.signed_area([clipped]) == pytest.approx(4.0)  # 2x2 overlap
+    # disjoint -> empty
+    assert len(clip.clip_ring_to_rect(SQUARE, 10.0, 10.0, 12.0, 12.0)) == 0
+    # fully inside -> unchanged area
+    inside = clip.clip_ring_to_rect(SQUARE, -1.0, -1.0, 5.0, 5.0)
+    assert abs(oracle.signed_area([inside])) == pytest.approx(16.0)
+
+
+def test_clip_area_conservation_over_tiles():
+    """Sum of per-tile clipped areas == polygon area (tiling invariant)."""
+    table = datagen.generate_polygons(24)
+    layer = geom.PolygonLayer.from_arrow(table)
+    for p in range(0, layer.num_polys, 3):
+        ext = layer.poly_rings(p)[0]
+        minx, miny, maxx, maxy = layer.bbox[p]
+        # 4x4 tile grid over the bbox
+        xs = np.linspace(minx - 0.01, maxx + 0.01, 5)
+        ys = np.linspace(miny - 0.01, maxy + 0.01, 5)
+        total = 0.0
+        for i in range(4):
+            for j in range(4):
+                c = clip.clip_ring_to_rect(ext, xs[i], ys[j], xs[i + 1], ys[j + 1])
+                if len(c):
+                    total += abs(oracle.signed_area([c]))
+        assert total == pytest.approx(abs(oracle.signed_area([ext])), rel=1e-9), p
+
+
+def test_earcut_partitions_polygon():
+    for ring in (SQUARE, L_SHAPE):
+        tris = clip.triangulate_earcut(ring)
+        assert len(tris) == (len(ring) - 1) - 2
+        pts = ring[:-1]
+        area = sum(
+            abs(
+                (pts[b, 0] - pts[a, 0]) * (pts[c, 1] - pts[a, 1])
+                - (pts[b, 1] - pts[a, 1]) * (pts[c, 0] - pts[a, 0])
+            )
+            / 2.0
+            for a, b, c in tris
+        )
+        assert area == pytest.approx(abs(oracle.signed_area([ring])), rel=1e-12)
+
+
+def test_earcut_on_generated_rings():
+    table = datagen.generate_polygons(24)
+    layer = geom.PolygonLayer.from_arrow(table)
+    for p in range(layer.num_polys):
+        ring = layer.poly_rings(p)[0]
+        tris = clip.triangulate_earcut(ring)
+        pts = ring[:-1]
+        area = sum(
+            abs(
+                (pts[b, 0] - pts[a, 0]) * (pts[c, 1] - pts[a, 1])
+                - (pts[b, 1] - pts[a, 1]) * (pts[c, 0] - pts[a, 0])
+            )
+            / 2.0
+            for a, b, c in tris
+        )
+        assert area == pytest.approx(abs(oracle.signed_area([ring])), rel=1e-6), p
+
+
+def test_wkt_roundtrip():
+    wkt = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    kind, rings = io.parse_wkt(wkt)
+    assert kind == "polygon" and len(rings) == 2
+    assert np.array_equal(rings[0][0], rings[0][-1])
+    back = io.to_wkt("polygon", rings)
+    kind2, rings2 = io.parse_wkt(back)
+    assert all(np.array_equal(a, b) for a, b in zip(rings, rings2))
+    # unclosed ring gets force-closed (ring-closing invariant)
+    kind3, rings3 = io.parse_wkt("POLYGON ((0 0, 1 0, 1 1))")
+    assert np.array_equal(rings3[0][0], rings3[0][-1])
+    # multipolygon + point + linestring
+    k4, mp = io.parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+    assert k4 == "multipolygon" and len(mp) == 2
+    assert io.parse_wkt("POINT (3.5 -2)") == ("point", (3.5, -2.0))
+
+
+def test_wkt_file_and_geojson_roundtrip(tmp_path):
+    table = datagen.generate_polygons(12)
+    gj = io.polygons_to_geojson(table)
+    back = io.geojson_to_polygons(gj)
+    l1 = geom.PolygonLayer.from_arrow(table)
+    l2 = geom.PolygonLayer.from_arrow(back)
+    assert l1.num_polys == l2.num_polys
+    assert np.allclose(l1.coords, l2.coords)
+    # WKT file -> table
+    p = tmp_path / "polys.wkt"
+    lines = []
+    for i in range(l1.num_polys):
+        lines.append(io.to_wkt("polygon", l1.poly_rings(i)))
+    p.write_text("\n".join(lines))
+    t3 = io.read_wkt_polygons(str(p))
+    l3 = geom.PolygonLayer.from_arrow(t3)
+    assert np.allclose(l1.coords, l3.coords)
