@@ -230,3 +230,60 @@ def kmeans(points, k: int, max_iter: int = 10, seed_stride: int | None = None):
         )
 
     return cent, points.map_batches(assign, batch_format="pyarrow")
+
+
+def lof_scores(points, k: int = 10):
+    """Local Outlier Factor (outlier_detection.rs:26,192 — euclidean,
+    k-NN based; outliers(k) returns per-point scores, >1 = outlier-ish).
+
+    Plan: blocked brute-force kNN against a broadcast coordinate matrix
+    (validation scale); the 100 TB path swaps stage 1 for georay.knn's
+    cell+halo plan.  Stages: (1) per-point kNN + k-distance; (2)
+    reachability via neighbours' k-distances (a broadcast lookup — the
+    k-distance table is n x 8 bytes, tiny next to the data); (3)
+    lrd + LOF.  Ties broken by (distance, neighbor_id) as everywhere.
+    """
+    import pandas as pd
+
+    full = points.select_columns(["image_id", "lon", "lat"]).to_pandas()
+    ids = full["image_id"].to_numpy()
+    xy = full[["lon", "lat"]].to_numpy()
+    order = np.argsort(ids)
+    ids, xy = ids[order], xy[order]
+    ref = ray.put((ids, xy))
+
+    def block(b: pa.Table) -> pa.Table:
+        gids, gxy = ray.get(ref)
+        bid = np.asarray(b.column("image_id").to_pylist(), dtype=object)
+        bxy = np.column_stack(
+            [b.column("lon").to_numpy(zero_copy_only=False), b.column("lat").to_numpy(zero_copy_only=False)]
+        )
+        d = np.sqrt(
+            (bxy[:, None, 0] - gxy[None, :, 0]) ** 2 + (bxy[:, None, 1] - gxy[None, :, 1]) ** 2
+        )
+        d[bid[:, None] == gids[None, :]] = np.inf
+        part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(len(bid)), k)
+        cols = part.ravel()
+        dist = d[rows, cols]
+        o = np.lexsort((gids[cols], dist, rows))
+        return pa.table(
+            {
+                "image_id": pa.array(bid[rows[o]]),
+                "neighbor_id": pa.array(gids[cols[o]]),
+                "dist": pa.array(dist[o]),
+            }
+        )
+
+    knn = points.map_batches(block, batch_format="pyarrow", batch_size=4096).to_pandas()
+    kdist = knn.groupby("image_id")["dist"].max()  # k-distance per point
+    knn["reach"] = np.maximum(knn["dist"], kdist.reindex(knn["neighbor_id"]).to_numpy())
+    lrd = 1.0 / knn.groupby("image_id")["reach"].mean()
+    nbr_lrd = lrd.reindex(knn["neighbor_id"]).to_numpy()
+    lof = (
+        pd.DataFrame({"image_id": knn["image_id"], "nl": nbr_lrd})
+        .groupby("image_id")["nl"]
+        .mean()
+        / lrd
+    )
+    return pd.DataFrame({"image_id": lof.index, "lof": lof.to_numpy()}).reset_index(drop=True)

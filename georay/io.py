@@ -56,9 +56,16 @@ def parse_wkt(text: str):
     ("polygon", [rings]) | ("multipolygon", [[rings], ...])."""
     t = text.strip()
     up = t.upper()
+    if up.startswith("MULTIPOINT"):
+        return ("multipoint", _parse_coord_seq(t))
     if up.startswith("POINT"):
         c = _parse_coord_seq(t)
+        if len(c) == 0:
+            return ("point", None)  # POINT EMPTY
         return ("point", (float(c[0, 0]), float(c[0, 1])))
+    if up.startswith("MULTILINESTRING"):
+        inner = t[t.index("(") + 1 : t.rindex(")")]
+        return ("multilinestring", [_parse_coord_seq(p) for p in _split_top(inner)])
     if up.startswith("LINESTRING"):
         return ("linestring", _parse_coord_seq(t))
     if up.startswith("POLYGON"):

@@ -105,3 +105,95 @@ def length_ragged(x: np.ndarray, y: np.ndarray, offsets: np.ndarray, metric: str
     totals = seg_sum[offsets[1:] - 1] - seg_sum[offsets[:-1]]
     del boundary
     return totals
+
+
+# ---------------------------------------------------------------------------
+# cross-track + Vincenty + segmentize
+# ---------------------------------------------------------------------------
+
+EQUATORIAL_EARTH_RADIUS = 6_378_137.0       # geo/src/lib.rs:336
+POLAR_EARTH_RADIUS = 6_356_752.314_245      # geo/src/lib.rs:339
+EARTH_FLATTENING = (EQUATORIAL_EARTH_RADIUS - POLAR_EARTH_RADIUS) / EQUATORIAL_EARTH_RADIUS
+
+
+def cross_track_distance(plon, plat, alon, alat, blon, blat) -> np.ndarray:
+    """Point-to-great-circle-arc distance (cross_track_distance.rs:44-51):
+    |asin(sin(d13/R) * sin(theta13 - theta12))| * R."""
+    d13 = haversine_distance(alon, alat, plon, plat) / MEAN_EARTH_RADIUS
+    t13 = np.radians(haversine_bearing(alon, alat, plon, plat))
+    t12 = np.radians(haversine_bearing(alon, alat, blon, blat))
+    return MEAN_EARTH_RADIUS * np.abs(np.arcsin(np.sin(d13) * np.sin(t12 - t13)))
+
+
+class VincentyError(ValueError):
+    """Antipodal non-convergence (vincenty_distance.rs Err variant)."""
+
+
+def vincenty_distance(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
+    """Vincenty inverse on the WGS84-like ellipsoid of geo/src/lib.rs
+    (vincenty_distance.rs: 100-iteration limit, raises on divergence)."""
+    import math
+
+    a, b, f = EQUATORIAL_EARTH_RADIUS, POLAR_EARTH_RADIUS, EARTH_FLATTENING
+    L = math.radians(lon2 - lon1)
+    U1 = math.atan((1 - f) * math.tan(math.radians(lat1)))
+    U2 = math.atan((1 - f) * math.tan(math.radians(lat2)))
+    sinU1, cosU1 = math.sin(U1), math.cos(U1)
+    sinU2, cosU2 = math.sin(U2), math.cos(U2)
+    lam = L
+    for _ in range(100):
+        sinL, cosL = math.sin(lam), math.cos(lam)
+        sinSigma = math.sqrt(
+            (cosU2 * sinL) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cosL) ** 2
+        )
+        if sinSigma == 0.0:
+            return 0.0  # coincident points
+        cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+        sigma = math.atan2(sinSigma, cosSigma)
+        sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+        cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+        cos2SigmaM = (
+            cosSigma - 2.0 * sinU1 * sinU2 / cosSqAlpha if cosSqAlpha != 0.0 else 0.0
+        )
+        C = f / 16.0 * cosSqAlpha * (4.0 + f * (4.0 - 3.0 * cosSqAlpha))
+        lamP = lam
+        lam = L + (1.0 - C) * f * sinAlpha * (
+            sigma
+            + C * sinSigma * (cos2SigmaM + C * cosSigma * (-1.0 + 2.0 * cos2SigmaM**2))
+        )
+        if abs(lam - lamP) <= 1e-12:
+            break
+    else:
+        raise VincentyError("vincenty failed to converge (near-antipodal points)")
+    uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    A = 1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    B = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    deltaSigma = (
+        B
+        * sinSigma
+        * (
+            cos2SigmaM
+            + B
+            / 4.0
+            * (
+                cosSigma * (-1.0 + 2.0 * cos2SigmaM**2)
+                - B
+                / 6.0
+                * cos2SigmaM
+                * (-3.0 + 4.0 * sinSigma**2)
+                * (-3.0 + 4.0 * cos2SigmaM**2)
+            )
+        )
+    )
+    return b * A * (sigma - deltaSigma)
+
+
+def segmentize(coords: np.ndarray, n: int) -> np.ndarray:
+    """Split a linestring into n equal-length pieces
+    (linestring_segment.rs:223): returns the n+1 breakpoint coords
+    (original vertices between breakpoints are dropped; each piece's
+    endpoints lie exactly at i/n length fractions)."""
+    from .more import line_interpolate_point
+
+    out = [line_interpolate_point(coords, i / n) for i in range(n + 1)]
+    return np.asarray(out)

@@ -233,3 +233,84 @@ def interior_point(rings: list[np.ndarray]) -> tuple[float, float]:
     if best is None:
         return float(ext[0, 0]), float(ext[0, 1])
     return best[1], y_mid
+
+
+# ---------------------------------------------------------------------------
+# geometry-to-geometry euclidean distance (euclidean/distance.rs:100-445)
+# ---------------------------------------------------------------------------
+
+def _segments_of(kind: str, value) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(x1, y1, x2, y2, vertices) of any parsed WKT geometry."""
+    if kind == "point":
+        v = np.asarray([value], dtype=np.float64)
+        return np.empty(0), np.empty(0), np.empty(0), np.empty(0), v
+    if kind == "linestring":
+        c = np.asarray(value, dtype=np.float64)
+        return c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1], c
+    if kind == "polygon":
+        rings = value
+    elif kind == "multipolygon":
+        rings = [r for poly in value for r in poly]
+    else:
+        raise ValueError(kind)
+    xs1, ys1, xs2, ys2, vs = [], [], [], [], []
+    for ring in rings:
+        c = np.asarray(ring, dtype=np.float64)
+        xs1.append(c[:-1, 0]); ys1.append(c[:-1, 1])
+        xs2.append(c[1:, 0]); ys2.append(c[1:, 1])
+        vs.append(c[:-1])
+    return (
+        np.concatenate(xs1), np.concatenate(ys1),
+        np.concatenate(xs2), np.concatenate(ys2), np.vstack(vs),
+    )
+
+
+def _polys_of(kind: str, value) -> list[list[np.ndarray]]:
+    if kind == "polygon":
+        return [value]
+    if kind == "multipolygon":
+        return list(value)
+    return []
+
+
+def geometry_distance(a: tuple, b: tuple) -> float:
+    """Euclidean distance between two parsed WKT geometries: 0 when they
+    intersect (containment or edge crossing), else the min over
+    vertex-to-segment distances both ways (euclidean/distance.rs:100-125
+    polygon rule; :444 dual-iteration rule for disjoint linework)."""
+    from . import pip as _pip
+    from .validation import _segments_cross
+
+    ka, va = a
+    kb, vb = b
+    ax1, ay1, ax2, ay2, averts = _segments_of(ka, va)
+    bx1, by1, bx2, by2, bverts = _segments_of(kb, vb)
+
+    # containment: any vertex of one inside the other's polygons
+    for rings in _polys_of(ka, va):
+        for x, y in bverts:
+            from ..oracle import polygon_position, OUTSIDE
+            if polygon_position(float(x), float(y), rings) != OUTSIDE:
+                return 0.0
+    for rings in _polys_of(kb, vb):
+        for x, y in averts:
+            from ..oracle import polygon_position, OUTSIDE
+            if polygon_position(float(x), float(y), rings) != OUTSIDE:
+                return 0.0
+    # edge crossings
+    for i in range(len(ax1)):
+        for j in range(len(bx1)):
+            if _segments_cross(
+                (ax1[i], ay1[i]), (ax2[i], ay2[i]), (bx1[j], by1[j]), (bx2[j], by2[j])
+            ):
+                return 0.0
+    best = np.inf
+    if len(bx1):
+        for x, y in averts:
+            best = min(best, closest_point_on_segments(float(x), float(y), bx1, by1, bx2, by2)[2])
+    if len(ax1):
+        for x, y in bverts:
+            best = min(best, closest_point_on_segments(float(x), float(y), ax1, ay1, ax2, ay2)[2])
+    if not len(ax1) and not len(bx1):  # point vs point
+        best = float(np.hypot(averts[0, 0] - bverts[0, 0], averts[0, 1] - bverts[0, 1]))
+    return float(best)

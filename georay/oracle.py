@@ -260,3 +260,32 @@ def rdp(coords: np.ndarray, epsilon: float) -> np.ndarray:
         right = rdp(coords[imax:], epsilon)
         return np.vstack([left[:-1], right])
     return np.vstack([coords[0], coords[-1]])
+
+
+# ---------------------------------------------------------------------------
+# centroid dimension ladder (centroid.rs:442-695) for non-polygon inputs
+# ---------------------------------------------------------------------------
+
+def multipoint_centroid(coords: np.ndarray) -> tuple[float, float]:
+    """Mean of coords INCLUDING duplicates (centroid.rs point weighting)."""
+    c = np.asarray(coords, dtype=np.float64)
+    return float(c[:, 0].mean()), float(c[:, 1].mean())
+
+
+def linestring_centroid(lines: list[np.ndarray]) -> tuple[float, float]:
+    """Length-weighted centroid of one or more linestrings; zero-length
+    geometry promotes to point weighting (centroid.rs:497-527)."""
+    wx = wy = wtot = 0.0
+    for line in lines:
+        line = np.asarray(line, dtype=np.float64)
+        seg = np.hypot(np.diff(line[:, 0]), np.diff(line[:, 1]))
+        mid_x = (line[:-1, 0] + line[1:, 0]) / 2.0
+        mid_y = (line[:-1, 1] + line[1:, 1]) / 2.0
+        wx += float((mid_x * seg).sum())
+        wy += float((mid_y * seg).sum())
+        wtot += float(seg.sum())
+    if wtot > 0.0:
+        return wx / wtot, wy / wtot
+    # dimension promotion: all lines degenerate -> mean of line endpoints
+    pts = np.vstack([np.asarray(l)[:1] for l in lines])
+    return multipoint_centroid(pts)

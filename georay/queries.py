@@ -1192,3 +1192,64 @@ QUERIES.update(
         "tile_clip_areas": tile_clip_areas,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# phase 5: cross-track, Vincenty, LOF
+# ---------------------------------------------------------------------------
+
+def cross_track(sf_dir: str):
+    """CrossTrackDistance (cross_track_distance.rs) of every image point
+    to the great-circle arc hot-centre -> (30, 40)."""
+    from .sqlgen import XT_B_LAT, XT_B_LON
+
+    def f(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        xt = measures.cross_track_distance(lon, lat, HOT_LON, HOT_LAT, XT_B_LON, XT_B_LAT)
+        return pa.table({"image_id": b.column("image_id"), "xt_m": pa.array(np.round(xt, 1))})
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def vincenty_to_hot(sf_dir: str):
+    """VincentyDistance (vincenty_distance.rs; rows-only — the iterative
+    inverse isn't SQL-expressible; the NYC-London golden is pytest-gated).
+    Non-convergent (antipodal) rows surface as NULL like the reference's
+    Err variant."""
+
+    def f(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        out = []
+        for i in range(len(lon)):
+            try:
+                out.append(round(measures.vincenty_distance(lon[i], lat[i], HOT_LON, HOT_LAT), 1))
+            except measures.VincentyError:
+                out.append(None)
+        return pa.table({"image_id": b.column("image_id"), "vincenty_m": pa.array(out, pa.float64())})
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def lof_outliers(sf_dir: str):
+    """Local Outlier Factor scores (outlier_detection.rs; rows-only —
+    pytest-gated against a scalar LOF)."""
+    from . import cluster
+
+    out = cluster.lof_scores(_points(sf_dir), k=10)
+    return pa.table(
+        {
+            "image_id": pa.array(out["image_id"]),
+            "lof": pa.array(np.round(out["lof"].to_numpy(), 6)),
+        }
+    )
+
+
+QUERIES.update(
+    {
+        "cross_track": cross_track,
+        "vincenty_to_hot": vincenty_to_hot,
+        "lof_outliers": lof_outliers,
+    }
+)

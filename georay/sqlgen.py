@@ -585,3 +585,34 @@ ORACLE_BUILDERS.update(
         "wkt_roundtrip": q_wkt_roundtrip,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# phase 5: cross-track oracle
+# ---------------------------------------------------------------------------
+
+XT_B_LON, XT_B_LAT = 30.0, 40.0  # arc end; arc start is the hot centre
+
+
+def _bearing_expr(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Mirrors kernels.measures.haversine_bearing (degrees, [0, 360))."""
+    return (
+        f"((degrees(atan2(cos(radians({lat2})) * sin(radians(({lon2}) - ({lon1}))), "
+        f"cos(radians({lat1})) * sin(radians({lat2})) - "
+        f"sin(radians({lat1})) * cos(radians({lat2})) * cos(radians(({lon2}) - ({lon1}))))) "
+        f"+ 360.0) % 360.0)"
+    )
+
+
+def q_cross_track(sf_dir: str) -> str:
+    d13 = f"(({_hav_expr(str(HOT_LON), str(HOT_LAT), 'lon', 'lat')}) / {R!r})"
+    t13 = f"radians({_bearing_expr(str(HOT_LON), str(HOT_LAT), 'lon', 'lat')})"
+    t12 = f"radians({_bearing_expr(str(HOT_LON), str(HOT_LAT), str(XT_B_LON), str(XT_B_LAT))})"
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, round({R!r} * abs(asin(sin({d13}) * sin({t12} - {t13}))), 1) AS xt_m "
+        f"FROM pts"
+    )
+
+
+ORACLE_BUILDERS["cross_track"] = q_cross_track

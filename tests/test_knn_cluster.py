@@ -127,3 +127,31 @@ def test_kmeans_deterministic_and_converges(pts_ds):
     expected = np.argmin(d2, axis=1)
     got = a1.set_index("image_id").loc[ids, "cluster"].to_numpy()
     assert np.array_equal(got, expected)
+
+
+def test_lof_flags_planted_outlier(pts_ds):
+    from georay import cluster
+
+    ds, ids, xy = pts_ds
+    got = cluster.lof_scores(ds, k=8)
+    m = dict(zip(got["image_id"], got["lof"]))
+    # brute-force scalar LOF cross-check on a sample
+    d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    ids_arr = np.asarray(ids, dtype=object)
+    k = 8
+    nbrs, kdist = {}, {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids_arr, d[i]))[:k]
+        nbrs[i] = order
+        kdist[i] = d[i][order].max()
+    lrd = {}
+    for i in range(len(ids)):
+        reach = [max(d[i][j], kdist[j]) for j in nbrs[i]]
+        lrd[i] = 1.0 / (sum(reach) / k)
+    for i in range(0, len(ids), 37):
+        exp = sum(lrd[j] for j in nbrs[i]) / k / lrd[i]
+        assert m[ids[i]] == pytest.approx(exp, rel=1e-9), ids[i]
+    # blob cores sit near 1.0; the most isolated background points score higher
+    blob_scores = [m[ids[i]] for i in range(50, 250)]
+    assert np.median(blob_scores) == pytest.approx(1.0, abs=0.2)

@@ -162,3 +162,43 @@ def _mk_layer(polys):
         }
     )
     return geom.PolygonLayer.from_arrow(t)
+
+
+def test_vincenty_nyc_london_golden():
+    """vincenty_distance.rs doc-test: 5,585,234 m rounded."""
+    d = measures.vincenty_distance(-74.006, 40.7128, -0.1278, 51.5074)
+    assert round(d) == 5_585_234
+    assert measures.vincenty_distance(10.0, 20.0, 10.0, 20.0) == 0.0
+
+
+def test_vincenty_antipodal_raises():
+    with pytest.raises(measures.VincentyError):
+        measures.vincenty_distance(0.0, 0.5, 179.7, -0.3)
+
+
+def test_cross_track_golden():
+    """cross_track_distance.rs doc-test: ~307.55 m; on-line -> 0."""
+    d = measures.cross_track_distance(
+        np.array([-0.7972]), np.array([53.2611]),
+        np.array([-1.7297]), np.array([53.3206]),
+        np.array([0.1334]), np.array([53.1887]),
+    )
+    assert d[0] == pytest.approx(307.549995, abs=1e-4)
+    z = measures.cross_track_distance(
+        np.array([0.0]), np.array([0.0]),
+        np.array([1.0]), np.array([0.0]),
+        np.array([2.0]), np.array([0.0]),
+    )
+    assert z[0] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_segmentize_equal_pieces():
+    """linestring_segment.rs: n pieces of equal length."""
+    line = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)])
+    out = measures.segmentize(line, 4)
+    assert len(out) == 5
+    assert tuple(out[0]) == (0.0, 0.0) and tuple(out[-1]) == (10.0, 10.0)
+    # breakpoints at 5, 10, 15 units along a 20-unit path
+    assert np.allclose(out[1], (5.0, 0.0))
+    assert np.allclose(out[2], (10.0, 0.0))
+    assert np.allclose(out[3], (10.0, 5.0))
