@@ -194,8 +194,13 @@ def broadcast_pip_annotate(points, polygons: pa.Table, predicate: str = "contain
 # Plan B: cell-co-shuffle join with hot-cell salting
 # ---------------------------------------------------------------------------
 
-def _poly_cell_replicas(polygons: pa.Table, res: int, n_salt: int) -> pa.Table:
-    """Replicate each polygon row to every cell its bbox covers x every salt."""
+def _poly_cell_replicas(
+    polygons: pa.Table, res: int, n_salt: int, hot_salts: dict[int, int] | None = None
+) -> pa.Table:
+    """Replicate each polygon row to every cell its bbox covers x that
+    cell's salt count (uniform n_salt, or per-cell when hot_salts given)."""
+    from .geom import _ranges
+
     layer = PolygonLayer.from_arrow(polygons)
     rows_cell, rows_poly = [], []
     for p in range(layer.num_polys):
@@ -204,9 +209,13 @@ def _poly_cell_replicas(polygons: pa.Table, res: int, n_salt: int) -> pa.Table:
         rows_poly.append(np.full(len(cc), p, dtype=np.int64))
     cell = np.concatenate(rows_cell).view(np.int64)
     poly = np.concatenate(rows_poly)
-    cell = np.repeat(cell, n_salt)
-    poly = np.repeat(poly, n_salt)
-    salt = np.tile(np.arange(n_salt, dtype=np.int64), len(poly) // n_salt)
+    if hot_salts is None:
+        fan = np.full(len(cell), n_salt, dtype=np.int64)
+    else:
+        fan = np.asarray([hot_salts.get(int(c), 1) for c in cell], dtype=np.int64)
+    cell = np.repeat(cell, fan)
+    poly = np.repeat(poly, fan)
+    salt = _ranges(fan)
     return pa.table(
         {
             "cell": pa.array(cell, pa.int64()),
@@ -216,25 +225,64 @@ def _poly_cell_replicas(polygons: pa.Table, res: int, n_salt: int) -> pa.Table:
     )
 
 
+def detect_hot_cells(
+    points, res: int, hot_factor: float = 4.0, max_salt: int = 16
+) -> dict[int, int]:
+    """Skew pre-pass (SURVEY.md §4 'skew' row): per-batch partial cell
+    counts -> tiny combine -> per-cell salt factor for cells holding
+    more than hot_factor x the mean occupied-cell load.  The pre-pass is
+    a cheap streaming aggregate over the slim (lon, lat) projection."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        cell = cells.encode(lon, lat, res).view(np.int64)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    import pandas as pd
+
+    parts = points.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("cell")["n"].sum()
+    if counts.empty:
+        return {}
+    mean = float(counts.mean())
+    hot = counts[counts > hot_factor * mean]
+    return {
+        int(c): int(min(max_salt, max(2, round(n / mean)))) for c, n in hot.items()
+    }
+
+
 def shuffle_pip_join(
     points,
     polygons: pa.Table,
     predicate: str = "contains",
     res: int = 6,
     n_salt: int = 4,
+    hot_salts: dict[int, int] | None = None,
 ):
     """Cell-partitioned co-shuffle join (both sides large).
 
     The polygon side ships only (cell, salt, poly_idx) replicas through
     the shuffle; ring coords stay in one broadcast object fetched once
     per group task.  Points shuffle by (cell, salt) so a hot cell's
-    points spread over n_salt groups (skew mitigation); each group still
-    sees every polygon replica for its cell, keeping output independent
-    of n_salt.
+    points spread over its salt count (skew mitigation); each group
+    still sees every polygon replica for its cell, keeping output
+    provably independent of the salt assignment (tested).
+
+    ``hot_salts`` (from :func:`detect_hot_cells`) overrides the uniform
+    ``n_salt`` per hot cell: cold cells keep salt factor 1 (no replica
+    overhead), hot cells split into up to max_salt sub-groups.
     """
     import zlib as _zlib
 
     layer_ref = ray.put(polygons)
+    salt_of = dict(hot_salts) if hot_salts is not None else None
+
+    def _cell_salt(cell: np.ndarray) -> np.ndarray:
+        if salt_of is None:
+            return np.full(len(cell), n_salt, dtype=np.int64)
+        return np.asarray([salt_of.get(int(c), 1) for c in cell], dtype=np.int64)
 
     def tag_points(batch: pa.Table) -> pa.Table:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
@@ -242,7 +290,10 @@ def shuffle_pip_join(
         cell = cells.encode(lon, lat, res).view(np.int64)
         # deterministic salt (crc32, not Python hash()) spreads hot cells
         ids = batch.column("image_id").to_pylist()
-        salt = np.asarray([_zlib.crc32(i.encode()) % n_salt for i in ids], dtype=np.int64)
+        fan = _cell_salt(cell)
+        salt = np.asarray(
+            [_zlib.crc32(i.encode()) % f for i, f in zip(ids, fan)], dtype=np.int64
+        )
         return batch.append_column("cell", pa.array(cell, pa.int64())).append_column(
             "salt", pa.array(salt, pa.int64())
         )
@@ -279,7 +330,7 @@ def shuffle_pip_join(
             {"image_id": ids, "polygon_id": pa.array(layer.poly_ids[pair_poly], pa.string())}
         )
 
-    replicas = _poly_cell_replicas(polygons, res, n_salt)
+    replicas = _poly_cell_replicas(polygons, res, n_salt, hot_salts=salt_of)
     import ray.data as rd
 
     poly_ds = rd.from_arrow(replicas).map_batches(

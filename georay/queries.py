@@ -1253,3 +1253,71 @@ QUERIES.update(
         "lof_outliers": lof_outliers,
     }
 )
+
+
+def delaunay_stats(sf_dir: str):
+    """TriangulateDelaunay (triangulate_delaunay.rs role) per polygon
+    exterior vertex set (rows-only; empty-circumcircle + hull-cover
+    properties are pytest-gated)."""
+    from .kernels import triangulate as ktri
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        n_tri = np.zeros(layer.num_polys, dtype=np.int64)
+        tarea = np.zeros(layer.num_polys)
+        for p in range(layer.num_polys):
+            pts = layer.poly_rings(p)[0][:-1]
+            pts = np.unique(pts, axis=0)
+            tris = ktri.delaunay(pts)
+            n_tri[p] = len(tris)
+            tarea[p] = sum(
+                abs(
+                    (pts[t1, 0] - pts[t0, 0]) * (pts[t2, 1] - pts[t0, 1])
+                    - (pts[t1, 1] - pts[t0, 1]) * (pts[t2, 0] - pts[t0, 0])
+                )
+                / 2.0
+                for t0, t1, t2 in tris
+            )
+        return pa.table(
+            {
+                "polygon_id": b.column("polygon_id"),
+                "n_tri": pa.array(n_tri),
+                "tri_area": pa.array(np.round(tarea, 6)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def voronoi_sample(sf_dir: str):
+    """Voronoi cells (voronoi.rs role, clip envelope) of a deterministic
+    sample of image points (rows-only; envelope-tiling pytest-gated)."""
+    from .kernels import triangulate as ktri
+
+    pts_df = (
+        _points(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pa.array(_image_index(t.column("image_id")) % 400 == 0)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("image_id")
+    )
+    sites = pts_df[["lon", "lat"]].to_numpy()
+    cells_ = ktri.voronoi_cells(sites, (-180.0, -90.0, 180.0, 90.0))
+    from .oracle import signed_area as _sa
+
+    return pa.table(
+        {
+            "image_id": pa.array(pts_df["image_id"].to_numpy()),
+            "cell_area": pa.array(
+                np.round([abs(_sa([r])) if len(r) else 0.0 for r in cells_], 6)
+            ),
+            "cell_n_vertices": pa.array(
+                np.asarray([max(len(r) - 1, 0) for r in cells_], dtype=np.int64)
+            ),
+        }
+    )
+
+
+QUERIES.update({"delaunay_stats": delaunay_stats, "voronoi_sample": voronoi_sample})

@@ -206,3 +206,58 @@ def test_wkt_file_and_geojson_roundtrip(tmp_path):
     t3 = io.read_wkt_polygons(str(p))
     l3 = geom.PolygonLayer.from_arrow(t3)
     assert np.allclose(l1.coords, l3.coords)
+
+
+# ---------------------------------------------------------------------------
+# Delaunay / Voronoi
+# ---------------------------------------------------------------------------
+
+def test_delaunay_empty_circumcircle_property():
+    from georay.kernels import triangulate
+
+    rs = np.random.RandomState(13)
+    pts = rs.uniform(0, 100, (60, 2))
+    tris = triangulate.delaunay(pts)
+    # covers the convex hull: triangle area sum == hull area
+    tri_area = sum(
+        abs(
+            (pts[b, 0] - pts[a, 0]) * (pts[c, 1] - pts[a, 1])
+            - (pts[b, 1] - pts[a, 1]) * (pts[c, 0] - pts[a, 0])
+        )
+        / 2.0
+        for a, b, c in tris
+    )
+    from georay.kernels import hull as khull
+
+    hull_ring = khull.convex_hull_points(pts)
+    assert tri_area == pytest.approx(abs(oracle.signed_area([hull_ring])), rel=1e-9)
+    # Delaunay property: no point strictly inside any circumcircle
+    for a, b, c in tris:
+        if triangulate._ccw(*pts[a], *pts[b], *pts[c]) < 0:
+            a, b = b, a
+        for d in range(len(pts)):
+            if d in (a, b, c):
+                continue
+            assert triangulate._incircle(*pts[a], *pts[b], *pts[c], *pts[d]) <= 0, (a, b, c, d)
+
+
+def test_voronoi_tiles_envelope():
+    from georay.kernels import triangulate
+
+    rs = np.random.RandomState(17)
+    pts = rs.uniform(10, 90, (25, 2))
+    env = (0.0, 0.0, 100.0, 100.0)
+    cells_ = triangulate.voronoi_cells(pts, env)
+    assert len(cells_) == len(pts)
+    total = 0.0
+    for i, ring in enumerate(cells_):
+        assert len(ring) >= 4
+        # site inside its own cell
+        assert oracle.polygon_position(pts[i, 0], pts[i, 1], [ring]) == oracle.INSIDE
+        total += abs(oracle.signed_area([ring]))
+    assert total == pytest.approx(100.0 * 100.0, rel=1e-9)  # exact tiling
+    # cell membership: the cell of the nearest site contains the probe
+    for _ in range(50):
+        x, y = rs.uniform(1, 99, 2)
+        near = int(np.argmin((pts[:, 0] - x) ** 2 + (pts[:, 1] - y) ** 2))
+        assert oracle.polygon_position(x, y, [cells_[near]]) != oracle.OUTSIDE

