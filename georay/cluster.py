@@ -275,7 +275,7 @@ def lof_scores(points, k: int = 10):
             }
         )
 
-    knn = points.map_batches(block, batch_format="pyarrow", batch_size=4096).to_pandas()
+    knn = points.map_batches(block, batch_format="pyarrow", batch_size=2048).to_pandas()
     kdist = knn.groupby("image_id")["dist"].max()  # k-distance per point
     knn["reach"] = np.maximum(knn["dist"], kdist.reindex(knn["neighbor_id"]).to_numpy())
     lrd = 1.0 / knn.groupby("image_id")["reach"].mean()
