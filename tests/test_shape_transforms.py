@@ -193,3 +193,29 @@ def test_generated_layer_is_valid():
     layer = geom.PolygonLayer.from_arrow(datagen.generate_polygons(48))
     codes = validation.validate(layer, check_self_intersection=False)
     assert (codes == validation.VALID).all()
+
+
+def test_concave_hull_contains_all_and_tightens():
+    """KNearestConcaveHull: contains every point; area <= convex hull
+    (strictly smaller for a concave cloud)."""
+    from georay.kernels.hull import concave_hull_knn, convex_hull_points
+
+    rs = np.random.RandomState(8)
+    # C-shaped cloud: concave hull should carve the notch
+    t = rs.uniform(0.25 * np.pi, 1.75 * np.pi, 120)
+    r = rs.uniform(4.0, 5.0, 120)
+    pts = np.column_stack([r * np.cos(t), r * np.sin(t)])
+    ring = concave_hull_knn(pts, k=7)
+    assert np.array_equal(ring[0], ring[-1])
+    for x, y in pts:
+        assert oracle.polygon_position(x, y, [ring]) != oracle.OUTSIDE
+    chull = convex_hull_points(pts)
+    assert abs(oracle.signed_area([ring])) < abs(oracle.signed_area([chull]))
+
+
+def test_concave_hull_degenerate_falls_back():
+    from georay.kernels.hull import concave_hull_knn
+
+    tri = np.array([(0.0, 0.0), (4.0, 0.0), (2.0, 3.0)])
+    ring = concave_hull_knn(tri, k=3)
+    assert len(ring) == 4
