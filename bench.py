@@ -42,7 +42,10 @@ def headline(ray, sf_dir: str, n_points: int) -> dict:
     polys = pq.read_table(paths["polygons"])
 
     def run():
-        ds = rd.read_parquet(pts_path)
+        # slim projection: the join+tile hot path needs only phash (ids
+        # are derivable); pruning the string column at the read halves
+        # per-row decode + block bytes
+        ds = rd.read_parquet(pts_path, columns=["phash"])
         s = flagship.join_tile_summarize(ds, polys).to_pandas()
         return int(s["rows"].sum()), int(s["matches"].sum())
 
