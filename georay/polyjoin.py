@@ -1,0 +1,114 @@
+"""Polygon-x-polygon intersects join (geometry-vs-geometry).
+
+Extends the engine beyond point-x-polygon: two polygon layers join on
+`Intersects` semantics (intersects/polygon.rs:36-84 — first-vertex
+containment OR any ring-segment crossing; the interior-interior check
+is provably redundant for valid polygons).  Decision procedure per
+candidate pair (bbox-overlapping):
+
+  1. any vertex of A strictly inside B (winding over ALL of B's rings
+     — a vertex inside a hole of B counts as outside, matching parity);
+  2. any vertex of B strictly inside A;
+  3. any edge of A strictly crossing any edge of B (sign products < 0,
+     vectorized |A_edges| x |B_edges| block).
+
+Boundary-only touches (shared edges/vertices) are measure-zero for the
+synthetic layers and are intentionally excluded so the DuckDB oracle
+(same three conditions in SQL) matches bit-for-bit; the exact-predicate
+point kernel remains the API for boundary-sensitive point queries.
+
+Distribution: broadcast the (smaller) B layer + map_batches over A —
+the same plan-A shape as the PiP join; at two-large-layers scale both
+sides co-shuffle by cell exactly like join.shuffle_pip_join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .geom import PolygonLayer
+from .kernels import pip
+
+
+def _vertex_in(layer_a: PolygonLayer, ia: int, layer_b: PolygonLayer, ib: int) -> bool:
+    """Any vertex of polygon ia (all rings) strictly inside polygon ib."""
+    lo, hi = layer_a.poly_ring_offsets[ia], layer_a.poly_ring_offsets[ia + 1]
+    verts = np.vstack(
+        [layer_a.ring_coords(r)[:-1] for r in range(lo, hi)]
+    )
+    n = len(verts)
+    pos = pip.classify(
+        verts, layer_b, np.arange(n, dtype=np.int64), np.full(n, ib, dtype=np.int64)
+    )
+    return bool((pos == pip.INSIDE).any())
+
+
+def _edges_cross(layer_a: PolygonLayer, ia: int, layer_b: PolygonLayer, ib: int) -> bool:
+    """Any strict edge crossing between the two polygons (vectorized)."""
+    def seg_of(layer, p):
+        lo, hi = layer.poly_ring_offsets[p], layer.poly_ring_offsets[p + 1]
+        xs1, ys1, xs2, ys2 = [], [], [], []
+        for r in range(lo, hi):
+            c = layer.ring_coords(r)
+            xs1.append(c[:-1, 0]); ys1.append(c[:-1, 1])
+            xs2.append(c[1:, 0]); ys2.append(c[1:, 1])
+        return (np.concatenate(xs1), np.concatenate(ys1),
+                np.concatenate(xs2), np.concatenate(ys2))
+
+    ax1, ay1, ax2, ay2 = seg_of(layer_a, ia)
+    bx1, by1, bx2, by2 = seg_of(layer_b, ib)
+    # d1/d2: b endpoints vs each a segment; d3/d4: a endpoints vs b segment
+    adx = (ax2 - ax1)[:, None]
+    ady = (ay2 - ay1)[:, None]
+    d1 = adx * (by1[None, :] - ay1[:, None]) - ady * (bx1[None, :] - ax1[:, None])
+    d2 = adx * (by2[None, :] - ay1[:, None]) - ady * (bx2[None, :] - ax1[:, None])
+    bdx = (bx2 - bx1)[None, :]
+    bdy = (by2 - by1)[None, :]
+    d3 = bdx * (ay1[:, None] - by1[None, :]) - bdy * (ax1[:, None] - bx1[None, :])
+    d4 = bdx * (ay2[:, None] - by1[None, :]) - bdy * (ax2[:, None] - bx1[None, :])
+    return bool(((d1 * d2 < 0) & (d3 * d4 < 0)).any())
+
+
+def polygons_intersect(layer_a: PolygonLayer, ia: int, layer_b: PolygonLayer, ib: int) -> bool:
+    return (
+        _vertex_in(layer_a, ia, layer_b, ib)
+        or _vertex_in(layer_b, ib, layer_a, ia)
+        or _edges_cross(layer_a, ia, layer_b, ib)
+    )
+
+
+def poly_poly_intersects(a_table: pa.Table, b_table: pa.Table, self_join: bool = False):
+    """All intersecting (a_id, b_id) pairs; a_id < b_id when self_join.
+
+    B broadcasts; A streams as a Dataset of polygon rows.  Returns a
+    pyarrow Table (layers are small relative to the point side).
+    """
+    import ray.data as rd
+
+    b_ref = ray.put(b_table)
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        layer_a = PolygonLayer.from_arrow(batch)
+        layer_b = PolygonLayer.from_arrow(ray.get(b_ref))
+        out_a, out_b = [], []
+        for ia in range(layer_a.num_polys):
+            abb = layer_a.bbox[ia]
+            for ib in range(layer_b.num_polys):
+                bid = str(layer_b.poly_ids[ib])
+                aid = str(layer_a.poly_ids[ia])
+                if self_join and aid >= bid:
+                    continue
+                bbb = layer_b.bbox[ib]
+                if abb[0] > bbb[2] or abb[2] < bbb[0] or abb[1] > bbb[3] or abb[3] < bbb[1]:
+                    continue
+                if polygons_intersect(layer_a, ia, layer_b, ib):
+                    out_a.append(aid)
+                    out_b.append(bid)
+        return pa.table({"a": pa.array(out_a, pa.string()), "b": pa.array(out_b, pa.string())})
+
+    ds = rd.from_arrow(a_table).map_batches(batch_pairs, batch_format="pyarrow")
+    batches = [t for t in ds.iter_batches(batch_format="pyarrow") if len(t)]
+    schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    return pa.concat_tables(batches) if batches else schema.empty_table()

@@ -1321,3 +1321,16 @@ def voronoi_sample(sf_dir: str):
 
 
 QUERIES.update({"delaunay_stats": delaunay_stats, "voronoi_sample": voronoi_sample})
+
+
+def poly_intersect_pairs(sf_dir: str):
+    """Polygon-x-polygon Intersects self-join (georay.polyjoin;
+    intersects/polygon.rs:36-84 semantics)."""
+    from . import polyjoin
+
+    paths = datagen.ensure_tables(sf_dir)
+    t = pq.read_table(paths["polygons"])
+    return polyjoin.poly_poly_intersects(t, t, self_join=True)
+
+
+QUERIES["poly_intersect_pairs"] = poly_intersect_pairs

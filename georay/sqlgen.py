@@ -616,3 +616,46 @@ def q_cross_track(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["cross_track"] = q_cross_track
+
+
+def q_poly_intersect_pairs(sf_dir: str) -> str:
+    """Polygon-x-polygon intersects self-join: vertex-in-polygon parity
+    (over all rings) OR strict edge crossing — the same decision
+    procedure as georay.polyjoin (boundary-only touches measure-zero)."""
+    polys = datagen.polygons_path(sf_dir)
+    segs = datagen.segments_path(sf_dir)
+    cross = (
+        "sign((sa.x2 - sa.x1) * (sb.y1 - sa.y1) - (sa.y2 - sa.y1) * (sb.x1 - sa.x1)) * "
+        "sign((sa.x2 - sa.x1) * (sb.y2 - sa.y1) - (sa.y2 - sa.y1) * (sb.x2 - sa.x1)) < 0 AND "
+        "sign((sb.x2 - sb.x1) * (sa.y1 - sb.y1) - (sb.y2 - sb.y1) * (sa.x1 - sb.x1)) * "
+        "sign((sb.x2 - sb.x1) * (sa.y2 - sb.y1) - (sb.y2 - sb.y1) * (sa.x2 - sb.x1)) < 0"
+    )
+    return (
+        f"WITH p AS (SELECT polygon_id, minx, miny, maxx, maxy FROM read_parquet('{polys}')), "
+        f"cand AS (SELECT a.polygon_id AS a, b.polygon_id AS b FROM p a JOIN p b "
+        f"  ON a.polygon_id < b.polygon_id AND a.minx <= b.maxx AND a.maxx >= b.minx "
+        f"  AND a.miny <= b.maxy AND a.maxy >= b.miny), "
+        f"segs AS (SELECT * FROM read_parquet('{segs}')), "
+        f"vin_ab AS (SELECT DISTINCT a, b FROM ("
+        f"  SELECT c.a, c.b, v.x1, v.y1 FROM cand c "
+        f"  JOIN segs v ON v.polygon_id = c.a "
+        f"  JOIN segs s ON s.polygon_id = c.b "
+        f"  WHERE ((s.y1 <= v.y1 AND s.y2 > v.y1) OR (s.y2 <= v.y1 AND s.y1 > v.y1)) "
+        f"    AND v.x1 < s.x1 + (v.y1 - s.y1) * (s.x2 - s.x1) / (s.y2 - s.y1) "
+        f"  GROUP BY c.a, c.b, v.x1, v.y1 HAVING count(*) % 2 = 1)), "
+        f"vin_ba AS (SELECT DISTINCT a, b FROM ("
+        f"  SELECT c.a, c.b, v.x1, v.y1 FROM cand c "
+        f"  JOIN segs v ON v.polygon_id = c.b "
+        f"  JOIN segs s ON s.polygon_id = c.a "
+        f"  WHERE ((s.y1 <= v.y1 AND s.y2 > v.y1) OR (s.y2 <= v.y1 AND s.y1 > v.y1)) "
+        f"    AND v.x1 < s.x1 + (v.y1 - s.y1) * (s.x2 - s.x1) / (s.y2 - s.y1) "
+        f"  GROUP BY c.a, c.b, v.x1, v.y1 HAVING count(*) % 2 = 1)), "
+        f"xcr AS (SELECT DISTINCT c.a, c.b FROM cand c "
+        f"  JOIN segs sa ON sa.polygon_id = c.a JOIN segs sb ON sb.polygon_id = c.b "
+        f"  WHERE {cross}) "
+        f"SELECT DISTINCT a, b FROM (SELECT * FROM vin_ab UNION SELECT * FROM vin_ba "
+        f"UNION SELECT * FROM xcr)"
+    )
+
+
+ORACLE_BUILDERS["poly_intersect_pairs"] = q_poly_intersect_pairs

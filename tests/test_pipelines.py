@@ -143,3 +143,28 @@ def test_adaptive_hot_cell_salting(sf):
         flagship.points_dataset(sf_dir), polys, hot_salts=hot_low
     ).to_pandas()
     assert set(zip(got["image_id"], got["polygon_id"])) == want_pairs
+
+
+def test_poly_poly_intersects_vs_oracle(sf):
+    """Geometry-vs-geometry join: pairs match a scalar brute force built
+    on the exact-predicate primitives."""
+    sf_dir, paths = sf
+    import pyarrow.parquet as pq
+
+    from georay import polyjoin
+    from georay.geom import PolygonLayer
+
+    t = pq.read_table(paths["polygons"])
+    got = polyjoin.poly_poly_intersects(t, t, self_join=True).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    layer = PolygonLayer.from_arrow(t)
+    want = set()
+    for ia in range(layer.num_polys):
+        for ib in range(ia + 1, layer.num_polys):
+            ba, bb = layer.bbox[ia], layer.bbox[ib]
+            if ba[0] > bb[2] or ba[2] < bb[0] or ba[1] > bb[3] or ba[3] < bb[1]:
+                continue
+            if polyjoin.polygons_intersect(layer, ia, layer, ib):
+                want.add((str(layer.poly_ids[ia]), str(layer.poly_ids[ib])))
+    assert got_pairs == want
+    assert len(want) > 0  # the hot region forces real overlaps
