@@ -203,3 +203,58 @@ def test_distance_corpus():
             assert got == pytest.approx(exp, rel=1e-9, abs=1e-9), (a_wkt[:50], b_wkt[:50])
             checked += 1
     assert checked >= 4
+
+
+def test_relate_point_corpora():
+    """validate/TestRelatePP.xml + TestRelatePA.xml: DE-9IM matrices and
+    every named predicate for point/multipoint x point/polygon pairs."""
+    from georay import relate
+
+    checked_rel = checked_pred = 0
+    for fname in ("validate/TestRelatePP.xml", "validate/TestRelatePA.xml"):
+        for a_wkt, b_wkt, tests in _parse_cases(os.path.join(CORPUS, fname)):
+            ga, gb = _try_parse(a_wkt), _try_parse(b_wkt)
+            if ga is None or gb is None:
+                continue
+            m = None
+            dim_a = dim_b = 0
+            if ga[0] == "point" and gb[0] == "point":
+                m = relate.relate_point_point(ga[1], gb[1])
+            elif ga[0] in ("point", "multipoint") and gb[0] == "polygon":
+                pts = np.atleast_2d(np.asarray(ga[1] if ga[0] == "multipoint" else [ga[1]]))
+                m = relate.relate_points_polygon(pts, gb[1])
+                dim_b = 2
+            elif ga[0] == "polygon" and gb[0] in ("point", "multipoint"):
+                pts = np.atleast_2d(np.asarray(gb[1] if gb[0] == "multipoint" else [gb[1]]))
+                m = relate.relate_polygon_points(ga[1], pts)
+                dim_a = 2
+            elif ga[0] == "multipoint" and gb[0] == "multipoint":
+                sa = {tuple(p) for p in np.atleast_2d(ga[1])}
+                sb = {tuple(p) for p in np.atleast_2d(gb[1])}
+                ii = "0" if sa & sb else "F"
+                ie = "0" if sa - sb else "F"
+                ei = "0" if sb - sa else "F"
+                m = f"{ii}F{ie}FFF{ei}F2"
+            if m is None:
+                continue
+            preds = {
+                "contains": relate.is_contains(m),
+                "within": relate.is_within(m),
+                "covers": relate.is_covers(m),
+                "coveredBy": relate.is_coveredby(m),
+                "disjoint": relate.is_disjoint(m),
+                "intersects": relate.is_intersects(m),
+                "equalsTopo": relate.is_equal_topo(m),
+                "touches": relate.is_touches(m),
+                "crosses": relate.is_crosses(m, dim_a, dim_b),
+                "overlaps": relate.is_overlaps(m, dim_a, dim_b),
+            }
+            for name, arg3, expected in tests:
+                want = expected.strip().lower() == "true"
+                if name == "relate" and arg3:
+                    assert relate.matches(m, arg3) == want, (fname, a_wkt[:40], m, arg3)
+                    checked_rel += 1
+                elif name in preds:
+                    assert preds[name] == want, (fname, a_wkt[:40], m, name)
+                    checked_pred += 1
+    assert checked_rel >= 20 and checked_pred >= 100
