@@ -289,3 +289,19 @@ def linestring_centroid(lines: list[np.ndarray]) -> tuple[float, float]:
     # dimension promotion: all lines degenerate -> mean of line endpoints
     pts = np.vstack([np.asarray(l)[:1] for l in lines])
     return multipoint_centroid(pts)
+
+
+def polygon_centroid_promoted(rings: list[np.ndarray]) -> tuple[float, float]:
+    """Centroid with the reference's dimension-promotion ladder
+    (centroid.rs:497-527): zero-area polygon -> length-weighted ring
+    centroid; zero-length too -> mean of coords."""
+    total_a2 = sum(abs(twice_signed_ring_area(r)) for r in rings)
+    if total_a2 != 0.0:
+        return polygon_centroid(rings)
+    total_len = 0.0
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        total_len += float(np.hypot(np.diff(r[:, 0]), np.diff(r[:, 1])).sum())
+    if total_len > 0.0:
+        return linestring_centroid(rings)
+    return multipoint_centroid(np.vstack([np.asarray(r)[:-1] for r in rings]))
