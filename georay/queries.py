@@ -1334,3 +1334,29 @@ def poly_intersect_pairs(sf_dir: str):
 
 
 QUERIES["poly_intersect_pairs"] = poly_intersect_pairs
+
+
+def pip_semi_join(sf_dir: str):
+    """Semi join: image ids with >= 1 containing polygon (broadcast key
+    filter over the annotated stream — no shuffle)."""
+    paths = datagen.ensure_tables(sf_dir)
+    polys = pq.read_table(paths["polygons"])
+    ds = join.broadcast_pip_annotate(_points(sf_dir), polys)
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_matches"), 0)).select(["image_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def pip_anti_join(sf_dir: str):
+    """Anti join: image ids with NO containing polygon."""
+    paths = datagen.ensure_tables(sf_dir)
+    polys = pq.read_table(paths["polygons"])
+    ds = join.broadcast_pip_annotate(_points(sf_dir), polys)
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("n_matches"), 0)).select(["image_id"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES.update({"pip_semi_join": pip_semi_join, "pip_anti_join": pip_anti_join})

@@ -659,3 +659,22 @@ def q_poly_intersect_pairs(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["poly_intersect_pairs"] = q_poly_intersect_pairs
+
+
+def q_pip_semi_join(sf_dir: str) -> str:
+    # images with at least one containing polygon (semi join)
+    return (
+        f"WITH pts AS ({_pip_pairs_cte(sf_dir)}) "
+        f"SELECT DISTINCT image_id FROM hits"
+    )
+
+
+def q_pip_anti_join(sf_dir: str) -> str:
+    # images with NO containing polygon (anti join)
+    return (
+        f"WITH pts AS ({_pip_pairs_cte(sf_dir)}) "
+        f"SELECT p.image_id FROM pts p WHERE p.image_id NOT IN (SELECT image_id FROM hits)"
+    )
+
+
+ORACLE_BUILDERS.update({"pip_semi_join": q_pip_semi_join, "pip_anti_join": q_pip_anti_join})
