@@ -1360,3 +1360,35 @@ def pip_anti_join(sf_dir: str):
 
 
 QUERIES.update({"pip_semi_join": pip_semi_join, "pip_anti_join": pip_anti_join})
+
+
+def bool_pair_areas(sf_dir: str):
+    """BooleanOps (bool_ops/mod.rs:44-110 semantics via arc tracing):
+    per pair, |A∩B| + |A∪B| — hash-checked against the SQL shoelace
+    |A| + |B| (inclusion-exclusion identity)."""
+    from .kernels import boolops
+    from .sqlgen import HAUS_A_MOD, HAUS_B_MOD
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        idx_of = {str(layer.poly_ids[p]): p for p in range(layer.num_polys)}
+        sample_a = sorted(i for i in idx_of if int(i[5:]) % HAUS_A_MOD == 0)
+        sample_b = sorted(i for i in idx_of if int(i[5:]) % HAUS_A_MOD == HAUS_B_MOD)
+        a_out, b_out, s_out = [], [], []
+        for ia in sample_a:
+            ra = layer.poly_rings(idx_of[ia])[0]
+            for ib in sample_b:
+                rb = layer.poly_rings(idx_of[ib])[0]
+                inter = boolops.intersection_area(ra, rb)
+                uni = boolops.union_area(ra, rb)
+                a_out.append(ia)
+                b_out.append(ib)
+                s_out.append(round(inter + uni, 6))
+        return pa.table(
+            {"a": pa.array(a_out), "b": pa.array(b_out), "area_sum": pa.array(s_out, pa.float64())}
+        )
+
+    return _polygons_ds(sf_dir).repartition(1).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["bool_pair_areas"] = bool_pair_areas

@@ -678,3 +678,22 @@ def q_pip_anti_join(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS.update({"pip_semi_join": q_pip_semi_join, "pip_anti_join": q_pip_anti_join})
+
+
+def q_bool_pair_areas(sf_dir: str) -> str:
+    """BooleanOps oracle via the inclusion-exclusion identity:
+    |A∩B| + |A∪B| == |A| + |B| — the right side is SQL shoelace, the
+    left is the engine's boolean_op output, so a hash match proves the
+    clipper's areas are exact (same pair sample as hausdorff_pairs)."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH ar AS (SELECT polygon_id, abs(sum(x1 * y2 - x2 * y1)) / 2.0 AS area "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0 GROUP BY polygon_id), "
+        f"pa AS (SELECT * FROM ar WHERE CAST(substr(polygon_id, 6) AS BIGINT) % {HAUS_A_MOD} = 0), "
+        f"pb AS (SELECT * FROM ar WHERE CAST(substr(polygon_id, 6) AS BIGINT) % {HAUS_A_MOD} = {HAUS_B_MOD}) "
+        f"SELECT a.polygon_id AS a, b.polygon_id AS b, round(a.area + b.area, 6) AS area_sum "
+        f"FROM pa a CROSS JOIN pb b"
+    )
+
+
+ORACLE_BUILDERS["bool_pair_areas"] = q_bool_pair_areas
