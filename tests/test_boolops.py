@@ -78,3 +78,68 @@ def test_boolean_on_generated_layer_pairs():
             assert ia_area + ua_area == pytest.approx(aa + ab, rel=1e-9), (ia, ib)
             checked += 1
     assert checked >= 3
+
+
+import os
+import re
+
+import pytest as _pytest
+
+CORPUS = "/root/reference/jts-test-runner/resources/testxml"
+
+
+@_pytest.mark.skipif(not os.path.isdir(CORPUS), reason="JTS corpus not available")
+def test_jts_overlay_corpus_simple_subset():
+    """general/TestOverlayAA.xml: intersection/union areas match JTS
+    expected output for the single-ring polygon cases in generic
+    position (multipolygon/empty/degenerate inputs skipped — COVERAGE)."""
+    from georay import io as gio
+
+    def parse_cases(path):
+        text = open(path).read()
+        for case in re.findall(r"<case>(.*?)</case>", text, re.S):
+            a = re.search(r"<a>\s*(.*?)\s*</a>", case, re.S)
+            b = re.search(r"<b>\s*(.*?)\s*</b>", case, re.S)
+            tests = re.findall(r'<op\s+name="(\w+)"[^>]*>\s*(.*?)\s*</op>', case, re.S)
+            yield (a.group(1) if a else None, b.group(1) if b else None, tests)
+
+    def tp(w):
+        if w is None or "EMPTY" in w.upper():
+            return None
+        try:
+            return gio.parse_wkt(w)
+        except (ValueError, IndexError):
+            return None
+
+    def area_of(exp):
+        if exp[0] == "polygon":
+            return abs(oracle.signed_area([exp[1][0]])) - sum(
+                abs(oracle.signed_area([h])) for h in exp[1][1:]
+            )
+        return sum(
+            abs(oracle.signed_area([p[0]])) - sum(abs(oracle.signed_area([h])) for h in p[1:])
+            for p in exp[1]
+        )
+
+    ok = 0
+    for a_wkt, b_wkt, tests in parse_cases(os.path.join(CORPUS, "general/TestOverlayAA.xml")):
+        ga, gb = tp(a_wkt), tp(b_wkt)
+        if not ga or not gb or ga[0] != "polygon" or gb[0] != "polygon":
+            continue
+        if len(ga[1]) > 1 or len(gb[1]) > 1:
+            continue
+        for name, expected in tests:
+            if name not in ("intersection", "union"):
+                continue
+            exp = tp(expected)
+            if not exp or exp[0] not in ("polygon", "multipolygon"):
+                continue
+            want = area_of(exp)
+            got = (
+                boolops.intersection_area(ga[1][0], gb[1][0])
+                if name == "intersection"
+                else boolops.union_area(ga[1][0], gb[1][0])
+            )
+            assert got == pytest.approx(want, rel=1e-6, abs=1e-6), (a_wkt[:40], name)
+            ok += 1
+    assert ok >= 5
