@@ -56,7 +56,11 @@ class GridIndex:
     resolution trade build time/memory for a thinner sliver.
     """
 
-    def __init__(self, layer: PolygonLayer, res: int | None = None, extra_res: int = 3):
+    def __init__(self, layer: PolygonLayer, res: int | None = None, extra_res: int | None = None):
+        import os as _os
+
+        if extra_res is None:
+            extra_res = int(_os.environ.get("GEORAY_INDEX_EXTRA_RES", "3"))
         self.layer = layer
         if res is None:
             # cell edge ~ median bbox size so candidate lists stay short,
