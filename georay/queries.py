@@ -1392,3 +1392,34 @@ def bool_pair_areas(sf_dir: str):
 
 
 QUERIES["bool_pair_areas"] = bool_pair_areas
+
+
+def sliding_window(sf_dir: str):
+    """Trailing 1-hour sliding window per user (streaming-shaped op:
+    sorted per-key group + two searchsorted passes — the RANGE-frame
+    window of the SQL oracle)."""
+    import pandas as pd
+
+    from .sqlgen import SLIDE_WINDOW_US
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        t = g["ts"].astype("int64").to_numpy()
+        v = g["value"].to_numpy()
+        csum = np.concatenate([[0.0], np.cumsum(v)])
+        # NOTE: RANGE frames span equal-timestamp peers on both ends
+        lo = np.searchsorted(t, t - SLIDE_WINDOW_US, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "n_in_window": (hi - lo).astype("int64"),
+                "sum_in_window": np.round(csum[hi] - csum[lo], 6),
+            }
+        )
+
+    return _testdata(sf_dir, "events").groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+QUERIES["sliding_window"] = sliding_window

@@ -697,3 +697,21 @@ def q_bool_pair_areas(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["bool_pair_areas"] = q_bool_pair_areas
+
+
+SLIDE_WINDOW_US = 3_600_000_000  # 1 h
+
+
+def q_sliding_window(sf_dir: str) -> str:
+    # per event: count + sum of the user's events in the trailing hour
+    return (
+        f"SELECT event_id, user_id, "
+        f"count(*) OVER w::BIGINT AS n_in_window, "
+        f"round(sum(value) OVER w, 6) AS sum_in_window "
+        f"FROM events "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+        f"RANGE BETWEEN {SLIDE_WINDOW_US} PRECEDING AND CURRENT ROW)"
+    )
+
+
+ORACLE_BUILDERS["sliding_window"] = q_sliding_window
