@@ -115,3 +115,25 @@ def winding_order(layer: PolygonLayer) -> np.ndarray:
     closed rings)."""
     a2 = twice_signed_ring_areas(layer)
     return np.sign(a2).astype(np.int8)
+
+
+def orient_polygons(layer: PolygonLayer) -> PolygonLayer:
+    """Orient (geo/src/algorithm/orient.rs:5): normalize every polygon to
+    the OGC convention — exterior CCW, holes CW — by reversing rings
+    with the wrong winding.  Returns a new layer (coords copied)."""
+    w = winding_order(layer)
+    coords = layer.coords.copy()
+    for r in range(layer.num_rings):
+        want_ccw = not layer.ring_is_hole[r]
+        if (w[r] > 0) != want_ccw and w[r] != 0:
+            lo, hi = layer.ring_offsets[r], layer.ring_offsets[r + 1]
+            coords[lo:hi] = coords[lo:hi][::-1]
+    return PolygonLayer(
+        coords=coords,
+        ring_offsets=layer.ring_offsets,
+        ring_poly=layer.ring_poly,
+        ring_is_hole=layer.ring_is_hole,
+        poly_ring_offsets=layer.poly_ring_offsets,
+        poly_ids=layer.poly_ids,
+        bbox=layer.bbox,
+    )

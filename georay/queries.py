@@ -1423,3 +1423,32 @@ def sliding_window(sf_dir: str):
 
 
 QUERIES["sliding_window"] = sliding_window
+
+
+def orient_normalize(sf_dir: str):
+    """Orient (orient.rs:5): rewrite ring winding to OGC convention and
+    report each ring's resulting winding + unchanged |area|."""
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = summaries.orient_polygons(_layer_batch(b))
+        w = summaries.winding_order(layer).astype(np.int64)
+        a2 = summaries.twice_signed_ring_areas(layer)
+        ring_local = np.concatenate(
+            [
+                np.arange(layer.poly_ring_offsets[p + 1] - layer.poly_ring_offsets[p])
+                for p in range(layer.num_polys)
+            ]
+        ) if layer.num_polys else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "polygon_id": pa.array(layer.poly_ids[layer.ring_poly], pa.string()),
+                "ring_idx": pa.array(ring_local.astype(np.int64)),
+                "winding": pa.array(w),
+                "abs_area": pa.array(np.round(np.abs(a2) / 2.0, 6)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["orient_normalize"] = orient_normalize

@@ -715,3 +715,19 @@ def q_sliding_window(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["sliding_window"] = q_sliding_window
+
+
+def q_orient_normalize(sf_dir: str) -> str:
+    """After Orient, every exterior is CCW (+1) and every hole CW (-1);
+    the oracle recomputes the EXPECTED winding per ring plus the area
+    magnitude (orientation must not change |area|)."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, ring_idx::BIGINT AS ring_idx, "
+        f"CASE WHEN ring_idx = 0 THEN 1 ELSE -1 END::BIGINT AS winding, "
+        f"round(abs(sum(x1 * y2 - x2 * y1)) / 2.0, 6) AS abs_area "
+        f"FROM read_parquet('{segs}') GROUP BY polygon_id, ring_idx"
+    )
+
+
+ORACLE_BUILDERS["orient_normalize"] = q_orient_normalize
