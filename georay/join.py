@@ -140,9 +140,14 @@ class PipMatchCountActor(PipJoinActor):
 _PREPARED: dict = {}
 
 
+_PREPARED_MAX = 4  # a worker realistically serves one layer at a time
+
+
 def _prepared(ref, cls, **kwargs):
     key = (ref.hex() if hasattr(ref, "hex") else id(ref), cls.__name__, tuple(sorted(kwargs.items())))
     if key not in _PREPARED:
+        while len(_PREPARED) >= _PREPARED_MAX:  # bounded: evict oldest
+            _PREPARED.pop(next(iter(_PREPARED)))
         _PREPARED[key] = cls(ref, **kwargs)
     return _PREPARED[key]
 

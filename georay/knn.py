@@ -148,7 +148,9 @@ def knn_join(points, k: int = 5, n_points: int | None = None, res: int | None = 
         # kth distance per query (rows are sorted by (query, dist))
         ends = np.cumsum(cnt) - 1
         kth[cnt > 0] = dist[ends[cnt > 0]]
-        certified = (cnt >= min(k, n_cand)) & (kth <= guarantee) & (n_cand >= k)
+        # strict <: a point exactly AT the halo bound could be outside the
+        # halo and tie-break ahead of the local kth, so == is not certifiable
+        certified = (cnt >= min(k, n_cand)) & (kth < guarantee) & (n_cand >= k)
         rank = (np.arange(len(rows)) - np.concatenate([[0], np.cumsum(cnt)[:-1]])[rows] + 1).astype(np.int64)
         return pa.table(
             {

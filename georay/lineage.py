@@ -65,9 +65,30 @@ def commit_partition(
         }
         with open(os.path.join(tmp, "_lineage.json"), "w") as f:
             json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        # fsync the parquet payload and the tmp dir so the rename below
+        # publishes durable bytes (crash between write and rename must
+        # not commit a torn partition)
+        fd = os.open(os.path.join(tmp, "data.parquet"), os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        dfd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+            # rename the old partition aside first: a crash here leaves
+            # either the old or the new partition committed, never neither
+            aside = final + f".old-{os.getpid()}"
+            os.replace(final, aside)
+            os.replace(tmp, final)
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            os.replace(tmp, final)
         return final
     finally:
         if os.path.exists(tmp):

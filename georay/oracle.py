@@ -213,7 +213,8 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     if len(pts) == 1:
         return np.vstack([pts, pts])
     if len(pts) == 2:
-        return np.vstack([pts, pts[::-1]])[: 3]
+        # closed ring [p0, p1, p0] (not [p0, p1, p1])
+        return np.vstack([pts, pts[:1]])
     # Andrew's monotone chain with exact orientation
     def half(iterable):
         chain: list[np.ndarray] = []

@@ -28,6 +28,15 @@ def test_hull_interior_point_dropped():
     assert (1.0, 1.0) not in {tuple(p) for p in h}
 
 
+def test_hull_two_points_closed_ring():
+    """2 distinct points -> CLOSED ring [p0, p1, p0], not [p0, p1, p1]."""
+    pts = np.array([(0.0, 0.0), (3.0, 1.0)])
+    h = hull.convex_hull_points(pts)
+    assert len(h) == 3
+    assert np.array_equal(h[0], h[-1])
+    assert {tuple(p) for p in h} == {(0.0, 0.0), (3.0, 1.0)}
+
+
 def test_hull_collinear_degenerate():
     pts = np.array([(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)])
     h = hull.convex_hull_points(pts)
