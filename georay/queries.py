@@ -806,7 +806,11 @@ def minhash_dedup(sf_dir: str):
     brute-force all-pairs Jaccard)."""
     from . import dedup as gdedup
 
-    out = gdedup.minhash_lsh_dedup(_testdata(sf_dir, "documents"), threshold=0.8)
+    out = (
+        gdedup.minhash_lsh_dedup(_testdata(sf_dir, "documents"), threshold=0.8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
     return pa.table(
         {
             "doc_id": pa.array(out["doc_id"], pa.int64()),
@@ -820,7 +824,7 @@ def simhash_sig(sf_dir: str):
     """SimHash signatures + near-dup groups (rows-only)."""
     from . import dedup as gdedup
 
-    out = gdedup.simhash_dedup(_testdata(sf_dir, "documents"))
+    out = gdedup.simhash_dedup(_testdata(sf_dir, "documents")).to_pandas().sort_values("doc_id")
     return pa.table(
         {
             "doc_id": pa.array(out["doc_id"], pa.int64()),

@@ -1,0 +1,250 @@
+"""Vectorized text hashing: shingles, minhash signatures, simhash.
+
+Round 1 hashed each shingle / token with a per-item ``hashlib.blake2b``
+call — per-row Python at the core of the signature stage (flagged in
+VERDICT.md "What's wrong" #7).  This module replaces it with a numpy
+rolling-polynomial hash computed over the ZERO-COPY flat utf-8 buffer
+of the Arrow string column:
+
+    pw[i]  = B^i            (mod 2^64, B odd)
+    ipw[i] = B^-i           (mod 2^64; B odd => invertible mod 2^64)
+    S[i]   = sum_{j<=i} a[j] * ipw[j]
+    h(s,e) = pw[e-1] * (S[e-1] - S[s-1])   = sum_{j=s}^{e-1} a[j] B^{e-1-j}
+
+so EVERY span hash (k-gram window or whitespace token) is two gathers
+and a multiply — no per-item Python.  A splitmix64 finalizer (mixed
+with the span length) fixes the polynomial's low-bit structure.
+
+Semantics: shingles are byte-level k-grams of the utf-8 encoding
+(identical to character k-grams for ASCII corpora); tokens are
+whitespace-separated via pyarrow's utf8_split_whitespace.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_B = np.uint64(0x100000001B3)  # FNV prime (odd => invertible mod 2^64)
+_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+_LEN_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _flat_utf8(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64 (n+1), flat byte buffer uint8) of a string array,
+    zero-copy from the Arrow buffers."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], odt)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, np.uint8)
+    )
+    return offs, data
+
+
+def _prefix_tables(data: np.ndarray, upto: int):
+    """pw, S prefix arrays over data[:upto] (uint64 wraparound)."""
+    old = np.seterr(over="ignore")
+    try:
+        n = int(upto)
+        pw = np.empty(n + 1, np.uint64)
+        pw[0] = np.uint64(1)
+        if n:
+            pw[1:] = np.cumprod(np.full(n, _B, np.uint64))
+        ipw = np.empty(n, np.uint64)
+        if n:
+            ipw[0] = np.uint64(1)
+            if n > 1:
+                ipw[1:] = np.cumprod(np.full(n - 1, _BINV, np.uint64))
+        S = np.zeros(n + 1, np.uint64)  # S[i] = prefix over data[:i]
+        if n:
+            S[1:] = np.cumsum(data[:n].astype(np.uint64) * ipw, dtype=np.uint64)
+        return pw, S
+    finally:
+        np.seterr(**old)
+
+
+def _span_hash(ws: np.ndarray, we: np.ndarray, pw: np.ndarray, S: np.ndarray) -> np.ndarray:
+    """Hash of byte spans [ws, we): pw[we-1] * (S[we] - S[ws]), salted
+    with the span length.  Empty spans hash deterministically too."""
+    old = np.seterr(over="ignore")
+    try:
+        wl = (we - ws).astype(np.uint64)
+        core = pw[np.maximum(we - 1, 0)] * (S[we] - S[ws])
+        return _mix64(core ^ (wl * _LEN_SALT))
+    finally:
+        np.seterr(**old)
+
+
+def shingle_hash_multisets(arr, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document byte-k-gram hashes WITH duplicates (one per window).
+    Minwise signatures are duplicate-invariant, so this is the fast path
+    for the signature stage (skips the per-doc sort/unique)."""
+    offs, data = _flat_utf8(arr)
+    n_docs = len(offs) - 1
+    if n_docs == 0:
+        return np.zeros(1, np.int64), np.zeros(0, np.uint64)
+    pw, S = _prefix_tables(data, int(offs[-1]))
+    lens = offs[1:] - offs[:-1]
+    wc = np.where(lens >= k, lens - k + 1, 1)  # short doc -> 1 whole-doc gram
+    total = int(wc.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(wc) - wc, wc)
+    ws = np.repeat(offs[:-1], wc) + within
+    wl = np.where(np.repeat(lens, wc) >= k, k, np.repeat(lens, wc))
+    we = ws + wl
+    h = _span_hash(ws, we, pw, S)
+    out_offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(wc, out=out_offs[1:])
+    return out_offs, h
+
+
+def shingle_hash_sets(arr, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document DISTINCT byte-k-gram hashes, fully vectorized.
+
+    arr: pa string array/chunked array (n docs).
+    Returns (offsets int64 (n+1), flat uint64) — each doc's hashes
+    sorted ascending (ready for merge-style Jaccard)."""
+    moffs, h = shingle_hash_multisets(arr, k)
+    n_docs = len(moffs) - 1
+    if n_docs == 0:
+        return moffs, h
+    total = len(h)
+    doc_idx = np.repeat(np.arange(n_docs), moffs[1:] - moffs[:-1])
+    # per-doc distinct: sort by (doc, hash), mask repeats
+    order = np.lexsort((h, doc_idx))
+    hs, di = h[order], doc_idx[order]
+    keep = np.ones(total, bool)
+    if total > 1:
+        keep[1:] = (hs[1:] != hs[:-1]) | (di[1:] != di[:-1])
+    flat = hs[keep]
+    counts = np.bincount(di[keep], minlength=n_docs)
+    out_offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    return out_offs, flat
+
+
+MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rs = np.random.RandomState(1234)  # fixed seed: signatures are stable
+    a = rs.randint(1, MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rs.randint(0, MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_PERMS: dict = {}
+
+
+def minhash_signatures(offsets: np.ndarray, flat: np.ndarray, n_perm: int = 128) -> np.ndarray:
+    """(n_docs, n_perm) minwise signatures over ragged shingle sets.
+    Vectorized: each permutation is one (a*h+b) mod p pass + a
+    minimum.reduceat over the doc offsets."""
+    if n_perm not in _PERMS:
+        _PERMS[n_perm] = _perm_params(n_perm)
+    a, b = _PERMS[n_perm]
+    n_docs = len(offsets) - 1
+    sig = np.empty((n_docs, n_perm), np.uint64)
+    if n_docs == 0:
+        return sig
+    old = np.seterr(over="ignore")
+    try:
+        h = flat % np.uint64(MERSENNE)
+        starts = offsets[:-1]
+        for p in range(n_perm):
+            vals = (h * a[p] + b[p]) % np.uint64(MERSENNE)
+            sig[:, p] = np.minimum.reduceat(vals, starts)
+    finally:
+        np.seterr(**old)
+    return sig
+
+
+def band_hashes(sig: np.ndarray, n_bands: int = 32) -> np.ndarray:
+    """(n_docs, n_bands) int64 LSH bucket keys: fold each band's rows
+    through the splitmix64 mixer, salted by the band index."""
+    n_docs, n_perm = sig.shape
+    r = n_perm // n_bands
+    chunks = sig.reshape(n_docs, n_bands, r)
+    old = np.seterr(over="ignore")
+    try:
+        acc = _mix64(np.arange(n_bands, dtype=np.uint64) * _LEN_SALT)[None, :]
+        acc = np.broadcast_to(acc, (n_docs, n_bands)).copy()
+        for j in range(r):
+            acc = _mix64(acc ^ chunks[:, :, j])
+    finally:
+        np.seterr(**old)
+    return (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def token_hashes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document whitespace-token hashes (one hash per OCCURRENCE,
+    not distinct).  Returns (token_offsets int64 (n+1), flat uint64)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.utf8_split_whitespace(arr)
+    flat_tokens = toks.flatten()
+    # list offsets -> tokens per doc
+    tok_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_offs = np.zeros(len(arr) + 1, np.int64)
+    np.cumsum(tok_counts, out=doc_offs[1:])
+    offs, data = _flat_utf8(flat_tokens)
+    if len(offs) - 1 == 0:
+        return doc_offs, np.zeros(0, np.uint64)
+    pw, S = _prefix_tables(data, int(offs[-1]))
+    h = _span_hash(offs[:-1], offs[1:], pw, S)
+    return doc_offs, h
+
+
+def simhash_batch(arr) -> np.ndarray:
+    """64-bit weighted-token SimHash per document, vectorized: token
+    hashes -> ±1 bit matrix -> segment-sum per doc (add.reduceat) ->
+    sign -> packed uint64.  Docs with no tokens hash to 0."""
+    doc_offs, th = token_hashes(arr)
+    n_docs = len(doc_offs) - 1
+    out = np.zeros(n_docs, np.uint64)
+    if len(th) == 0 or n_docs == 0:
+        return out
+    # bit j of h == (h >> j) & 1 == unpackbits(little-endian bytes,
+    # bitorder='little') column j — one uint8 matrix, no ±1 temps
+    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    starts = doc_offs[:-1]
+    counts = doc_offs[1:] - starts
+    nonempty = counts > 0
+    ne_starts = starts[nonempty]
+    if len(ne_starts):
+        acc = np.add.reduceat(bits, ne_starts, axis=0, dtype=np.int64)
+        # bit set iff majority of tokens set it: 2*ones > n_tokens
+        bset = (2 * acc) > counts[nonempty][:, None]
+        shifts = np.arange(64, dtype=np.uint64)
+        old = np.seterr(over="ignore")
+        try:
+            packed = (bset.astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        finally:
+            np.seterr(**old)
+        out[nonempty] = packed
+    return out
+
+
+def hamming_matrix(h: np.ndarray) -> np.ndarray:
+    """(n, n) pairwise Hamming distances of uint64 signatures via
+    unpackbits popcount (vectorized, for LSH bucket verification)."""
+    x = h[:, None] ^ h[None, :]
+    return np.unpackbits(x.view(np.uint8), axis=-1).reshape(len(h), len(h), 64).sum(axis=2)

@@ -52,7 +52,7 @@ def test_minhash_lsh_matches_bruteforce(dup_corpus):
     from georay.dedup import minhash_lsh_dedup
 
     ds, texts = dup_corpus
-    got = minhash_lsh_dedup(ds, threshold=0.8)
+    got = minhash_lsh_dedup(ds, threshold=0.8).to_pandas()
     expected = _brute_jaccard_groups(texts, 0.8)
     got_map = dict(zip(got["doc_id"], got["group"]))
     assert got_map == expected
@@ -68,7 +68,7 @@ def test_simhash_groups_exact_and_near(dup_corpus):
     from georay.dedup import simhash_dedup, simhash64
 
     ds, texts = dup_corpus
-    got = simhash_dedup(ds, max_hamming=3)
+    got = simhash_dedup(ds, max_hamming=3).to_pandas()
     m = dict(zip(got["doc_id"], got["group"]))
     assert m[200] == m[5]  # exact dup: same simhash
     # determinism
@@ -111,6 +111,115 @@ def test_embed_neardup_pairs(ray_session):
         if sims[i, j] >= 0.95
     }
     assert pairs == expected
+
+
+def test_minhash_distributed_matches_driver_reference_10x(ray_session):
+    """VERDICT r1 #1 done-gate: the distributed LSH pipeline produces
+    IDENTICAL groups to a driver-side reference (same signature
+    functions, round-1-style driver union-find orchestration) at 10x
+    the dup_corpus scale."""
+    import ray.data as rd
+
+    from georay import texthash
+    from georay.dedup import _UF, jaccard, minhash_lsh_dedup, shingle_hashes
+
+    rs = np.random.RandomState(17)
+    vocab = [f"tok{i}" for i in range(64)]
+    docs = []
+    for i in range(400):
+        docs.append((i, " ".join(rs.choice(vocab, 50))))
+    # planted near-dups (one token changed) + exact dups
+    for j in range(40):
+        w = docs[j][1].split()
+        w[rs.randint(len(w))] = "zulu"
+        docs.append((1000 + j, " ".join(w)))
+    for j in range(10):
+        docs.append((2000 + j, docs[j][1]))
+    texts = dict(docs)
+    table = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+        }
+    )
+
+    # driver-side reference: same sigs/bands, driver pair set + union-find
+    arr = pa.array([texts[i] for i in sorted(texts)])
+    ids = np.asarray(sorted(texts), dtype=np.int64)
+    offs, flat = texthash.shingle_hash_multisets(arr, 5)
+    sig = texthash.minhash_signatures(offs, flat, 128)
+    bh = texthash.band_hashes(sig, 32)
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i in range(len(ids)):
+        for band in range(32):
+            buckets[(band, bh[i, band])].append(ids[i])
+    sh = {i: np.sort(shingle_hashes(texts[i], 5)) for i in texts}
+    uf = _UF()
+    seen_pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                if (ms[x], ms[y]) in seen_pairs:
+                    continue
+                seen_pairs.add((ms[x], ms[y]))
+                if jaccard(sh[ms[x]], sh[ms[y]]) >= 0.8:
+                    uf.union(int(ms[x]), int(ms[y]))
+    expected = {int(i): uf.find(int(i)) for i in ids}
+
+    got = minhash_lsh_dedup(rd.from_arrow(table), threshold=0.8).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["group"]))
+    assert got_map == expected
+    # sanity: the planted dups actually merged
+    assert got_map[2000] == got_map[0]
+
+
+def test_simhash_identical_sig_chain_edges(ray_session):
+    """A bucket full of IDENTICAL signatures must still form one
+    component (chain-edge collapse, not all-pairs)."""
+    import ray.data as rd
+
+    from georay.dedup import simhash_dedup
+
+    text = "same words every time here"
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(30)), pa.int64()),
+            "text": pa.array([text] * 30),
+        }
+    )
+    got = simhash_dedup(rd.from_arrow(t)).to_pandas()
+    assert set(got["group"]) == {0}
+    assert got.loc[got["keep"], "doc_id"].tolist() == [0]
+
+
+def test_embed_neardup_lsh_recalls_planted(ray_session):
+    import ray.data as rd
+
+    from georay.dedup import embed_neardup_lsh
+
+    rs = np.random.RandomState(9)
+    base = rs.randn(80, 16).astype(np.float64)
+    near = base[:6] + rs.randn(6, 16) * 0.01
+    mat = np.vstack([base, near])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        }
+    )
+    got = embed_neardup_lsh(rd.from_arrow(t), threshold=0.95).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    # near-identical vectors collide in at least one of the 8 tables whp
+    for i in range(6):
+        assert (i, 80 + i) in pairs
+    # no false positives: every emitted pair verified >= threshold
+    nm = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / (nm[:, None] * nm[None, :])
+    for a, b in pairs:
+        assert sims[a, b] >= 0.95
 
 
 def test_lang_guess_deterministic():
