@@ -96,15 +96,25 @@ def _min_scalar(arr: pa.ChunkedArray | pa.Array):
     return pc.min(arr)
 
 
-def connected_components(edges, max_rounds: int | None = None):
+def connected_components(edges, max_rounds: int | None = None, typ=None):
     """edges: Dataset with columns ``a``, ``b`` (int64 or string; each
     row an undirected edge, self-loops / duplicates tolerated).
 
     Returns a Dataset ``(node, label)`` covering every endpoint, where
-    ``label`` is the minimum node id in the component.
+    ``label`` is the minimum node id in the component.  ``typ``: node
+    type fallback for when ``edges`` may be all-empty (schema-less).
     """
+    import ray.data as _rd
+
     schema = edges.schema()
-    typ = dict(zip(schema.names, schema.types))["a"]
+    if schema is not None:
+        typ = dict(zip(schema.names, schema.types))["a"]
+    elif typ is None:
+        raise ValueError("edges has no schema; pass typ")
+    else:
+        return _rd.from_arrow(
+            pa.table({"node": pa.array([], typ), "label": pa.array([], typ)})
+        )
 
     # ---- init: label(v) = v, one row per distinct endpoint ------------
     def init_labels(t: pa.Table) -> pa.Table:
@@ -199,19 +209,26 @@ def connected_components(edges, max_rounds: int | None = None):
     return labels
 
 
-def attach_labels(nodes, labels, node_col: str, typ=None):
+def attach_labels(nodes, labels, node_col: str, typ=None, types_map: dict | None = None):
     """Left-join ``labels`` (node, label) onto a node Dataset, default
     label = the node itself (singleton component).  Reduce-side join via
     groupby(node) — no driver materialization.
 
     nodes: Dataset with column ``node_col`` (plus any slim payload
     columns, which are carried through).  Returns nodes + ``label``.
+    types_map: explicit {column: pa type} for when ``nodes`` may be
+    empty (an all-empty Dataset has no schema at all).
     """
     schema = nodes.schema()
-    types = dict(zip(schema.names, schema.types))
+    if schema is not None:
+        types = dict(zip(schema.names, schema.types))
+    elif types_map is not None:
+        types = dict(types_map)
+    else:
+        raise ValueError("nodes has no schema; pass types_map")
     if typ is None:
         typ = types[node_col]
-    payload = [f for f in schema.names if f != node_col]
+    payload = [f for f in types if f != node_col]
 
     def node_rows(t: pa.Table) -> pa.Table:
         cols = {"key": t.column(node_col), "lbl": pa.nulls(len(t), typ), "is_node": pa.array([True] * len(t))}

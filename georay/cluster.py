@@ -3,15 +3,24 @@
 DBSCAN (reference: geo/src/algorithm/dbscan.rs — euclidean eps,
 min_pts core rule, border points join any neighbouring core's cluster):
 cell-partitioned with halo.  eps must not exceed the cell edge so the
-3x3 halo covers every eps-ball.  Plan:
+3x3 halo covers every eps-ball.  Fully distributed plan (round-2
+rewrite per VERDICT.md #1/#3 — no driver union-find, no full
+adjacency):
 
-  1. points -> (cell, halo replicas) exactly like kNN;
-  2. per cell: vectorized pairwise distance block -> neighbour counts
-     (core flags) + local core-core adjacency edges;
-  3. cross-cell merge: core-core edges stream to the driver as
-     (min_id, max_id) pairs — O(edges), bounded by pre-aggregation to
-     per-group spanning forests — union-find assigns global cluster ids;
-  4. border points attach to the smallest-id neighbouring core cluster.
+  1. pass 1: points -> (cell, halo replicas); per cell, vectorized
+     neighbour counts -> per-point core flags;
+  2. pass 2: re-replicate WITH core flags; per cell, a LOCAL union-find
+     over core-core edges incident to own cores emits only its SPANNING
+     FOREST (<= n_core-1 edges per group — every global core-core edge
+     appears in some group, so the union of per-group forests preserves
+     exactly the global core connectivity); border points emit one
+     candidate core per local component;
+  3. distributed connected components over the forest edges
+     (georay.cc: min-label propagation + pointer jumping, O(log n)
+     rounds of slim shuffles);
+  4. border points attach to the smallest-labelled neighbouring core
+     cluster via a co-partitioned label join; final assembly is a
+     groupby(image_id) of slim tagged streams.
 
 K-means (reference: geo/src/algorithm/kmeans/mod.rs:186-250 — seeded
 init, max_iter, tolerance): classic Ray Data iteration — broadcast
@@ -49,10 +58,16 @@ class _UnionFind:
 
 
 def dbscan(points, eps: float, min_pts: int, res: int | None = None, n_points: int | None = None):
-    """points: Dataset (image_id, lon, lat) -> pandas (image_id, cluster,
-    is_core); cluster = -1 for noise; labels are min member image_id per
-    cluster (deterministic across partitionings)."""
-    n = None
+    """points: Dataset (image_id, lon, lat) -> Dataset (image_id,
+    cluster, is_core).  Noise is labelled "" (empty string); cluster
+    labels are the minimum core image_id of the cluster (deterministic
+    across partitionings and parallelism).
+
+    Fully distributed — see the module docstring for the plan; no stage
+    materializes more than slim (id, id) rows, and per-group work is
+    bounded by the cell's point count."""
+    from .cc import attach_labels, connected_components
+
     if res is None:
         if n_points is None:
             n_points = points.count()
@@ -66,92 +81,189 @@ def dbscan(points, eps: float, min_pts: int, res: int | None = None, n_points: i
     n = 1 << res
     assert min(360.0 / n, 180.0 / n) >= eps, "eps exceeds cell size at this resolution"
 
-    def replicate(b: pa.Table) -> pa.Table:
-        lon = b.column("lon").to_numpy(zero_copy_only=False)
-        lat = b.column("lat").to_numpy(zero_copy_only=False)
-        ids = b.column("image_id")
-        ix, iy = cells.cell_xy(lon, lat, res)
-        out = []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                jx, jy = ix + dx, iy + dy
-                ok = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
-                idx = np.nonzero(ok)[0]
-                out.append(
-                    pa.table(
-                        {
-                            "cell": pa.array((jx[idx] * n + jy[idx]).astype(np.int64)),
-                            "image_id": ids.take(pa.array(idx, pa.int64())),
-                            "lon": pa.array(lon[idx]),
-                            "lat": pa.array(lat[idx]),
-                            "own": pa.array(np.full(len(idx), dx == 0 and dy == 0)),
-                        }
-                    )
-                )
-        return pa.concat_tables(out)
+    def _replicate(extra: tuple = ()):
+        def rep(b: pa.Table) -> pa.Table:
+            lon = b.column("lon").to_numpy(zero_copy_only=False)
+            lat = b.column("lat").to_numpy(zero_copy_only=False)
+            ids = b.column("image_id")
+            ix, iy = cells.cell_xy(lon, lat, res)
+            out = []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    jx, jy = ix + dx, iy + dy
+                    ok = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+                    idx = np.nonzero(ok)[0]
+                    take = pa.array(idx, pa.int64())
+                    cols = {
+                        "cell": pa.array((jx[idx] * n + jy[idx]).astype(np.int64)),
+                        "image_id": ids.take(take),
+                        "lon": pa.array(lon[idx]),
+                        "lat": pa.array(lat[idx]),
+                        "own": pa.array(np.full(len(idx), dx == 0 and dy == 0)),
+                    }
+                    for f in extra:
+                        cols[f] = b.column(f).take(take)
+                    out.append(pa.table(cols))
+            return pa.concat_tables(out)
 
-    rep = points.map_batches(replicate, batch_format="pyarrow")
+        return rep
 
-    def group_scan(g: pa.Table) -> pa.Table:
+    # ---- pass 1: core flags --------------------------------------------
+    def count_scan(g: pa.Table) -> pa.Table:
         lon = g.column("lon").to_numpy(zero_copy_only=False)
         lat = g.column("lat").to_numpy(zero_copy_only=False)
-        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
         own = g.column("own").to_numpy(zero_copy_only=False).astype(bool)
         if not own.any():
             return pa.table({"image_id": pa.array([], pa.string()),
-                             "is_core": pa.array([], pa.bool_()),
-                             "edge_to": pa.array([], pa.string())})
-        # pairwise euclidean (deg) block: own points vs all (incl. halo)
+                             "lon": pa.array([], pa.float64()),
+                             "lat": pa.array([], pa.float64()),
+                             "is_core": pa.array([], pa.bool_())})
         d2 = (lon[own][:, None] - lon[None, :]) ** 2 + (lat[own][:, None] - lat[None, :]) ** 2
-        within = d2 <= eps * eps
-        counts = within.sum(axis=1)  # includes self
-        is_core = counts >= min_pts  # reference counts the point itself
-        # neighbour lists: emit one row per (own point, neighbour) within eps
-        rows, cols = np.nonzero(within)
-        keep = ids[own][rows] != ids[cols]
-        rows, cols = rows[keep], cols[keep]
-        # one presence row per own point (edge_to='') so isolated points
-        # still surface as noise in the merged output
-        own_ids = ids[own]
+        counts = (d2 <= eps * eps).sum(axis=1)  # includes self
         return pa.table(
             {
-                "image_id": pa.array(np.concatenate([own_ids[rows], own_ids])),
-                "is_core": pa.array(np.concatenate([is_core[rows], is_core])),
-                "edge_to": pa.array(np.concatenate([ids[cols], np.full(len(own_ids), "", dtype=object)])),
+                "image_id": g.column("image_id").filter(pa.array(own)),
+                "lon": pa.array(lon[own]),
+                "lat": pa.array(lat[own]),
+                "is_core": pa.array(counts >= min_pts),  # reference counts self
             }
         )
 
-    allrows = rep.groupby("cell").map_groups(group_scan, batch_format="pyarrow").to_pandas()
-    allrows = allrows.drop_duplicates(subset=["image_id", "edge_to"])
-    edges = allrows[allrows["edge_to"] != ""]
-    core_ids = set(allrows.loc[allrows["is_core"], "image_id"])
-    uf = _UnionFind()
-    for cid in core_ids:
-        uf.find(cid)
-    core_edges = edges[edges["is_core"] & edges["edge_to"].isin(core_ids)]
-    for a, b in zip(core_edges["image_id"], core_edges["edge_to"]):
-        uf.union(a, b)
-    import pandas as pd
-
-    all_ids = sorted(set(allrows["image_id"]))
-    label = {}
-    for i in all_ids:
-        if i in core_ids:
-            label[i] = uf.find(i)
-    # border points: smallest neighbouring core cluster
-    border = edges[~edges["image_id"].isin(core_ids) & edges["edge_to"].isin(core_ids)]
-    for a, b in zip(border["image_id"], border["edge_to"]):
-        lb = uf.find(b)
-        if a not in label or lb < label[a]:
-            label[a] = lb
-    out = pd.DataFrame(
-        {
-            "image_id": all_ids,
-            "cluster": [label.get(i, "") for i in all_ids],
-            "is_core": [i in core_ids for i in all_ids],
-        }
+    flagged = (
+        points.map_batches(_replicate(), batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(count_scan, batch_format="pyarrow")
+        .materialize()  # consumed by pass 2 AND final assembly
     )
-    return out
+
+    # ---- pass 2: spanning forest + border candidates -------------------
+    def forest_scan(g: pa.Table) -> pa.Table:
+        """Emit (kind=0) forest edges over core-core connectivity and
+        (kind=1) border->candidate-core rows; <= n_own + n_core rows."""
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        own = g.column("own").to_numpy(zero_copy_only=False).astype(bool)
+        core = g.column("is_core").to_numpy(zero_copy_only=False).astype(bool)
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
+        empty = pa.table({"kind": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        if not own.any():
+            return empty
+        oc = own & core  # own cores
+        out_k, out_a, out_b = [], [], []
+        uf = _UnionFind()
+        if oc.any() and core.any():
+            d2 = (lon[oc][:, None] - lon[None, core]) ** 2 + (lat[oc][:, None] - lat[None, core]) ** 2
+            within = d2 <= eps * eps
+            rows, cols = np.nonzero(within)
+            a_ids, b_ids = ids[oc][rows], ids[core][cols]
+            keep = a_ids != b_ids
+            for x, y in zip(a_ids[keep], b_ids[keep]):
+                if uf.find(x) != uf.find(y):  # merging edge -> forest edge
+                    uf.union(x, y)
+                    out_k.append(0)
+                    out_a.append(x)
+                    out_b.append(y)
+        ob = own & ~core  # own border/noise candidates
+        if ob.any() and core.any():
+            d2 = (lon[ob][:, None] - lon[None, core]) ** 2 + (lat[ob][:, None] - lat[None, core]) ** 2
+            within = d2 <= eps * eps
+            b_ids_all = ids[core]
+            for i in np.nonzero(within.any(axis=1))[0]:
+                nbrs = b_ids_all[within[i]]
+                nbrs = nbrs[nbrs != ids[ob][i]]
+                if not len(nbrs):
+                    continue
+                # one candidate per LOCAL component: min core id per root
+                best: dict = {}
+                for c in nbrs:
+                    r = uf.find(c)
+                    if r not in best or c < best[r]:
+                        best[r] = c
+                for c in best.values():
+                    out_k.append(1)
+                    out_a.append(ids[ob][i])
+                    out_b.append(c)
+        if not out_k:
+            return empty
+        return pa.table({"kind": pa.array(out_k, pa.int64()),
+                         "a": pa.array(out_a, pa.string()),
+                         "b": pa.array(out_b, pa.string())})
+
+    scan = (
+        flagged.map_batches(_replicate(("is_core",)), batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(forest_scan, batch_format="pyarrow")
+        .materialize()  # consumed twice (edges + border candidates)
+    )
+    import pyarrow.compute as pc
+
+    edges = scan.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0)).select(["a", "b"]),
+        batch_format="pyarrow",
+    )
+    cands = scan.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 1)).select(["a", "b"]),
+        batch_format="pyarrow",
+    )
+
+    # ---- pass 3: distributed components over the forest ----------------
+    labels = connected_components(edges, typ=pa.string()).materialize()
+
+    # ---- pass 4: border labels -----------------------------------------
+    # candidates (border a, core b) pick up core b's final label, then
+    # reduce to the minimum per border point
+    def cand_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"core": t.column("b"), "border": t.column("a")})
+
+    cand_lbl = attach_labels(
+        cands.map_batches(cand_nodes, batch_format="pyarrow"), labels, "core",
+        types_map={"core": pa.string(), "border": pa.string()},
+    )
+
+    def min_border(gr: pa.Table) -> pa.Table:
+        lbl = pc.min(gr.column("label"))
+        return pa.table({"image_id": gr.column("border").slice(0, 1),
+                         "lbl": pa.array([lbl.as_py()], pa.string()),
+                         "is_core_t": pa.nulls(1, pa.bool_())})
+
+    border_rows = cand_lbl.groupby("border").map_groups(min_border, batch_format="pyarrow")
+
+    # ---- pass 5: assembly ----------------------------------------------
+    core_nodes = flagged.map_batches(
+        lambda t: t.filter(t.column("is_core")).select(["image_id"]),
+        batch_format="pyarrow",
+    )
+    core_rows = attach_labels(
+        core_nodes, labels, "image_id", types_map={"image_id": pa.string()}
+    ).map_batches(
+        lambda t: pa.table({"image_id": t.column("image_id"),
+                            "lbl": t.column("label"),
+                            "is_core_t": pa.nulls(len(t), pa.bool_())}),
+        batch_format="pyarrow",
+    )
+    base_rows = flagged.map_batches(
+        lambda t: pa.table({"image_id": t.column("image_id"),
+                            "lbl": pa.nulls(len(t), pa.string()),
+                            "is_core_t": t.column("is_core")}),
+        batch_format="pyarrow",
+    )
+
+    def assemble(gr: pa.Table) -> pa.Table:
+        lbls = gr.column("lbl").drop_null()
+        cl = lbls[0].as_py() if len(lbls) else ""
+        is_core = gr.column("is_core_t").drop_null()[0].as_py()
+        return pa.table({"image_id": gr.column("image_id").slice(0, 1),
+                         "cluster": pa.array([cl], pa.string()),
+                         "is_core": pa.array([is_core], pa.bool_())})
+
+    return (
+        base_rows.union(core_rows)
+        .union(border_rows)
+        .groupby("image_id")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
 
 
 def kmeans(points, k: int, max_iter: int = 10, seed_stride: int | None = None):
@@ -232,58 +344,78 @@ def kmeans(points, k: int, max_iter: int = 10, seed_stride: int | None = None):
     return cent, points.map_batches(assign, batch_format="pyarrow")
 
 
-def lof_scores(points, k: int = 10):
+def lof_scores(points, k: int = 10, num_partitions: int = 16):
     """Local Outlier Factor (outlier_detection.rs:26,192 — euclidean,
     k-NN based; outliers(k) returns per-point scores, >1 = outlier-ish).
 
-    Plan: blocked brute-force kNN against a broadcast coordinate matrix
-    (validation scale); the 100 TB path swaps stage 1 for georay.knn's
-    cell+halo plan.  Stages: (1) per-point kNN + k-distance; (2)
-    reachability via neighbours' k-distances (a broadcast lookup — the
-    k-distance table is n x 8 bytes, tiny next to the data); (3)
-    lrd + LOF.  Ties broken by (distance, neighbor_id) as everywhere.
-    """
-    import pandas as pd
+    Fully distributed (round-2 rewrite per VERDICT.md #4): stage 1 is
+    the cell+halo exact kNN (georay.knn, euclidean metric) instead of a
+    broadcast O(n^2) brute force; the k-distance, lrd and LOF stages are
+    co-partitioned equi-joins of slim (id, float) tables + groupbys —
+    nothing materializes on the driver.  Per-group float sums run in
+    neighbor_id-sorted order, so output is bit-deterministic across
+    partitionings.  Ties broken by (distance, neighbor_id) as
+    everywhere.  Returns Dataset (image_id, lof)."""
+    import pyarrow.compute as pc
 
-    full = points.select_columns(["image_id", "lon", "lat"]).to_pandas()
-    ids = full["image_id"].to_numpy()
-    xy = full[["lon", "lat"]].to_numpy()
-    order = np.argsort(ids)
-    ids, xy = ids[order], xy[order]
-    ref = ray.put((ids, xy))
+    from .knn import knn_full
 
-    def block(b: pa.Table) -> pa.Table:
-        gids, gxy = ray.get(ref)
-        bid = np.asarray(b.column("image_id").to_pylist(), dtype=object)
-        bxy = np.column_stack(
-            [b.column("lon").to_numpy(zero_copy_only=False), b.column("lat").to_numpy(zero_copy_only=False)]
-        )
-        d = np.sqrt(
-            (bxy[:, None, 0] - gxy[None, :, 0]) ** 2 + (bxy[:, None, 1] - gxy[None, :, 1]) ** 2
-        )
-        d[bid[:, None] == gids[None, :]] = np.inf
-        part = np.argpartition(d, k - 1, axis=1)[:, :k]
-        rows = np.repeat(np.arange(len(bid)), k)
-        cols = part.ravel()
-        dist = d[rows, cols]
-        o = np.lexsort((gids[cols], dist, rows))
+    knn = knn_full(points, k=k, metric="euclidean").materialize()
+
+    def kd(g: pa.Table) -> pa.Table:
         return pa.table(
-            {
-                "image_id": pa.array(bid[rows[o]]),
-                "neighbor_id": pa.array(gids[cols[o]]),
-                "dist": pa.array(dist[o]),
-            }
+            {"nid": g.column("image_id").slice(0, 1),
+             "kdist": pa.array([pc.max(g.column("dist_m")).as_py()], pa.float64())}
         )
 
-    knn = points.map_batches(block, batch_format="pyarrow", batch_size=2048).to_pandas()
-    kdist = knn.groupby("image_id")["dist"].max()  # k-distance per point
-    knn["reach"] = np.maximum(knn["dist"], kdist.reindex(knn["neighbor_id"]).to_numpy())
-    lrd = 1.0 / knn.groupby("image_id")["reach"].mean()
-    nbr_lrd = lrd.reindex(knn["neighbor_id"]).to_numpy()
-    lof = (
-        pd.DataFrame({"image_id": knn["image_id"], "nl": nbr_lrd})
-        .groupby("image_id")["nl"]
-        .mean()
-        / lrd
+    kdist = knn.groupby("image_id").map_groups(kd, batch_format="pyarrow")
+    # aggregator actors must not reserve CPUs: on a small/busy cluster a
+    # CPU-reserving aggregator deadlocks against the map stages feeding it
+    _agg = {"num_cpus": 0}
+    j1 = knn.join(kdist, join_type="inner", num_partitions=num_partitions,
+                  on=("neighbor_id",), right_on=("nid",),
+                  aggregator_ray_remote_args=_agg)
+
+    def lrd_g(g: pa.Table) -> pa.Table:
+        reach = np.maximum(
+            g.column("dist_m").to_numpy(zero_copy_only=False),
+            g.column("kdist").to_numpy(zero_copy_only=False),
+        )
+        nid = np.asarray(g.column("neighbor_id").to_pylist(), dtype=object)
+        order = np.argsort(nid)  # deterministic summation order
+        return pa.table(
+            {"lid": g.column("image_id").slice(0, 1),
+             "lrd": pa.array([1.0 / (reach[order].sum() / len(reach))], pa.float64())}
+        )
+
+    lrd = (
+        j1.groupby("image_id").map_groups(lrd_g, batch_format="pyarrow").materialize()
     )
-    return pd.DataFrame({"image_id": lof.index, "lof": lof.to_numpy()}).reset_index(drop=True)
+    j2 = knn.join(lrd, join_type="inner", num_partitions=num_partitions,
+                  on=("neighbor_id",), right_on=("lid",),
+                  aggregator_ray_remote_args=_agg)
+
+    def nbr_g(g: pa.Table) -> pa.Table:
+        v = g.column("lrd").to_numpy(zero_copy_only=False)
+        nid = np.asarray(g.column("neighbor_id").to_pylist(), dtype=object)
+        order = np.argsort(nid)
+        return pa.table(
+            {"mid": g.column("image_id").slice(0, 1),
+             "nbr_lrd_mean": pa.array([v[order].sum() / len(v)], pa.float64())}
+        )
+
+    nbr = j2.groupby("image_id").map_groups(nbr_g, batch_format="pyarrow")
+    j3 = nbr.join(lrd, join_type="inner", num_partitions=num_partitions,
+                  on=("mid",), right_on=("lid",),
+                  aggregator_ray_remote_args=_agg)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"image_id": t.column("mid"),
+             "lof": pa.array(
+                 t.column("nbr_lrd_mean").to_numpy(zero_copy_only=False)
+                 / t.column("lrd").to_numpy(zero_copy_only=False)
+             )}
+        )
+
+    return j3.map_batches(fin, batch_format="pyarrow")

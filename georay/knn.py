@@ -71,10 +71,30 @@ def _halo_guarantee(lon, lat, ix, iy, res):
     return MEAN_EARTH_RADIUS * np.maximum(g, 0.0)
 
 
-def _topk_block(qlon, qlat, qid, clon, clat, cid, k):
+def _halo_guarantee_euclid(lon, lat, ix, iy, res):
+    """Euclidean-degrees analogue of _halo_guarantee: the planar domain
+    is the bounded rectangle [-180,180]x[-90,90] (no wrap), so a halo
+    clipped at a domain edge has NOTHING beyond it -> inf bound."""
+    n = 1 << res
+    cw, ch = 360.0 / n, 180.0 / n
+    d_w = np.where(ix - 1 < 0, np.inf, lon - ((ix - 1) * cw - 180.0))
+    d_e = np.where(ix + 2 > n, np.inf, ((ix + 2) * cw - 180.0) - lon)
+    d_s = np.where(iy - 1 < 0, np.inf, lat - ((iy - 1) * ch - 90.0))
+    d_n = np.where(iy + 2 > n, np.inf, ((iy + 2) * ch - 90.0) - lat)
+    g = np.minimum(np.minimum(d_s, d_n), np.minimum(d_w, d_e))
+    return np.maximum(g, 0.0)
+
+
+def _pair_dist(qlon, qlat, clon, clat, metric):
+    if metric == "euclidean":
+        return np.sqrt((qlon - clon) ** 2 + (qlat - clat) ** 2)
+    return haversine_distance(qlon, qlat, clon, clat)
+
+
+def _topk_block(qlon, qlat, qid, clon, clat, cid, k, metric="haversine"):
     """Vectorized (queries x candidates) top-k, self-excluded,
     tie-broken by (distance, neighbor_id). Returns ragged arrays."""
-    d = haversine_distance(qlon[:, None], qlat[:, None], clon[None, :], clat[None, :])
+    d = _pair_dist(qlon[:, None], qlat[:, None], clon[None, :], clat[None, :], metric)
     d[qid[:, None] == cid[None, :]] = np.inf
     kk = min(k, d.shape[1])
     part = np.argpartition(d, kk - 1, axis=1)[:, :kk] if d.shape[1] > kk else np.tile(
@@ -88,9 +108,11 @@ def _topk_block(qlon, qlat, qid, clon, clat, cid, k):
     return rows[order], cols[order], dist[order]
 
 
-def knn_join(points, k: int = 5, n_points: int | None = None, res: int | None = None):
+def knn_join(points, k: int = 5, n_points: int | None = None, res: int | None = None,
+             metric: str = "haversine"):
     """points: Dataset with (image_id, lon, lat). Returns
-    (image_id, neighbor_id, rank, dist_m) for every point, exact."""
+    (image_id, neighbor_id, rank, dist_m) for every point, exact.
+    metric: "haversine" (meters) or "euclidean" (planar degrees)."""
     if res is None:
         if n_points is None:
             n_points = points.count()
@@ -139,9 +161,12 @@ def knn_join(points, k: int = 5, n_points: int | None = None, res: int | None = 
                  "certified": pa.array([], pa.bool_())}
             )
         qlon, qlat, qid = lon[qm], lat[qm], ids[qm]
-        rows, cols, dist = _topk_block(qlon, qlat, qid, lon, lat, ids, k)
+        rows, cols, dist = _topk_block(qlon, qlat, qid, lon, lat, ids, k, metric)
         ix, iy = cells.cell_xy(qlon, qlat, res)
-        guarantee = _halo_guarantee(qlon, qlat, ix, iy, res)
+        if metric == "euclidean":
+            guarantee = _halo_guarantee_euclid(qlon, qlat, ix, iy, res)
+        else:
+            guarantee = _halo_guarantee(qlon, qlat, ix, iy, res)
         n_cand = len(lon) - 1  # excluding self
         kth = np.full(len(qid), np.inf)
         cnt = np.bincount(rows, minlength=len(qid))
@@ -166,7 +191,7 @@ def knn_join(points, k: int = 5, n_points: int | None = None, res: int | None = 
     return local
 
 
-def finalize_knn(points, local, k: int = 5):
+def finalize_knn(points, local, k: int = 5, metric: str = "haversine"):
     """Split certified/uncertified; rerun uncertified queries exactly via
     the broadcast partial-top-k pattern; union the results."""
     import pyarrow.compute as pc
@@ -181,7 +206,11 @@ def finalize_knn(points, local, k: int = 5):
         lambda t: t.filter(pc.invert(t.column("certified"))).select(["image_id"]),
         batch_format="pyarrow",
     ).to_pandas()
-    flagged_ids = sorted(set(flagged_tbl["image_id"]))
+    # an all-certified run yields an EMPTY dataset, which loses its
+    # schema on to_pandas — treat missing column as no flagged ids
+    flagged_ids = (
+        sorted(set(flagged_tbl["image_id"])) if "image_id" in flagged_tbl.columns else []
+    )
     if not flagged_ids:
         return certified
     idset_ref = ray.put(set(flagged_ids))
@@ -202,7 +231,7 @@ def finalize_knn(points, local, k: int = 5):
         lon = b.column("lon").to_numpy(zero_copy_only=False)
         lat = b.column("lat").to_numpy(zero_copy_only=False)
         ids = np.asarray(b.column("image_id").to_pylist(), dtype=object)
-        rows, cols, dist = _topk_block(ql, qt, qi, lon, lat, ids, k)
+        rows, cols, dist = _topk_block(ql, qt, qi, lon, lat, ids, k, metric)
         return pa.table(
             {"qid": pa.array(qi[rows]), "neighbor_id": pa.array(ids[cols]), "dist": pa.array(dist)}
         )
@@ -226,7 +255,8 @@ def finalize_knn(points, local, k: int = 5):
     return certified.union(fallback)
 
 
-def knn_full(points, k: int = 5, n_points: int | None = None, res: int | None = None):
+def knn_full(points, k: int = 5, n_points: int | None = None, res: int | None = None,
+             metric: str = "haversine"):
     """Exact self-kNN for every point (certified local + exact fallback)."""
-    local = knn_join(points, k=k, n_points=n_points, res=res)
-    return finalize_knn(points, local, k=k)
+    local = knn_join(points, k=k, n_points=n_points, res=res, metric=metric)
+    return finalize_knn(points, local, k=k, metric=metric)

@@ -869,7 +869,7 @@ def dbscan_hot(sf_dir: str):
     rows-only — pytest-gated against brute force)."""
     from . import cluster
 
-    out = cluster.dbscan(_points(sf_dir), eps=0.5, min_pts=5)
+    out = cluster.dbscan(_points(sf_dir), eps=0.5, min_pts=5).to_pandas().sort_values("image_id")
     return pa.table(
         {
             "image_id": pa.array(out["image_id"]),
@@ -1241,7 +1241,7 @@ def lof_outliers(sf_dir: str):
     pytest-gated against a scalar LOF)."""
     from . import cluster
 
-    out = cluster.lof_scores(_points(sf_dir), k=10)
+    out = cluster.lof_scores(_points(sf_dir), k=10).to_pandas().sort_values("image_id")
     return pa.table(
         {
             "image_id": pa.array(out["image_id"]),

@@ -102,7 +102,7 @@ def test_dbscan_matches_bruteforce(pts_ds):
 
     ds, ids, xy = pts_ds
     eps, min_pts = 1.5, 4
-    got = cluster.dbscan(ds, eps=eps, min_pts=min_pts, n_points=len(ids))
+    got = cluster.dbscan(ds, eps=eps, min_pts=min_pts, n_points=len(ids)).to_pandas()
     exp_label, exp_core = _scalar_dbscan(xy, ids, eps, min_pts)
     got_map = dict(zip(got["image_id"], got["cluster"]))
     got_core = dict(zip(got["image_id"], got["is_core"]))
@@ -133,7 +133,7 @@ def test_lof_flags_planted_outlier(pts_ds):
     from georay import cluster
 
     ds, ids, xy = pts_ds
-    got = cluster.lof_scores(ds, k=8)
+    got = cluster.lof_scores(ds, k=8).to_pandas()
     m = dict(zip(got["image_id"], got["lof"]))
     # brute-force scalar LOF cross-check on a sample
     d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
