@@ -194,6 +194,19 @@ def band_hashes(sig: np.ndarray, n_bands: int = 32) -> np.ndarray:
     return (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
+def hash_strings(arr) -> np.ndarray:
+    """One 64-bit hash per string element, vectorized over the flat
+    utf-8 buffer (for deterministic salting / bucketing of id columns —
+    replaces per-row crc32/blake2b loops)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs, data = _flat_utf8(arr)
+    if len(offs) - 1 == 0:
+        return np.zeros(0, np.uint64)
+    pw, S = _prefix_tables(data, int(offs[-1]))
+    return _span_hash(offs[:-1], offs[1:], pw, S)
+
+
 def token_hashes(arr) -> tuple[np.ndarray, np.ndarray]:
     """Per-document whitespace-token hashes (one hash per OCCURRENCE,
     not distinct).  Returns (token_offsets int64 (n+1), flat uint64)."""
