@@ -1,0 +1,273 @@
+"""Buffer + general-overlay engine: JTS corpus replay and unit gates.
+
+Replays the reference's own conformance corpora:
+* every `buffer` op in *Buffer*.xml under general/ + misc/ (the same
+  glob the reference wires at geo/src/algorithm/buffer.rs:863), judged
+  by the xor-area ratio <= 0.0014 rule (jts-test-runner/src/lib.rs:52-96);
+* the areal `union` / `intersection` / `difference` / `symdifference`
+  cases of TestOverlayAA.xml + TestUnaryUnion.xml (wired in the
+  reference at bool_ops/tests.rs:130), judged by xor-area ratio <= 1e-6
+  (the runner uses equal_topo; area-xor is the same bar for areal
+  results up to collinear vertices).
+
+Full-corpus counts (2026-08-17 run): 138/138 buffer cases pass — the
+reference itself expected-fails TestBuffer.xml case 6 (collapsed flat
+polygon, runner.rs:58-66); this engine handles it.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from georay import io as gio
+from georay.kernels import buffer as gb
+from georay.kernels import overlay as ov
+
+CORPUS = "/root/reference/jts-test-runner/resources/testxml"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CORPUS), reason="JTS conformance corpus not available"
+)
+
+
+def _buffer_cases(fname):
+    text = open(os.path.join(CORPUS, fname)).read()
+    for ci, case in enumerate(re.findall(r"<case>(.*?)</case>", text, re.S)):
+        a = re.search(r"<a>\s*(.*?)\s*</a>", case, re.S)
+        ops = re.findall(
+            r"<op\s+name=['\"]buffer['\"]\s+arg1=['\"][Aa]['\"]\s+"
+            r"arg2=['\"]([^'\"]+)['\"](?:\s+arg3=['\"]\s*([^'\"]*)['\"])?\s*>"
+            r"\s*(.*?)\s*</op>",
+            case,
+            re.S,
+        )
+        for ti, (dist, arg3, expected) in enumerate(ops):
+            # the reference's serde ignores arg3 (quadrant segments) and
+            # still passes; replicate that behavior
+            yield ci, ti, a.group(1).strip(), float(dist), expected.strip()
+
+
+def _to_polys(parsed):
+    kind, data = parsed
+    if kind == "polygon":
+        return [(data[0], list(data[1:]))]
+    if kind == "multipolygon":
+        return [(rings[0], list(rings[1:])) for rings in data]
+    raise ValueError(kind)
+
+
+def run_buffer(parsed, dist, style=None):
+    kind, data = parsed
+    style = style or gb.BufferStyle(dist)
+    if kind == "point":
+        return [] if data is None else gb.buffer_point(data[0], data[1], style)
+    if kind == "multipoint":
+        return gb.buffer_multipoint(data, style)
+    if kind == "linestring":
+        return gb.buffer_linestring(data, style)
+    if kind == "multilinestring":
+        return gb.buffer_multilinestring(data, style)
+    if kind == "polygon":
+        return gb.buffer_polygon(data, style)
+    if kind == "multipolygon":
+        return gb.buffer_multipolygon(data, style)
+    raise ValueError(kind)
+
+
+def _replay_buffer_file(fname, sample_stride=1):
+    npass = nfail = 0
+    failures = []
+    for ci, ti, a_wkt, dist, exp_wkt in _buffer_cases(fname):
+        if (ci + ti) % sample_stride:
+            continue
+        subj = gio.parse_wkt(a_wkt)
+        actual = run_buffer(subj, dist)
+        if "EMPTY" in exp_wkt.upper():
+            ok = (not actual) or abs(ov.mp_area(actual)) < 1e-9
+        else:
+            ratio = ov.xor_area_ratio(actual, _to_polys(gio.parse_wkt(exp_wkt)))
+            ok = ratio <= 0.0014
+        if ok:
+            npass += 1
+        else:
+            nfail += 1
+            failures.append(f"{fname}#{ci}.{ti} d={dist}")
+    assert nfail == 0, failures
+    return npass
+
+
+def test_jts_buffer_corpus_general():
+    assert _replay_buffer_file("general/TestBuffer.xml") == 26
+
+
+def test_jts_buffer_corpus_misc_small():
+    n = 0
+    for f in (
+        "misc/GEOSBuffer.xml",
+        "misc/TestBufferJagged.xml",
+        "misc/geos-bug356-buffer.xml",
+        "misc/TestBufferExternal.xml",
+    ):
+        n += _replay_buffer_file(f)
+    assert n >= 12
+
+
+def test_jts_buffer_corpus_external2_sampled():
+    """100-case file; every 4th case in CI (full run: 100/100 green)."""
+    assert _replay_buffer_file("misc/TestBufferExternal2.xml", sample_stride=4) >= 25
+
+
+# ---------------------------------------------------------------------------
+# general boolean overlay corpus (areal operands)
+# ---------------------------------------------------------------------------
+
+_BOOL_OPS = {
+    "union": "union",
+    "intersection": "intersection",
+    "difference": "difference",
+    "symdifference": "xor",
+}
+
+
+def _areal(parsed):
+    if parsed is None:
+        return None
+    kind, data = parsed
+    if kind == "polygon":
+        return [list(data)]
+    if kind == "multipolygon":
+        return [list(rings) for rings in data]
+    return None
+
+
+def test_jts_overlay_aa_corpus():
+    """TestOverlayAA.xml: every areal boolean case (bool_ops/tests.rs:130)."""
+    text = open(os.path.join(CORPUS, "general/TestOverlayAA.xml")).read()
+    npass = nrun = 0
+    failures = []
+    for ci, case in enumerate(re.findall(r"<case>(.*?)</case>", text, re.S)):
+        a = re.search(r"<a>\s*(.*?)\s*</a>", case, re.S)
+        b = re.search(r"<b>\s*(.*?)\s*</b>", case, re.S)
+        ops = re.findall(
+            r"<op\s+name=['\"](\w+)['\"][^>]*>\s*(.*?)\s*</op>", case, re.S
+        )
+        for ti, (opname, exp_wkt) in enumerate(ops):
+            if opname.lower() not in _BOOL_OPS:
+                continue
+            try:
+                ga = _areal(gio.parse_wkt(a.group(1).strip())) if a else None
+                gbm = _areal(gio.parse_wkt(b.group(1).strip())) if b else None
+                exp_parsed = (
+                    []
+                    if "EMPTY" in exp_wkt.upper()
+                    else _to_polys(gio.parse_wkt(exp_wkt.strip()))
+                )
+            except ValueError:
+                continue  # non-areal operand or expectation: runner skips too
+            if ga is None or gbm is None:
+                continue
+            nrun += 1
+            got = ov.overlay(ga, gbm, _BOOL_OPS[opname.lower()])
+            ea = ov.mp_area(exp_parsed) if exp_parsed else 0.0
+            ga_area = ov.mp_area(got) if got else 0.0
+            if ea == 0.0:
+                ok = abs(ga_area) <= 1e-9
+            else:
+                ok = ov.xor_area_ratio(got, exp_parsed) <= 1e-6
+            if ok:
+                npass += 1
+            else:
+                failures.append(f"case{ci}.{ti} {opname}")
+    assert nrun >= 20 and not failures, (nrun, failures)
+
+
+def test_jts_unary_union_corpus():
+    text = open(os.path.join(CORPUS, "general/TestUnaryUnion.xml")).read()
+    npass = nrun = 0
+    failures = []
+    for ci, case in enumerate(re.findall(r"<case>(.*?)</case>", text, re.S)):
+        a = re.search(r"<a>\s*(.*?)\s*</a>", case, re.S)
+        ops = re.findall(
+            r"<op\s+name=['\"]union['\"]\s+arg1=['\"][Aa]['\"]\s*>\s*(.*?)\s*</op>",
+            case,
+            re.S,
+        )
+        for ti, exp_wkt in enumerate(ops):
+            try:
+                region = _areal(gio.parse_wkt(a.group(1).strip()))
+                exp_parsed = (
+                    []
+                    if "EMPTY" in exp_wkt.upper()
+                    else _to_polys(gio.parse_wkt(exp_wkt.strip()))
+                )
+            except ValueError:
+                continue
+            if region is None:
+                continue
+            nrun += 1
+            got = ov.unary_union(region)
+            if not exp_parsed:
+                ok = (not got) or abs(ov.mp_area(got)) < 1e-9
+            else:
+                ok = ov.xor_area_ratio(got, exp_parsed) <= 1e-6
+            if ok:
+                npass += 1
+            else:
+                failures.append(f"case{ci}.{ti}")
+    assert nrun >= 1 and not failures, (nrun, failures)
+
+
+# ---------------------------------------------------------------------------
+# style unit gates (caps/joins) — analytic expectations
+# ---------------------------------------------------------------------------
+
+N32 = 16 * np.sin(np.pi / 16)  # area factor of the unit 32-gon
+
+
+def test_cap_styles_analytic():
+    line = [(0.0, 0.0), (10.0, 0.0)]
+    d = 2.0
+    butt = gb.buffer_linestring(line, gb.BufferStyle(d, cap="butt"))
+    assert abs(ov.mp_area(butt) - 40.0) < 1e-9
+    square = gb.buffer_linestring(line, gb.BufferStyle(d, cap="square"))
+    assert abs(ov.mp_area(square) - (40.0 + 2 * 2 * d * d)) < 1e-9
+    rnd = gb.buffer_linestring(line, gb.BufferStyle(d, cap="round"))
+    assert abs(ov.mp_area(rnd) - (40.0 + N32 * d * d)) < 1e-9
+
+
+def test_join_styles_analytic():
+    # right-angle turn; joins differ exactly by the corner piece area
+    path = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)]
+    d = 2.0
+    base = 2 * (10 * 2 * d) - d * d  # two rects minus inner overlap
+    bevel = gb.buffer_linestring(path, gb.BufferStyle(d, cap="butt", join="bevel"))
+    assert abs(ov.mp_area(bevel) - (base + d * d / 2)) < 1e-9
+    miter = gb.buffer_linestring(path, gb.BufferStyle(d, cap="butt", join="miter"))
+    assert abs(ov.mp_area(miter) - (base + d * d)) < 1e-9
+    rnd = gb.buffer_linestring(path, gb.BufferStyle(d, cap="butt", join="round"))
+    # quarter-circle fan: 8 segments of the 32-gon
+    assert abs(ov.mp_area(rnd) - (base + 8 * (d * d / 2) * np.sin(np.pi / 2 / 8))) < 1e-9
+
+
+def test_miter_limit_falls_back_to_bevel():
+    # sharp spike: miter length exceeds the limit -> bevel triangle
+    path = [(0.0, 0.0), (10.0, 0.0), (0.0, 1.0)]
+    d = 1.0
+    lim = gb.buffer_linestring(path, gb.BufferStyle(d, cap="butt", join="miter", miter_limit=1.5))
+    bev = gb.buffer_linestring(path, gb.BufferStyle(d, cap="butt", join="bevel"))
+    assert abs(ov.mp_area(lim) - ov.mp_area(bev)) < 1e-9
+
+
+def test_negative_buffer_creates_multipolygon_split():
+    # dumbbell: two squares joined by a thin neck; erosion splits it
+    ring = np.asarray(
+        [
+            (0, 0), (4, 0), (4, 1.8), (6, 1.8), (6, 0), (10, 0),
+            (10, 4), (6, 4), (6, 2.2), (4, 2.2), (4, 4), (0, 4), (0, 0),
+        ],
+        dtype=float,
+    )
+    res = gb.buffer_polygon([ring], gb.BufferStyle(-0.5))
+    assert len(res) == 2  # the neck (width 0.4 < 1.0) is gone
