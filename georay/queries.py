@@ -1456,3 +1456,116 @@ def orient_normalize(sf_dir: str):
 
 
 QUERIES["orient_normalize"] = orient_normalize
+
+
+# ---------------------------------------------------------------------------
+# buffer + dissolve (round 2: kernels/buffer.py + kernels/overlay.py)
+# ---------------------------------------------------------------------------
+
+BUF_PT_SAMPLE_MOD = 10
+BUF_POLY_D = 0.1
+
+
+def buffer_point_area(sf_dir: str):
+    """Round point buffers (buffer.rs:284-305: 32-gon circle starting at
+    angle pi): radius derived from latitude, output the constructed
+    ring's shoelace area.  SQL oracle recomputes the inscribed-32-gon
+    area analytically (16*sin(pi/16)*r^2)."""
+    from .kernels.buffer import DEFAULT_JOIN_ANGLE
+
+    n = int(np.ceil(2 * np.pi / DEFAULT_JOIN_ANGLE))
+    th = 2 * np.pi / n * np.arange(n) + np.pi
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id").to_pylist()
+        idx = np.asarray([int(i[4:]) % BUF_PT_SAMPLE_MOD == 0 for i in ids])
+        sub = b.filter(pa.array(idx))
+        lon = sub.column("lon").to_numpy(zero_copy_only=False)
+        lat = sub.column("lat").to_numpy(zero_copy_only=False)
+        r = 0.05 + (lat + 90.0) * 0.001
+        x = lon[:, None] + r[:, None] * np.cos(th)[None, :]
+        y = lat[:, None] + r[:, None] * np.sin(th)[None, :]
+        x2, y2 = np.roll(x, -1, axis=1), np.roll(y, -1, axis=1)
+        area = np.abs((x * y2 - x2 * y).sum(axis=1) / 2.0)
+        return pa.table(
+            {
+                "image_id": sub.column("image_id"),
+                "buf_area": pa.array(np.round(area, 6)),
+                "buf_nverts": pa.array(np.full(len(area), n, np.int64)),
+            }
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def poly_buffer_convex(sf_dir: str):
+    """Buffer CONVEX hole-free polygons by BUF_POLY_D through the real
+    overlay pipeline (kernels/buffer.buffer_polygon) and report the
+    resulting area.  For convex input the buffer pieces are interior-
+    disjoint, so the SQL oracle can recompute the area EXACTLY as
+    A + P*d + sum over corners of the normal-anchored fan area
+    (n_i/2 * d^2 * sin(theta_i/n_i), JTS fillet rule)."""
+    from .kernels import more
+    from .kernels import overlay as govl
+    from .kernels.buffer import BufferStyle, buffer_polygon
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        ids, areas = [], []
+        for p in range(len(layer.poly_ids)):
+            r0, r1 = layer.poly_ring_offsets[p], layer.poly_ring_offsets[p + 1]
+            if r1 - r0 != 1:
+                continue  # hole-free only (oracle restriction)
+            ring = layer.coords[layer.ring_offsets[r0] : layer.ring_offsets[r0 + 1]]
+            if not more.is_convex(ring):
+                continue
+            res = buffer_polygon([ring], BufferStyle(BUF_POLY_D))
+            ids.append(layer.poly_ids[p])
+            areas.append(govl.mp_area(res))
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids, pa.string()),
+                "buf_area": pa.array(np.round(np.asarray(areas, np.float64), 6)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def dissolve_area(sf_dir: str):
+    """unary_union of the whole polygon layer (bool_ops/mod.rs:15) via
+    the distributed dissolve (georay/dissolve.py): per-cell partial
+    unions -> merge.  Rows-only (n-way union area is not
+    SQL-expressible); pytest-gated against a single-node unary_union
+    of the same layer."""
+    from . import dissolve as gdis
+    from .kernels import overlay as govl
+
+    # driver-side collect is fine here: the dissolved result is the
+    # SMALL output of the aggregation, not the input layer
+    out = gdis.dissolve(_polygons_ds(sf_dir)).to_pandas()
+    total = 0.0
+    n_holes = 0
+    for rings in out["rings"]:
+        shell = np.asarray([(c["x"], c["y"]) for c in rings[0]])
+        total += abs(govl._signed_area(shell))
+        for h in rings[1:]:
+            hh = np.asarray([(c["x"], c["y"]) for c in h])
+            total -= abs(govl._signed_area(hh))
+            n_holes += 1
+    return pa.table(
+        {
+            "n_components": pa.array([len(out)], pa.int64()),
+            "n_holes": pa.array([n_holes], pa.int64()),
+            "total_area": pa.array([round(total, 6)], pa.float64()),
+        }
+    )
+
+
+QUERIES.update(
+    {
+        "buffer_point_area": buffer_point_area,
+        "poly_buffer_convex": poly_buffer_convex,
+        "dissolve_area": dissolve_area,
+    }
+)

@@ -731,3 +731,72 @@ def q_orient_normalize(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["orient_normalize"] = q_orient_normalize
+
+
+# ---------------------------------------------------------------------------
+# buffer (round 2: kernels/buffer.py)
+# ---------------------------------------------------------------------------
+
+BUF_PT_SAMPLE_MOD = 10
+BUF_POLY_D = 0.1
+# BufferStyle.default_join_angle: f32 0.20 (buffer.rs:240-247)
+BUF_QUANTUM = 0.20000000298023224
+
+
+def q_buffer_point_area(sf_dir: str) -> str:
+    # inscribed-32-gon circle area: (n/2) sin(2*pi/n) r^2 with n=32
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, "
+        f"round(16.0 * sin(pi() / 16.0) * r * r, 6) AS buf_area, "
+        f"32::BIGINT AS buf_nverts "
+        f"FROM (SELECT image_id, 0.05 + (lat + 90.0) * 0.001 AS r FROM pts "
+        f"      WHERE CAST(substr(image_id, 5) AS BIGINT) % {BUF_PT_SAMPLE_MOD} = 0)"
+    )
+
+
+def q_poly_buffer_convex(sf_dir: str) -> str:
+    """Exact area identity for convex hole-free polygons: buffered area
+    = A + P*d + sum over corners of the normal-anchored fan area with
+    the JTS fillet rule n_i = floor(theta_i/quantum + 0.5), fan area
+    n_i * d^2/2 * sin(theta_i/n_i) (bevel d^2/2*sin(theta) when n_i<1;
+    convex => pieces are interior-disjoint so the identity is exact)."""
+    segs = datagen.segments_path(sf_dir)
+    d = BUF_POLY_D
+    q = BUF_QUANTUM
+    return (
+        f"WITH s AS (SELECT polygon_id, seg_idx, x1, y1, x2, y2, "
+        f"  count(*) OVER (PARTITION BY polygon_id) AS n "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"holed AS (SELECT DISTINCT polygon_id FROM read_parquet('{segs}') WHERE ring_idx > 0), "
+        f"x AS (SELECT a.polygon_id, "
+        f"  CASE WHEN (a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1) > 0 THEN 1 "
+        f"       WHEN (a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1) < 0 THEN -1 "
+        f"       ELSE 0 END AS sgn, "
+        f"  atan2(abs((a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1)), "
+        f"        (a.x2 - a.x1) * (b.x2 - b.x1) + (a.y2 - a.y1) * (b.y2 - b.y1)) AS theta "
+        f"  FROM s a JOIN s b ON a.polygon_id = b.polygon_id "
+        f"    AND b.seg_idx = (a.seg_idx + 1) % a.n), "
+        f"conv AS (SELECT polygon_id, "
+        f"  (max(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) + "
+        f"   max(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) <= 1) AS is_convex, "
+        f"  sum(CASE WHEN floor(theta / {q!r} + 0.5) < 1 "
+        f"        THEN {d!r} * {d!r} / 2.0 * sin(theta) "
+        f"        ELSE floor(theta / {q!r} + 0.5) * {d!r} * {d!r} / 2.0 * "
+        f"             sin(theta / floor(theta / {q!r} + 0.5)) END) AS fan_area "
+        f"  FROM x GROUP BY polygon_id), "
+        f"ap AS (SELECT polygon_id, abs(sum(x1 * y2 - x2 * y1)) / 2.0 AS area, "
+        f"  sum(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))) AS perim "
+        f"  FROM s GROUP BY polygon_id) "
+        f"SELECT ap.polygon_id, round(ap.area + ap.perim * {d!r} + conv.fan_area, 6) AS buf_area "
+        f"FROM ap JOIN conv ON ap.polygon_id = conv.polygon_id "
+        f"WHERE conv.is_convex AND ap.polygon_id NOT IN (SELECT polygon_id FROM holed)"
+    )
+
+
+ORACLE_BUILDERS.update(
+    {
+        "buffer_point_area": q_buffer_point_area,
+        "poly_buffer_convex": q_poly_buffer_convex,
+    }
+)

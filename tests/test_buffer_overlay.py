@@ -271,3 +271,51 @@ def test_negative_buffer_creates_multipolygon_split():
     )
     res = gb.buffer_polygon([ring], gb.BufferStyle(-0.5))
     assert len(res) == 2  # the neck (width 0.4 < 1.0) is gone
+
+
+# ---------------------------------------------------------------------------
+# dataset-level dissolve
+# ---------------------------------------------------------------------------
+
+
+def test_dissolve_matches_single_node_union(ray_session):
+    """Distributed dissolve (per-cell partials -> merge) == single-node
+    unary_union of the same layer, in area and component count."""
+    import ray.data as rd
+
+    from georay import dissolve as gdis
+    from georay import geom
+
+    rs = np.random.RandomState(42)
+    polys = []
+    for i in range(40):
+        cx, cy = rs.uniform(-100, 100), rs.uniform(-40, 40)
+        w, h = rs.uniform(2, 8), rs.uniform(2, 8)
+        ring = np.asarray(
+            [(cx, cy), (cx + w, cy), (cx + w, cy + h), (cx, cy + h), (cx, cy)]
+        )
+        polys.append([ring])
+    arr = geom.rings_to_arrow(polys)
+    import pyarrow as pa2
+
+    t = pa2.table(
+        {
+            "polygon_id": pa2.array([f"p{i}" for i in range(len(polys))]),
+            "rings": arr,
+            "minx": pa2.array([r[0][:, 0].min() for r in polys]),
+            "miny": pa2.array([r[0][:, 1].min() for r in polys]),
+            "maxx": pa2.array([r[0][:, 0].max() for r in polys]),
+            "maxy": pa2.array([r[0][:, 1].max() for r in polys]),
+        }
+    )
+    got = gdis.dissolve(rd.from_arrow(t), cell_deg=45.0).to_pandas()
+    direct = ov.unary_union([[r[0]] for r in polys])
+    got_area = 0.0
+    for rings in got["rings"]:
+        shell = np.asarray([(c["x"], c["y"]) for c in rings[0]])
+        got_area += abs(ov._signed_area(shell))
+        for h in rings[1:]:
+            hh = np.asarray([(c["x"], c["y"]) for c in h])
+            got_area -= abs(ov._signed_area(hh))
+    assert abs(got_area - ov.mp_area(direct)) / ov.mp_area(direct) < 1e-9
+    assert len(got) == len(direct)
