@@ -66,16 +66,19 @@ class _Piece:
         else:
             self.bbox = (0.0, 0.0, -1.0, -1.0)
 
-    def positions(self, px, py):
-        """Winding positions (nonzero rule) of probe points, exact.
+    def positions(self, px, py, evenodd: bool = False):
+        """Winding positions of probe points, exact.  Default NONZERO
+        rule; ``evenodd`` switches to crossing parity (the Ledoux
+        prepair fill rule used by MakeValid, repair_polygon/mod.rs).
         Large pieces use a y-bucket index so each probe only meets the
         segments straddling its latitude band (O(n + k) not O(n*m))."""
         n_pt, n_sg = len(px), len(self.x1)
         if n_sg == 0:
             return np.full(n_pt, OUTSIDE, np.int8)
+        fn = _parity_positions if evenodd else ring_positions
         if n_pt * n_sg <= 262_144:
             task = np.repeat(np.arange(n_pt), n_sg)
-            return ring_positions(
+            return fn(
                 np.repeat(px, n_sg),
                 np.repeat(py, n_sg),
                 np.tile(self.x1, n_pt),
@@ -101,7 +104,7 @@ class _Piece:
                 continue
             k = len(sm)
             task = np.repeat(np.arange(len(pm)), k)
-            out[pm] = ring_positions(
+            out[pm] = fn(
                 np.repeat(px[pm], k),
                 np.repeat(py[pm], k),
                 np.tile(self.x1[sm], len(pm)),
@@ -114,7 +117,31 @@ class _Piece:
         return out
 
 
-def _region_membership(px, py, pieces: list[_Piece], pad: float) -> np.ndarray:
+def _parity_positions(px, py, x1, y1, x2, y2, task, n_tasks):
+    """Even-odd (crossing parity) analogue of pip.ring_positions, same
+    half-open edge rule and exact orientation predicate."""
+    from .pip import orient2d_sign, _value_in_between
+
+    up = (y1 <= py) & (y2 >= py)
+    down = (y1 > py) & (y2 <= py)
+    need = up | down
+    sign = np.zeros(len(px), dtype=np.int8)
+    if np.any(need):
+        nz = np.nonzero(need)[0]
+        sign[nz] = orient2d_sign(x1[nz], y1[nz], x2[nz], y2[nz], px[nz], py[nz])
+    up_cross = up & (sign > 0) & (y2 != py)
+    down_cross = down & (sign < 0)
+    on_boundary = need & (sign == 0) & _value_in_between(px, x1, x2)
+    cnt = np.bincount(task[up_cross], minlength=n_tasks) + np.bincount(
+        task[down_cross], minlength=n_tasks
+    )
+    bnd = np.bincount(task[on_boundary], minlength=n_tasks) > 0
+    pos = np.where(cnt % 2 == 1, INSIDE, OUTSIDE).astype(np.int8)
+    pos[bnd] = BOUNDARY
+    return pos
+
+
+def _region_membership(px, py, pieces: list[_Piece], pad: float, evenodd: bool = False) -> np.ndarray:
     """True where the probe is inside (or on) ANY piece of the region."""
     out = np.zeros(len(px), bool)
     for pc in pieces:
@@ -129,7 +156,7 @@ def _region_membership(px, py, pieces: list[_Piece], pad: float) -> np.ndarray:
         if not m.any():
             continue
         idx = np.nonzero(m)[0]
-        pos = pc.positions(px[idx], py[idx])
+        pos = pc.positions(px[idx], py[idx], evenodd=evenodd)
         out[idx[pos != OUTSIDE]] = True
     return out
 
@@ -282,11 +309,12 @@ _OPS = {
 }
 
 
-def overlay(region_a, region_b, op: str):
+def overlay(region_a, region_b, op: str, evenodd_a: bool = False):
     """Boolean overlay of two regions.
 
     region_a / region_b: list of pieces; each piece a list of closed
-    rings (shell + holes, nonzero winding).  op: union | intersection |
+    rings (shell + holes, nonzero winding — or crossing parity for
+    region A when ``evenodd_a``).  op: union | intersection |
     difference | xor.  Returns list of (shell_ccw, [holes_cw...]).
     """
     combine = _OPS[op]
@@ -324,9 +352,9 @@ def overlay(region_a, region_b, op: str):
     lx, ly = mx + delta * nx, my + delta * ny  # left probes
     rx, ry = mx - delta * nx, my - delta * ny  # right probes
 
-    la = _region_membership(lx, ly, pieces_a, delta)
+    la = _region_membership(lx, ly, pieces_a, delta, evenodd=evenodd_a)
     lb = _region_membership(lx, ly, pieces_b, delta)
-    ra = _region_membership(rx, ry, pieces_a, delta)
+    ra = _region_membership(rx, ry, pieces_a, delta, evenodd=evenodd_a)
     rb = _region_membership(rx, ry, pieces_b, delta)
     lin = combine(la, lb)
     rin = combine(ra, rb)
@@ -473,6 +501,25 @@ def unary_union(pieces):
     into a clean MultiPolygon: overlay(A, EMPTY, union) — region A's
     membership is already 'inside any piece'."""
     return overlay(pieces, [], "union")
+
+
+def make_valid(rings) -> list:
+    """MakeValid (repair_polygon/mod.rs — the Ledoux et al. 2014
+    prepair algorithm's SEMANTICS): node every input ring against every
+    other and keep exactly the area of odd crossing parity.  The
+    reference realizes this with a constrained Delaunay triangulation +
+    odd-even flood fill; the overlay engine realizes the same fill rule
+    directly by classifying noded boundary fragments, so bowties split,
+    dangling edges cancel, duplicated rings annihilate and nested
+    shells become annuli — the module's documented repair cases.
+
+    rings: ALL rings of the (multi)polygon, any orientation.
+    Returns a valid MultiPolygon [(shell_ccw, [holes_cw...])]."""
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    rings = [r for r in rings if len(r) >= 4]
+    if not rings:
+        return []
+    return overlay([rings], [], "union", evenodd_a=True)
 
 
 def mp_area(polys) -> float:

@@ -1569,3 +1569,41 @@ QUERIES.update(
         "dissolve_area": dissolve_area,
     }
 )
+
+
+def make_valid_stats(sf_dir: str):
+    """MakeValid (repair_polygon/mod.rs, prepair odd-even rule) over a
+    deterministically-CORRUPTED copy of the polygon layer: each exterior
+    ring gets two interior vertices swapped (bowtie-style self-
+    intersections), then repairs.  Rows-only (triangulation repair is
+    not SQL-expressible); pytest-gated on the reference's doc goldens
+    and on validity of the output."""
+    from .kernels import overlay as govl
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        ids, ncomp, areas = [], [], []
+        for p in range(len(layer.poly_ids)):
+            r0 = layer.poly_ring_offsets[p]
+            ring = layer.coords[layer.ring_offsets[r0] : layer.ring_offsets[r0 + 1]].copy()
+            n = len(ring) - 1
+            if n >= 5:  # swap two interior vertices -> self-intersection
+                i, j = 1, 1 + n // 2
+                ring[[i, j]] = ring[[j, i]]
+                ring[-1] = ring[0]
+            repaired = govl.make_valid([ring])
+            ids.append(layer.poly_ids[p])
+            ncomp.append(len(repaired))
+            areas.append(govl.mp_area(repaired))
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids, pa.string()),
+                "n_components": pa.array(ncomp, pa.int64()),
+                "repaired_area": pa.array(np.round(np.asarray(areas), 6)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["make_valid_stats"] = make_valid_stats

@@ -319,3 +319,66 @@ def test_dissolve_matches_single_node_union(ray_session):
             got_area -= abs(ov._signed_area(hh))
     assert abs(got_area - ov.mp_area(direct)) / ov.mp_area(direct) < 1e-9
     assert len(got) == len(direct)
+
+
+# ---------------------------------------------------------------------------
+# MakeValid (repair_polygon/mod.rs doc goldens, odd-even prepair rule)
+# ---------------------------------------------------------------------------
+
+
+def _ring(*pts):
+    a = np.asarray(pts, float)
+    return np.vstack([a, a[:1]]) if not np.array_equal(a[0], a[-1]) else a
+
+
+def test_make_valid_reference_doc_goldens():
+    # bowtie -> two triangles (mod.rs:44-53)
+    r = ov.make_valid([_ring((0, 0), (0, 10), (10, 0), (10, 10))])
+    assert len(r) == 2 and abs(ov.mp_area(r) - 50.0) < 1e-9
+    # dangling edge cancels (mod.rs:57-68)
+    r = ov.make_valid([_ring((0, 0), (10, 0), (15, 5), (10, 0), (10, 10), (0, 10))])
+    assert abs(ov.mp_area(r) - 100.0) < 1e-9
+    # hole sharing an edge with the shell (mod.rs:71-85)
+    r = ov.make_valid(
+        [_ring((0, 0), (10, 0), (10, 10), (0, 10)), _ring((5, 2), (5, 7), (10, 7), (10, 2))]
+    )
+    assert abs(ov.mp_area(r) - 75.0) < 1e-9
+    # hole equal to shell annihilates (mod.rs:88-101)
+    sq = _ring((10, 90), (90, 90), (90, 10), (10, 10))
+    r = ov.make_valid([sq, sq.copy()])
+    assert (not r) or abs(ov.mp_area(r)) < 1e-9
+    # nested shells -> annulus (mod.rs:104-119)
+    r = ov.make_valid(
+        [_ring((30, 70), (70, 70), (70, 30), (30, 30)), _ring((10, 90), (90, 90), (90, 10), (10, 10))]
+    )
+    assert abs(ov.mp_area(r) - 4800.0) < 1e-9 and len(r) == 1 and len(r[0][1]) == 1
+    # banana: hole touching the shell at one vertex (mod.rs:122-138)
+    r = ov.make_valid(
+        [_ring((0, 0), (10, 0), (10, 10), (0, 10)), _ring((5, 0), (8, 3), (2, 3))]
+    )
+    assert abs(ov.mp_area(r) - 91.0) < 1e-9
+
+
+def test_make_valid_output_is_valid():
+    """Repaired bowties pass the validation kernel."""
+    from georay import geom
+    from georay.kernels import validation
+
+    r = ov.make_valid([_ring((0, 0), (0, 10), (10, 0), (10, 10))])
+    polys = [[geom.close_ring(shell), *[geom.close_ring(h) for h in holes]] for shell, holes in r]
+    arr = geom.rings_to_arrow(polys)
+    import pyarrow as pa2
+
+    t = pa2.table(
+        {
+            "polygon_id": pa2.array([f"r{i}" for i in range(len(polys))]),
+            "rings": arr,
+            "minx": pa2.array([p[0][:, 0].min() for p in polys]),
+            "miny": pa2.array([p[0][:, 1].min() for p in polys]),
+            "maxx": pa2.array([p[0][:, 0].max() for p in polys]),
+            "maxy": pa2.array([p[0][:, 1].max() for p in polys]),
+        }
+    )
+    layer = geom.PolygonLayer.from_arrow(t)
+    codes = validation.validate(layer)
+    assert not codes.any(), codes
