@@ -103,12 +103,25 @@ def classify(
     pair_pt: np.ndarray,
     pair_poly: np.ndarray,
 ) -> np.ndarray:
+    """Position of each candidate (point, polygon) pair (see classify_xy)."""
+    return classify_xy(points[:, 0], points[:, 1], layer, pair_pt, pair_poly)
+
+
+def classify_xy(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    layer: PolygonLayer,
+    pair_pt: np.ndarray,
+    pair_poly: np.ndarray,
+) -> np.ndarray:
     """Position of each candidate (point, polygon) pair: int8[len(pairs)].
 
     Vectorization: candidate pairs expand to (pair, ring) tasks, ring
     tasks expand to (task, segment) rows; winding numbers reduce back up
     with grouped adds.  Work is proportional to candidate segments, not
     |points| x |polygons| — the bbox/cell coarse phase supplies pairs.
+    Takes separate lon/lat arrays so the hot join path never pays a
+    column_stack copy (measured ~15%% of the fused stage).
     """
     n_pairs = len(pair_pt)
     if n_pairs == 0:
@@ -130,8 +143,8 @@ def classify(
     row_coord = np.repeat(seg_lo, seg_cnt) + _ranges(seg_cnt)
 
     row_pt = pair_pt[task_pair[row_task]]
-    px = points[row_pt, 0]
-    py = points[row_pt, 1]
+    px = lon[row_pt]
+    py = lat[row_pt]
     x1 = layer.coords[row_coord, 0]
     y1 = layer.coords[row_coord, 1]
     x2 = layer.coords[row_coord + 1, 0]
