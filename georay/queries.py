@@ -1607,3 +1607,46 @@ def make_valid_stats(sf_dir: str):
 
 
 QUERIES["make_valid_stats"] = make_valid_stats
+
+
+def relate_line_poly(sf_dir: str):
+    """Full DE-9IM Relate (georay/relate_full.py, relate/mod.rs:61-77)
+    of a deterministic horizontal probe line against every polygon: the
+    line runs at the polygon's bbox mid-height from just left of the
+    bbox to the bbox's x-midpoint, so the matrix varies with the
+    polygon's shape (endpoint inside / outside / untouched).  The SQL
+    oracle recomputes the same matrix from horizontal-crossing parity.
+    """
+    from . import relate as grel
+    from .relate_full import relate_full
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        ids, mats, crosses, inter = [], [], [], []
+        for p in range(len(layer.poly_ids)):
+            rings = [
+                layer.coords[layer.ring_offsets[r] : layer.ring_offsets[r + 1]]
+                for r in range(layer.poly_ring_offsets[p], layer.poly_ring_offsets[p + 1])
+            ]
+            minx, miny, maxx, maxy = layer.bbox[p]
+            c = (miny + maxy) / 2.0
+            midx = (minx + maxx) / 2.0
+            line = ("linestring", np.asarray([(minx - 1.0, c), (midx, c)]))
+            m = relate_full(line, ("polygon", rings))
+            ids.append(layer.poly_ids[p])
+            mats.append(m)
+            crosses.append(grel.is_crosses(m, 1, 2))
+            inter.append(grel.is_intersects(m))
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids, pa.string()),
+                "de9im": pa.array(mats, pa.string()),
+                "crosses": pa.array(crosses, pa.bool_()),
+                "intersects": pa.array(inter, pa.bool_()),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["relate_line_poly"] = relate_line_poly

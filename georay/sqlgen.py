@@ -800,3 +800,34 @@ ORACLE_BUILDERS.update(
         "poly_buffer_convex": q_poly_buffer_convex,
     }
 )
+
+
+def q_relate_line_poly(sf_dir: str) -> str:
+    """Oracle for the horizontal probe-line relate: the DE-9IM matrix of
+    (line from bbox-left-minus-1 to bbox-x-mid at bbox-y-mid) vs the
+    polygon is fully determined by the horizontal crossing parity —
+    0 crossings left of mid-x -> no contact 'FF1FF0212'; odd ->
+    endpoint lands inside '1010F0212' (BI=0); even>0 -> passes through
+    and exits '101FF0212' (both endpoints outside)."""
+    segs = datagen.segments_path(sf_dir)
+    polys = datagen.polygons_path(sf_dir)
+    return (
+        f"WITH bb AS (SELECT polygon_id, (miny + maxy) / 2.0 AS c, "
+        f"  (minx + maxx) / 2.0 AS midx FROM read_parquet('{polys}')), "
+        f"xc AS (SELECT s.polygon_id, "
+        f"  s.x1 + (bb.c - s.y1) * (s.x2 - s.x1) / (s.y2 - s.y1) AS x "
+        f"  FROM read_parquet('{segs}') s JOIN bb ON s.polygon_id = bb.polygon_id "
+        f"  WHERE (s.y1 <= bb.c AND s.y2 > bb.c) OR (s.y2 <= bb.c AND s.y1 > bb.c)), "
+        f"agg AS (SELECT bb.polygon_id, "
+        f"  count(CASE WHEN xc.x < bb.midx THEN 1 END) AS n_before "
+        f"  FROM bb LEFT JOIN xc ON bb.polygon_id = xc.polygon_id GROUP BY bb.polygon_id) "
+        f"SELECT polygon_id, "
+        f"CASE WHEN n_before = 0 THEN 'FF1FF0212' "
+        f"     WHEN n_before % 2 = 1 THEN '1010F0212' "
+        f"     ELSE '101FF0212' END AS de9im, "
+        f"(n_before > 0) AS crosses, (n_before > 0) AS intersects "
+        f"FROM agg"
+    )
+
+
+ORACLE_BUILDERS["relate_line_poly"] = q_relate_line_poly
