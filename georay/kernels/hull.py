@@ -155,3 +155,148 @@ def concave_hull_knn(points: np.ndarray, k: int = 7) -> np.ndarray:
                 return ring
         k += 1
     return convex_hull_points(pts)
+
+
+# ---------------------------------------------------------------------------
+# ConcaveHull with concavity parameter (concave_hull.rs:104-430 — the
+# concaveman-style edge-drilling algorithm: start from the convex hull,
+# repeatedly replace an edge by two edges through the nearest admissible
+# interior point while max_length = edge_len / concavity allows)
+# ---------------------------------------------------------------------------
+
+
+def _pt_seg_dist(px, py, a, b) -> np.ndarray:
+    """Euclidean distance of points to one segment (vectorized)."""
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0:
+        return np.hypot(px - ax, py - ay)
+    t = np.clip(((px - ax) * dx + (py - ay) * dy) / L2, 0.0, 1.0)
+    return np.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def _segs_intersect(a1, a2, b1, b2) -> bool:
+    from .pip import orient2d_sign
+
+    def s(p, q, r):
+        return orient2d_sign(
+            np.asarray([p[0]]), np.asarray([p[1]]),
+            np.asarray([q[0]]), np.asarray([q[1]]),
+            np.asarray([r[0]]), np.asarray([r[1]]),
+        )[0]
+
+    d1, d2 = s(b1, b2, a1), s(b1, b2, a2)
+    d3, d4 = s(a1, a2, b1), s(a1, a2, b2)
+    if d1 != d2 and d3 != d4:
+        return True
+    for p, q, r, dd in ((b1, b2, a1, d1), (b1, b2, a2, d2), (a1, a2, b1, d3), (a1, a2, b2, d4)):
+        if dd == 0 and (
+            min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+            and min(p[1], q[1]) <= r[1] <= max(p[1], q[1])
+        ):
+            return True
+    return False
+
+
+def _tri_contains(a, b, c, p) -> bool:
+    """Strict interior containment (geo Triangle::contains semantics)."""
+    from .pip import orient2d_sign
+
+    def s(u, v, w):
+        return orient2d_sign(
+            np.asarray([u[0]]), np.asarray([u[1]]),
+            np.asarray([v[0]]), np.asarray([v[1]]),
+            np.asarray([w[0]]), np.asarray([w[1]]),
+        )[0]
+
+    d1, d2, d3 = s(a, b, p), s(b, c, p), s(c, a, p)
+    return (d1 > 0 and d2 > 0 and d3 > 0) or (d1 < 0 and d2 < 0 and d3 < 0)
+
+
+def concave_hull(points: np.ndarray, concavity: float = 2.0,
+                 length_threshold: float = 0.0) -> np.ndarray:
+    """Concave hull of a point set -> closed ring (concave_hull.rs:104;
+    ConcaveHullOptions default concavity=2.0, length_threshold=0)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    chull = convex_hull_points(pts)  # closed ring
+    if len(pts) < 4:
+        return chull
+    concavity = max(concavity, 0.0)
+    hull_pts = {(x, y) for x, y in chull[:-1]}
+    interior = [tuple(p) for p in pts if tuple(p) not in hull_pts]
+    # edge list with linked indices
+    n0 = len(chull) - 1
+    edges: list[dict] = []
+    for i in range(n0):
+        edges.append(
+            {"s": tuple(chull[i]), "e": tuple(chull[i + 1]),
+             "prev": (i - 1) % n0, "next": (i + 1) % n0}
+        )
+    from collections import deque
+
+    queue = deque(range(n0))
+    while queue:
+        ei = queue.popleft()
+        edge = edges[ei]
+        a, b = edge["s"], edge["e"]
+        length = float(np.hypot(b[0] - a[0], b[1] - a[1]))
+        if length <= length_threshold or not interior:
+            continue
+        if concavity == 0:
+            max_len = np.inf
+        else:
+            max_len = length / concavity
+        ipts = np.asarray(interior)
+        dist = _pt_seg_dist(ipts[:, 0], ipts[:, 1], a, b)
+        order = np.argsort(dist, kind="stable")
+        prev_e, next_e = edges[edge["prev"]], edges[edge["next"]]
+        checked: list[tuple] = []
+        candidate = None
+        for k in order:
+            if dist[k] > max_len:
+                break
+            p = interior[int(k)]
+            d_prev = _pt_seg_dist(np.asarray([p[0]]), np.asarray([p[1]]),
+                                  prev_e["s"], prev_e["e"])[0]
+            d_next = _pt_seg_dist(np.asarray([p[0]]), np.asarray([p[1]]),
+                                  next_e["s"], next_e["e"])[0]
+            if dist[k] >= d_prev or dist[k] >= d_next:
+                checked.append(p)
+                continue
+            # intersection check vs every current hull edge (skip shared endpoints)
+            bad = False
+            for oe in edges:
+                if oe["s"] in (a, p, b) or oe["e"] in (a, p, b):
+                    continue
+                if _segs_intersect(a, p, oe["s"], oe["e"]) or _segs_intersect(p, b, oe["s"], oe["e"]):
+                    bad = True
+                    break
+            if bad:
+                checked.append(p)
+                continue
+            excl = next((q for q in checked if _tri_contains(a, p, b, q)), None)
+            candidate = excl if excl is not None else p
+            break
+        if candidate is None:
+            continue
+        sl = float(np.hypot(candidate[0] - a[0], candidate[1] - a[1]))
+        el = float(np.hypot(b[0] - candidate[0], b[1] - candidate[1]))
+        if min(sl, el) >= max_len:
+            continue
+        interior.remove(candidate)
+        end_i = len(edges)
+        new_start = {"s": a, "e": candidate, "prev": edge["prev"], "next": end_i}
+        new_end = {"s": candidate, "e": b, "prev": ei, "next": edge["next"]}
+        edges[ei] = new_start
+        edges.append(new_end)
+        queue.append(ei)
+        queue.append(end_i)
+    # order the ring
+    out = [edges[0]["s"]]
+    cur = 0
+    for _ in range(len(edges)):
+        out.append(edges[cur]["e"])
+        cur = edges[cur]["next"]
+    return np.asarray(out, dtype=np.float64)

@@ -197,3 +197,139 @@ def segmentize(coords: np.ndarray, n: int) -> np.ndarray:
 
     out = [line_interpolate_point(coords, i / n) for i in range(n + 1)]
     return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# rhumb destination / intermediate / length (rhumb/{destination,
+# intermediate,length}.rs — RhumbCalculations at rhumb/mod.rs:32-135)
+# ---------------------------------------------------------------------------
+
+
+def _rhumb_calc(lon1, lat1, lon2, lat2):
+    """(theta, delta) of the rhumb line (mod.rs:42-85), vectorized."""
+    phi1, phi2 = np.radians(lat1), np.radians(lat2)
+    dlam = np.radians(np.subtract(lon2, lon1))
+    dlam = np.where(dlam > np.pi, dlam - 2 * np.pi, dlam)
+    dlam = np.where(dlam < -np.pi, dlam + 2 * np.pi, dlam)
+    dpsi = np.log(np.tan(phi2 / 2 + np.pi / 4) / np.tan(phi1 / 2 + np.pi / 4))
+    dphi = phi2 - phi1
+    theta = np.arctan2(dlam, dpsi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.where(np.abs(dpsi) > 10.0e-12, dphi / dpsi, np.cos(phi1))
+    delta = np.sqrt(dphi * dphi + q * q * dlam * dlam)
+    return theta, delta
+
+
+def _rhumb_dest_from(delta, lambda1, phi1, theta):
+    """rhumb/mod.rs:135-176 calculate_destination, vectorized; delta in
+    radians of arc, angles in radians.  Returns (lon2_deg, lat2_deg)."""
+    dphi = delta * np.cos(theta)
+    phi2 = phi1 + dphi
+    phi2 = np.where(np.abs(phi2) > np.pi / 2,
+                    np.where(phi2 > 0, np.pi - phi2, -np.pi - phi2), phi2)
+    dpsi = np.log(np.tan(phi2 / 2 + np.pi / 4) / np.tan(phi1 / 2 + np.pi / 4))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.where(np.abs(dpsi) > 10.0e-12, dphi / dpsi, np.cos(phi1))
+    dlam = (delta * np.sin(theta)) / q
+    lam2 = lambda1 + dlam
+    lon2 = np.degrees(lam2)
+    lon2 = ((lon2 + 540.0) % 360.0) - 180.0  # normalize_longitude
+    return lon2, np.degrees(phi2)
+
+
+def rhumb_destination(lon, lat, bearing_deg, distance_m):
+    """Destination travelling distance along the loxodrome at constant
+    bearing (rhumb/destination.rs doc golden matched to 1e-12)."""
+    delta = np.asarray(distance_m, dtype=np.float64) / MEAN_EARTH_RADIUS
+    theta = np.radians(np.asarray(bearing_deg, dtype=np.float64))
+    return _rhumb_dest_from(
+        delta, np.radians(np.asarray(lon, dtype=np.float64)),
+        np.radians(np.asarray(lat, dtype=np.float64)), theta
+    )
+
+
+def rhumb_intermediate(lon1, lat1, lon2, lat2, fraction):
+    """Point at the given fraction along the rhumb line
+    (rhumb/intermediate.rs)."""
+    theta, delta = _rhumb_calc(lon1, lat1, lon2, lat2)
+    return _rhumb_dest_from(
+        np.asarray(fraction, dtype=np.float64) * delta,
+        np.radians(np.asarray(lon1, dtype=np.float64)),
+        np.radians(np.asarray(lat1, dtype=np.float64)),
+        theta,
+    )
+
+
+def rhumb_length(x, y, offsets) -> np.ndarray:
+    """Per-linestring loxodrome length (rhumb/length.rs): sum of
+    per-segment rhumb distances over ragged coords."""
+    if len(x) == 0:
+        return np.zeros(max(len(offsets) - 1, 0))
+    seg = rhumb_distance(x[:-1], y[:-1], x[1:], y[1:])
+    # zero out the joints between consecutive linestrings
+    n_lines = len(offsets) - 1
+    out = np.zeros(n_lines)
+    for i in range(n_lines):
+        lo, hi = offsets[i], offsets[i + 1]
+        if hi - lo >= 2:
+            out[i] = seg[lo : hi - 1].sum()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# haversine closest point (haversine_closest_point.rs:81-178)
+# ---------------------------------------------------------------------------
+
+
+def haversine_closest_point(qlon, qlat, x, y, offsets=None):
+    """Closest point on a polyline to each query point, great-circle
+    semantics (haversine_closest_point.rs: cross-track projection when
+    both course differences face inward, else nearest endpoint).
+
+    qlon/qlat: query arrays.  x/y: polyline coords (single line when
+    offsets is None).  Returns (cx, cy, dist_m)."""
+    qlon = np.asarray(qlon, dtype=np.float64)
+    qlat = np.asarray(qlat, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if offsets is None:
+        offsets = np.asarray([0, len(x)], dtype=np.int64)
+    # build segment arrays (skip joints)
+    s1x, s1y, s2x, s2y = [], [], [], []
+    for i in range(len(offsets) - 1):
+        lo, hi = offsets[i], offsets[i + 1]
+        s1x.append(x[lo : hi - 1])
+        s1y.append(y[lo : hi - 1])
+        s2x.append(x[lo + 1 : hi])
+        s2y.append(y[lo + 1 : hi])
+    ax, ay = np.concatenate(s1x), np.concatenate(s1y)
+    bx, by = np.concatenate(s2x), np.concatenate(s2y)
+    n_q, n_s = len(qlon), len(ax)
+    # (query, segment) expansion
+    QX, QY = qlon[:, None], qlat[:, None]
+    crs_ad = np.radians(haversine_bearing(ax[None, :], ay[None, :], QX, QY))
+    crs_ab = np.radians(haversine_bearing(ax[None, :], ay[None, :], bx[None, :], by[None, :]))
+    crs_ba = np.radians(haversine_bearing(bx[None, :], by[None, :], ax[None, :], ay[None, :]))
+    crs_bd = np.radians(haversine_bearing(bx[None, :], by[None, :], QX, QY))
+    d1 = haversine_distance(ax[None, :], ay[None, :], QX, QY)
+    d2 = haversine_distance(bx[None, :], by[None, :], QX, QY)
+    proj1 = np.cos(crs_ad - crs_ab)
+    proj2 = np.cos(crs_bd - crs_ba)
+    inward = (proj1 >= 0) & (proj2 >= 0)
+    with np.errstate(invalid="ignore"):
+        xtd = np.abs(np.arcsin(np.clip(np.sin(d1 / MEAN_EARTH_RADIUS) * np.sin(crs_ad - crs_ab), -1, 1)))
+        atd = MEAN_EARTH_RADIUS * np.abs(
+            np.arccos(np.clip(np.cos(d1 / MEAN_EARTH_RADIUS) / np.where(np.cos(xtd) == 0, 1, np.cos(xtd)), -1, 1))
+        )
+    # candidate per (q, seg): projection point or nearest endpoint
+    plon, plat = haversine_destination(
+        np.broadcast_to(ax[None, :], d1.shape), np.broadcast_to(ay[None, :], d1.shape),
+        np.broadcast_to(np.degrees(crs_ab), d1.shape), atd)
+    use_a = ~inward & (d1 < d2)
+    use_b = ~inward & ~(d1 < d2)
+    cx = np.where(inward, plon, np.where(use_a, ax[None, :], bx[None, :]))
+    cy = np.where(inward, plat, np.where(use_a, ay[None, :], by[None, :]))
+    dist = haversine_distance(cx, cy, QX, QY)
+    best = np.argmin(dist, axis=1)
+    rows = np.arange(n_q)
+    return cx[rows, best], cy[rows, best], dist[rows, best]

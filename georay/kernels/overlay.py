@@ -545,3 +545,18 @@ def xor_area_ratio(polys_a, polys_b) -> float:
     if denom == 0:
         return 0.0 if mp_area(polys_a) == 0 else float("inf")
     return abs(mp_area(xor)) / denom
+
+
+def stitch_triangles(tris) -> list:
+    """StitchTriangles (geo/src/algorithm/stitch.rs, 'stitch together a
+    triangle soup that shares edges'): dissolve the triangles into the
+    covered MultiPolygon.  Union semantics via the overlay engine —
+    shared-edge adjacency is exactly the degenerate case the fragment
+    classifier handles (stacked boundaries cancel)."""
+    pieces = []
+    for t in tris:
+        t = np.asarray(t, dtype=np.float64)
+        if not np.array_equal(t[0], t[-1]):
+            t = np.vstack([t, t[:1]])
+        pieces.append([t])
+    return unary_union(pieces)

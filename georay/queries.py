@@ -1650,3 +1650,221 @@ def relate_line_poly(sf_dir: str):
 
 
 QUERIES["relate_line_poly"] = relate_line_poly
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth: rhumb destination, segment crossings, stitch, vwp,
+# haversine closest point, concave hull
+# ---------------------------------------------------------------------------
+
+RHUMB_DEST_MOD = 10
+
+
+def rhumb_dest_pts(sf_dir: str):
+    """Rhumb destination per sampled point (rhumb/destination.rs):
+    bearing and distance derived deterministically from the point's own
+    coordinates; the SQL oracle replays the loxodrome math."""
+    from .kernels import measures as M
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id").to_pylist()
+        idx = np.asarray([int(i[4:]) % RHUMB_DEST_MOD == 0 for i in ids])
+        sub = b.filter(pa.array(idx))
+        lon = sub.column("lon").to_numpy(zero_copy_only=False)
+        lat = sub.column("lat").to_numpy(zero_copy_only=False)
+        brg = (lat + 90.0) * 2.0 % 360.0
+        dist = 50000.0 + (lon + 180.0) * 500.0
+        lon2, lat2 = M.rhumb_destination(lon, lat, brg, dist)
+        return pa.table(
+            {
+                "image_id": sub.column("image_id"),
+                "dest_lon": pa.array(np.round(lon2, 6)),
+                "dest_lat": pa.array(np.round(lat2, 6)),
+            }
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def segment_crossings(sf_dir: str):
+    """All proper crossings between exterior-ring segments of DIFFERENT
+    polygons via the cell-partitioned sweep (georay/sweep.py — the
+    reference's sweep/Intersections surface).  SQL oracle: exhaustive
+    self-join with the same crossing predicate."""
+    from . import sweep as gsweep
+
+    def to_segs(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        ids, x1, y1, x2, y2 = [], [], [], [], []
+        for r in range(len(layer.ring_poly)):
+            if layer.ring_is_hole[r]:
+                continue
+            pid = layer.poly_ids[layer.ring_poly[r]]
+            lo, hi = layer.ring_offsets[r], layer.ring_offsets[r + 1]
+            for k in range(hi - lo - 1):
+                ids.append(f"{pid}#{k:04d}")
+                x1.append(layer.coords[lo + k, 0])
+                y1.append(layer.coords[lo + k, 1])
+                x2.append(layer.coords[lo + k + 1, 0])
+                y2.append(layer.coords[lo + k + 1, 1])
+        return pa.table(
+            {
+                "seg_id": pa.array(ids, pa.string()),
+                "x1": pa.array(x1, pa.float64()),
+                "y1": pa.array(y1, pa.float64()),
+                "x2": pa.array(x2, pa.float64()),
+                "y2": pa.array(y2, pa.float64()),
+            }
+        )
+
+    segs = _polygons_ds(sf_dir).map_batches(to_segs, batch_format="pyarrow")
+    pairs = gsweep.segment_intersections(segs, res=6)
+
+    def fin(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_pylist()
+        b2 = t.column("b").to_pylist()
+        keep = np.asarray([x.split("#")[0] != y.split("#")[0] for x, y in zip(a, b2)])
+        sub = t.filter(pa.array(keep)) if len(t) else t
+        return pa.table(
+            {
+                "a": sub.column("a"),
+                "b": sub.column("b"),
+                "ix": pa.array(np.round(sub.column("ix").to_numpy(zero_copy_only=False), 6)),
+                "iy": pa.array(np.round(sub.column("iy").to_numpy(zero_copy_only=False), 6)),
+            }
+        )
+
+    return pairs.map_batches(fin, batch_format="pyarrow")
+
+
+def stitch_area(sf_dir: str):
+    """Earcut-triangulate every exterior ring, then StitchTriangles
+    (stitch.rs semantics via the overlay engine) and report the
+    reassembled area — the SQL oracle is the plain shoelace, so the
+    triangulate->stitch roundtrip is hash-gated."""
+    from .kernels import overlay as govl
+    from .kernels.clip import triangulate_earcut
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        ids, areas = [], []
+        for p in range(len(layer.poly_ids)):
+            r0 = layer.poly_ring_offsets[p]
+            ring = layer.coords[layer.ring_offsets[r0] : layer.ring_offsets[r0 + 1]]
+            tris = [ring[[i, j, k]] for i, j, k in triangulate_earcut(ring)]
+            polys = govl.stitch_triangles(tris)
+            ids.append(layer.poly_ids[p])
+            areas.append(govl.mp_area(polys))
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids, pa.string()),
+                "stitched_area": pa.array(np.round(np.asarray(areas), 6)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def vwp_simplify(sf_dir: str):
+    """SimplifyVwPreserve over every polygon (simplify_vw.rs vwp_wrapper
+    port): counts before/after + simplicity of the result (rows-only;
+    pytest-gated on the reference's goldens)."""
+    from .kernels.simplify import simplify_vw_preserve_polygon
+    from .kernels.validation import _ring_self_intersects
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        ids, nb, na, simple = [], [], [], []
+        for p in range(len(layer.poly_ids)):
+            rings = [
+                layer.coords[layer.ring_offsets[r] : layer.ring_offsets[r + 1]]
+                for r in range(layer.poly_ring_offsets[p], layer.poly_ring_offsets[p + 1])
+            ]
+            out = simplify_vw_preserve_polygon(rings, epsilon=0.05)
+            ids.append(layer.poly_ids[p])
+            nb.append(sum(len(r) for r in rings))
+            na.append(sum(len(r) for r in out))
+            simple.append(not any(_ring_self_intersects(r) for r in out))
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids, pa.string()),
+                "n_before": pa.array(nb, pa.int64()),
+                "n_after": pa.array(na, pa.int64()),
+                "stays_simple": pa.array(simple, pa.bool_()),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+HCP_LINE = ((-120.0, -30.0), (0.0, 10.0), (120.0, -20.0))
+
+
+def hav_closest_line(sf_dir: str):
+    """HaversineClosestPoint of every sampled point to a fixed 2-segment
+    polyline (haversine_closest_point.rs; rows-only — pytest gates the
+    kernel against the reference's branch semantics)."""
+    from .kernels import measures as M
+
+    lx = np.asarray([p[0] for p in HCP_LINE])
+    ly = np.asarray([p[1] for p in HCP_LINE])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id").to_pylist()
+        idx = np.asarray([int(i[4:]) % RHUMB_DEST_MOD == 0 for i in ids])
+        sub = b.filter(pa.array(idx))
+        lon = sub.column("lon").to_numpy(zero_copy_only=False)
+        lat = sub.column("lat").to_numpy(zero_copy_only=False)
+        cx, cy, d = M.haversine_closest_point(lon, lat, lx, ly)
+        return pa.table(
+            {
+                "image_id": sub.column("image_id"),
+                "cx": pa.array(np.round(cx, 6)),
+                "cy": pa.array(np.round(cy, 6)),
+                "dist_m": pa.array(np.round(d, 3)),
+            }
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def concave_hull_stats(sf_dir: str):
+    """ConcaveHull (concavity param, concave_hull.rs:104) of a sampled
+    point set at two concavities (rows-only; doc goldens pytest-gated)."""
+    from . import oracle as gor
+    from .kernels.hull import concave_hull
+
+    pts = (
+        _points(sf_dir)
+        .map_batches(
+            lambda t: t.filter(
+                pa.array(np.asarray([int(i[4:]) % 40 == 0 for i in t.column("image_id").to_pylist()]))
+            ).select(["lon", "lat"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    xy = pts[["lon", "lat"]].to_numpy()
+    rows = []
+    for conc in (1.0, 2.0, 5.0):
+        h = concave_hull(xy, concavity=conc)
+        rows.append((conc, len(h) - 1, round(abs(gor.signed_area([h])), 6)))
+    return pa.table(
+        {
+            "concavity": pa.array([r[0] for r in rows], pa.float64()),
+            "n_vertices": pa.array([r[1] for r in rows], pa.int64()),
+            "area": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+QUERIES.update(
+    {
+        "rhumb_dest_pts": rhumb_dest_pts,
+        "segment_crossings": segment_crossings,
+        "stitch_area": stitch_area,
+        "vwp_simplify": vwp_simplify,
+        "hav_closest_line": hav_closest_line,
+        "concave_hull_stats": concave_hull_stats,
+    }
+)

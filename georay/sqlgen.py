@@ -831,3 +831,80 @@ def q_relate_line_poly(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["relate_line_poly"] = q_relate_line_poly
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth oracles
+# ---------------------------------------------------------------------------
+
+RHUMB_DEST_MOD = 10
+
+
+def q_rhumb_dest_pts(sf_dir: str) -> str:
+    """Loxodrome destination (rhumb/mod.rs:135-176 calculate_destination)
+    replayed in SQL: bearing/distance derived from the point's coords."""
+    R = 6371008.8
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"inp AS (SELECT image_id, radians(lon) AS lam1, radians(lat) AS phi1, "
+        f"  radians((lat + 90.0) * 2.0 % 360.0) AS theta, "
+        f"  (50000.0 + (lon + 180.0) * 500.0) / {R!r} AS delta "
+        f"  FROM pts WHERE CAST(substr(image_id, 5) AS BIGINT) % {RHUMB_DEST_MOD} = 0), "
+        f"s1 AS (SELECT *, delta * cos(theta) AS dphi, phi1 + delta * cos(theta) AS phi2r FROM inp), "
+        f"s2 AS (SELECT *, CASE WHEN abs(phi2r) > pi() / 2 THEN "
+        f"  CASE WHEN phi2r > 0 THEN pi() - phi2r ELSE -pi() - phi2r END ELSE phi2r END AS phi2 FROM s1), "
+        f"s3 AS (SELECT *, ln(tan(phi2 / 2 + pi() / 4) / tan(phi1 / 2 + pi() / 4)) AS dpsi FROM s2), "
+        f"s4 AS (SELECT *, CASE WHEN abs(dpsi) > 10.0e-12 THEN dphi / dpsi ELSE cos(phi1) END AS q FROM s3), "
+        f"s5 AS (SELECT image_id, phi2, lam1 + (delta * sin(theta)) / q AS lam2 FROM s4) "
+        f"SELECT image_id, "
+        f"round((degrees(lam2) + 540.0) % 360.0 - 180.0, 6) AS dest_lon, "
+        f"round(degrees(phi2), 6) AS dest_lat FROM s5"
+    )
+
+
+def q_segment_crossings(sf_dir: str) -> str:
+    """Exhaustive self-join crossing oracle for the cell-partitioned
+    sweep: proper crossings between exterior segments of DIFFERENT
+    polygons, intersection point from the lexicographically smaller
+    segment's parametrization (rounded past either side's float noise)."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH s AS (SELECT polygon_id || '#' || lpad(seg_idx::VARCHAR, 4, '0') AS sid, "
+        f"  polygon_id, x1, y1, x2, y2 FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"pairs AS (SELECT a.sid AS a, b.sid AS b, "
+        f"  a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2, "
+        f"  b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2 "
+        f"  FROM s a JOIN s b ON a.sid < b.sid AND a.polygon_id <> b.polygon_id), "
+        f"x AS (SELECT *, "
+        f"  (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) AS d1, "
+        f"  (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) AS d2, "
+        f"  (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) AS d3, "
+        f"  (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) AS d4 "
+        f"  FROM pairs), "
+        f"hit AS (SELECT * FROM x WHERE d1 * d2 < 0 AND d3 * d4 < 0), "
+        f"pt AS (SELECT a, b, "
+        f"  ((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / "
+        f"  ((ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1)) AS t, "
+        f"  ax1, ay1, ax2, ay2 FROM hit) "
+        f"SELECT a, b, round(ax1 + t * (ax2 - ax1), 6) AS ix, "
+        f"round(ay1 + t * (ay2 - ay1), 6) AS iy FROM pt"
+    )
+
+
+def q_stitch_area(sf_dir: str) -> str:
+    """Triangulate->stitch roundtrip must reproduce the exterior ring's
+    shoelace area exactly (up to rounding)."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, round(abs(sum(x1 * y2 - x2 * y1)) / 2.0, 6) AS stitched_area "
+        f"FROM read_parquet('{segs}') WHERE ring_idx = 0 GROUP BY polygon_id"
+    )
+
+
+ORACLE_BUILDERS.update(
+    {
+        "rhumb_dest_pts": q_rhumb_dest_pts,
+        "segment_crossings": q_segment_crossings,
+        "stitch_area": q_stitch_area,
+    }
+)

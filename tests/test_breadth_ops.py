@@ -1,0 +1,167 @@
+"""Round-2 breadth fills: rhumb destination/intermediate/length,
+haversine closest point, SimplifyVwPreserve, ConcaveHull(concavity),
+StitchTriangles, cell-partitioned segment intersections."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay.kernels import measures as M
+from georay.kernels import overlay as ov
+from georay.kernels.hull import concave_hull
+from georay.kernels.simplify import simplify_vw_preserve_indices, simplify_vw_preserve_polygon
+
+
+def test_rhumb_destination_reference_goldens():
+    """rhumb/destination.rs doc test, matched exactly (assert_eq there)."""
+    lon2, lat2 = M.rhumb_destination(9.177789688110352, 48.776781529534965, 45.0, 10000.0)
+    assert abs(lon2 - 9.274348757829898) < 1e-12
+    assert abs(lat2 - 48.84037308229984) < 1e-12
+    # roundtrip: distance back is the travelled distance (epsilon 1e-6)
+    d = M.rhumb_distance(9.177789688110352, 48.776781529534965, lon2, lat2)
+    assert abs(d - 10000.0) < 1e-6
+    # bearing zero is due north
+    lon3, lat3 = M.rhumb_destination(0.0, 0.0, 0.0, 111_195.0)
+    assert abs(lon3) < 1e-9 and lat3 > 0.99
+
+
+def test_rhumb_intermediate_reference_goldens():
+    """rhumb/intermediate.rs doc test (epsilon 0.2)."""
+    for f, ex, ey in [(0.2, 32.7, 21.0), (0.5, 67.0, 22.5), (0.8, 101.7, 24.0)]:
+        ix, iy = M.rhumb_intermediate(10.0, 20.0, 125.0, 25.0, f)
+        assert abs(ix - ex) < 0.2 and abs(iy - ey) < 0.2
+
+
+def test_rhumb_length_is_sum_of_segments():
+    x = np.array([10.0, 20.0, 30.0])
+    y = np.array([40.0, 45.0, 42.0])
+    L = M.rhumb_length(x, y, np.array([0, 3]))
+    want = M.rhumb_distance(10, 40, 20, 45) + M.rhumb_distance(20, 45, 30, 42)
+    assert abs(L[0] - want) < 1e-9
+
+
+def test_haversine_closest_point_cases():
+    """haversine_closest_point.rs semantics: projection inside the arc,
+    endpoint snap outside it, intersection when on the line."""
+    line_x = np.array([0.0, 10.0])
+    line_y = np.array([0.0, 0.0])
+    cx, cy, d = M.haversine_closest_point([5.0], [2.0], line_x, line_y)
+    assert abs(cx[0] - 5.0) < 0.01 and abs(cy[0]) < 0.01
+    cx, cy, d = M.haversine_closest_point([15.0], [2.0], line_x, line_y)
+    assert abs(cx[0] - 10.0) < 1e-9 and abs(cy[0]) < 1e-9
+    cx, cy, d = M.haversine_closest_point([5.0], [0.0], line_x, line_y)
+    assert d[0] < 1.0
+    # multi-segment polyline picks the globally closest segment
+    px = np.array([0.0, 10.0, 10.0])
+    py = np.array([0.0, 0.0, 10.0])
+    cx, cy, d = M.haversine_closest_point([11.0, 1.0], [8.0, 1.0], px, py)
+    assert abs(cx[0] - 10.0) < 0.05  # right vertical segment
+    assert abs(cy[1]) < 0.05  # bottom horizontal segment
+
+
+def test_simplify_vw_preserve_reference_golden():
+    """simplify_vw.rs simple_vwp_test: removing point 2 would
+    self-intersect, so point 1 goes too -> indices (0,3,4,5,6,7)."""
+    ls = np.array(
+        [(10., 60.), (135., 68.), (94., 48.), (126., 31.),
+         (280., 19.), (117., 48.), (300., 40.), (301., 10.)]
+    )
+    assert simplify_vw_preserve_indices([ls], 668.6)[0] == [0, 3, 4, 5, 6, 7]
+
+
+def test_simplify_vw_preserve_polygon_stays_simple():
+    """A star polygon at aggressive epsilon must remain non-self-
+    intersecting (the guarantee plain VW lacks)."""
+    from georay.kernels.validation import _ring_self_intersects
+
+    rs = np.random.RandomState(5)
+    th = np.linspace(0, 2 * np.pi, 41)[:-1]
+    r = np.where(np.arange(40) % 2 == 0, 10.0, 4.0 + rs.rand(40))
+    ring = np.column_stack([r * np.cos(th), r * np.sin(th)])
+    ring = np.vstack([ring, ring[:1]])
+    out = simplify_vw_preserve_polygon([ring], epsilon=18.0)[0]
+    assert len(out) < len(ring)
+    assert not _ring_self_intersects(out)
+
+
+def test_concave_hull_reference_doc_goldens():
+    """concave_hull.rs doc tests (exact vertex sets)."""
+    pts = np.array([(0.0, 0.0), (3.0, 0.0), (1.0, 2.0), (0.0, 4.0)])
+    h = concave_hull(pts)  # default concavity 2.0
+    assert {tuple(p) for p in h[:-1]} == {(3., 0.), (1., 2.), (0., 4.), (0., 0.)}
+    pts2 = np.array([(0.0, 0.0), (2.0, 0.0), (1.5, 1.0), (2.0, 2.0), (0.0, 2.0)])
+    h2 = concave_hull(pts2, concavity=1.0)
+    assert {tuple(p) for p in h2[:-1]} == {(2., 0.), (1.5, 1.), (2., 2.), (0., 2.), (0., 0.)}
+    assert np.array_equal(h2[0], h2[-1])
+
+
+def test_concave_hull_tightens_with_concavity():
+    """Lower concavity -> larger max_length -> tighter (smaller) hull."""
+    rs = np.random.RandomState(3)
+    pts = np.vstack([rs.uniform(0, 10, (120, 2)), rs.uniform(20, 30, (120, 2))])
+    from georay import oracle
+
+    loose = concave_hull(pts, concavity=5.0)
+    tight = concave_hull(pts, concavity=1.0)
+    a_convex = abs(oracle.signed_area([__import__("georay.kernels.hull", fromlist=["x"]).convex_hull_points(pts)]))
+    a_loose = abs(oracle.signed_area([loose]))
+    a_tight = abs(oracle.signed_area([tight]))
+    assert a_tight <= a_loose <= a_convex + 1e-9
+
+
+def test_stitch_triangles_roundtrip():
+    """Earcut-triangulate a concave polygon, stitch the soup back ->
+    one polygon with the original area (stitch.rs role)."""
+    from georay.kernels.clip import triangulate_earcut
+
+    ring = np.array(
+        [(0., 0.), (6., 0.), (6., 2.), (2., 2.), (2., 4.), (6., 4.),
+         (6., 6.), (0., 6.), (0., 0.)]
+    )
+    tris = [ring[[i, j, k]] for i, j, k in triangulate_earcut(ring)]
+    polys = ov.stitch_triangles(tris)
+    from georay import oracle
+
+    want = abs(oracle.signed_area([ring]))
+    assert abs(ov.mp_area(polys) - want) < 1e-9
+    assert len(polys) == 1
+
+
+def test_segment_intersections_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from georay.sweep import segment_intersections
+
+    rs = np.random.RandomState(11)
+    n = 120
+    x1, y1 = rs.uniform(-50, 50, n), rs.uniform(-30, 30, n)
+    ang = rs.uniform(0, 2 * np.pi, n)
+    ln = rs.uniform(5, 25, n)
+    x2, y2 = x1 + ln * np.cos(ang), y1 + ln * np.sin(ang)
+    t = pa.table(
+        {
+            "seg_id": pa.array([f"s{i:04d}" for i in range(n)]),
+            "x1": pa.array(x1), "y1": pa.array(y1),
+            "x2": pa.array(x2), "y2": pa.array(y2),
+        }
+    )
+    got = segment_intersections(rd.from_arrow(t), res=5).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    # brute force with the same exact predicate
+    from georay.kernels.pip import orient2d_sign
+
+    def sgn(ax, ay, bx, by, px, py):
+        return orient2d_sign(np.asarray([ax]), np.asarray([ay]), np.asarray([bx]),
+                             np.asarray([by]), np.asarray([px]), np.asarray([py]))[0]
+
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            d1 = sgn(x1[j], y1[j], x2[j], y2[j], x1[i], y1[i])
+            d2 = sgn(x1[j], y1[j], x2[j], y2[j], x2[i], y2[i])
+            d3 = sgn(x1[i], y1[i], x2[i], y2[i], x1[j], y1[j])
+            d4 = sgn(x1[i], y1[i], x2[i], y2[i], x2[j], y2[j])
+            if 0 not in (d1, d2, d3, d4) and d1 != d2 and d3 != d4:
+                want.add((f"s{i:04d}", f"s{j:04d}"))
+    assert got_pairs == want
+    assert len(want) > 20  # the test actually exercises crossings
