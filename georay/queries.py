@@ -1868,3 +1868,45 @@ QUERIES.update(
         "concave_hull_stats": concave_hull_stats,
     }
 )
+
+
+def tile_clip_sum(sf_dir: str):
+    """Area conservation of the raster<->vector tile clip: per polygon,
+    the Sutherland-Hodgman clipped tile pieces must sum back to the
+    exterior ring's area — the SQL oracle is the plain shoelace, so
+    every clip boundary case is hash-gated."""
+    from . import tiles as gtiles
+    from .kernels import clip as kclip
+    from .oracle import signed_area as _sarea
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        n = 1 << TILE_RES
+        ids, sums = [], []
+        for p in range(layer.num_polys):
+            ring = layer.poly_rings(p)[0]
+            total = 0.0
+            for t in gtiles.tiles_for_bbox(*layer.bbox[p], TILE_RES):
+                ty, tx = divmod(int(t), n)
+                rect = (
+                    tx * 360.0 / n - 180.0,
+                    ty * 180.0 / n - 90.0,
+                    (tx + 1) * 360.0 / n - 180.0,
+                    (ty + 1) * 180.0 / n - 90.0,
+                )
+                c = kclip.clip_ring_to_rect(ring, *rect)
+                if len(c):
+                    total += abs(_sarea([c]))
+            ids.append(layer.poly_ids[p])
+            sums.append(total)
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids, pa.string()),
+                "clip_area_sum": pa.array(np.round(sums, 6)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["tile_clip_sum"] = tile_clip_sum

@@ -908,3 +908,66 @@ ORACLE_BUILDERS.update(
         "stitch_area": q_stitch_area,
     }
 )
+
+
+def q_interior_points(sf_dir: str) -> str:
+    """Replay of the deterministic scanline rule (interior_point.rs /
+    kernels.more.interior_point): y = bbox-mid over ALL rings, crossing
+    xs sorted; sorted-order parity makes every odd-indexed gap interior,
+    so the answer is the midpoint of the WIDEST odd gap (first wins)."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH ym AS (SELECT polygon_id, "
+        f"  (least(min(y1), min(y2)) + greatest(max(y1), max(y2))) / 2.0 AS y FROM read_parquet('{segs}') "
+        f"  GROUP BY polygon_id), "
+        f"xc AS (SELECT s.polygon_id, ym.y, "
+        f"  s.x1 + (ym.y - s.y1) / (s.y2 - s.y1) * (s.x2 - s.x1) AS x "
+        f"  FROM read_parquet('{segs}') s JOIN ym ON s.polygon_id = ym.polygon_id "
+        f"  WHERE (s.y1 <= ym.y AND s.y2 > ym.y) OR (s.y2 <= ym.y AND s.y1 > ym.y)), "
+        f"ordered AS (SELECT polygon_id, y, x, "
+        f"  row_number() OVER (PARTITION BY polygon_id ORDER BY x) AS rn FROM xc), "
+        f"gaps AS (SELECT a.polygon_id, a.y, (a.x + b.x) / 2.0 AS mx, b.x - a.x AS w "
+        f"  FROM ordered a JOIN ordered b ON a.polygon_id = b.polygon_id AND b.rn = a.rn + 1 "
+        f"  WHERE a.rn % 2 = 1), "
+        f"best AS (SELECT polygon_id, y, mx, "
+        f"  row_number() OVER (PARTITION BY polygon_id ORDER BY w DESC, mx ASC) AS pick FROM gaps) "
+        f"SELECT polygon_id, round(mx, 9) AS x, round(y, 9) AS y FROM best WHERE pick = 1"
+    )
+
+
+def q_mrr_area(sf_dir: str) -> str:
+    """MinimumRotatedRect area oracle: the optimal direction aligns with
+    a convex-hull edge, and every hull edge joins two polygon vertices,
+    so min over ALL vertex-pair directions of the rotated-extent product
+    reaches the same minimum (rotating calipers reaches a subset)."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH v AS (SELECT DISTINCT polygon_id, x1 AS x, y1 AS y "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"d AS (SELECT a.polygon_id, "
+        f"  (b.x - a.x) / sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) AS nx, "
+        f"  (b.y - a.y) / sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) AS ny "
+        f"  FROM v a JOIN v b ON a.polygon_id = b.polygon_id "
+        f"    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))), "
+        f"proj AS (SELECT d.polygon_id, d.nx, d.ny, "
+        f"  (max(v.x * d.nx + v.y * d.ny) - min(v.x * d.nx + v.y * d.ny)) * "
+        f"  (max(-v.x * d.ny + v.y * d.nx) - min(-v.x * d.ny + v.y * d.nx)) AS area "
+        f"  FROM d JOIN v ON v.polygon_id = d.polygon_id GROUP BY d.polygon_id, d.nx, d.ny) "
+        f"SELECT polygon_id, round(min(area), 6) AS mrr_area FROM proj GROUP BY polygon_id"
+    )
+
+
+ORACLE_BUILDERS.update(
+    {"interior_points": q_interior_points, "mrr_area": q_mrr_area}
+)
+
+
+def q_tile_clip_sum(sf_dir: str) -> str:
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"SELECT polygon_id, round(abs(sum(x1 * y2 - x2 * y1)) / 2.0, 6) AS clip_area_sum "
+        f"FROM read_parquet('{segs}') WHERE ring_idx = 0 GROUP BY polygon_id"
+    )
+
+
+ORACLE_BUILDERS["tile_clip_sum"] = q_tile_clip_sum
