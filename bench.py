@@ -82,6 +82,30 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         if hasattr(res, "to_pandas"):
             res.to_pandas()
         times[name] = round(time.time() - t0, 3)
+
+    # knn_full at bench scale (round-2 agenda #9): exact self-kNN of a
+    # multi-million-point slice through the cell+halo certified plan —
+    # wall-time + rows/s recorded; resolution via pick_resolution
+    n_knn = int(os.environ.get("GEORAY_KNN_FULL_POINTS", "4000000"))
+    if n_knn:
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from georay import datagen, join, knn
+
+        pts_path = datagen.ensure_bench_points(n_knn)
+        ds = (
+            rd.read_parquet(pts_path, columns=["image_id", "phash"])
+            .map_batches(join.add_lonlat, batch_format="pyarrow")
+            .map_batches(lambda t: t.select(["image_id", "lon", "lat"]), batch_format="pyarrow")
+        )
+        t0 = time.time()
+        res = knn.knn_full(ds, k=5, n_points=n_knn)
+        n_rows = res.count()
+        dt = time.time() - t0
+        times[f"knn_full_{n_knn // 1000000}m"] = round(dt, 3)
+        times["knn_full_rows_per_sec"] = round(n_knn / dt)
+        assert n_rows == n_knn * 5, (n_rows, n_knn)
     return times
 
 

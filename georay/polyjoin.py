@@ -112,3 +112,59 @@ def poly_poly_intersects(a_table: pa.Table, b_table: pa.Table, self_join: bool =
     batches = [t for t in ds.iter_batches(batch_format="pyarrow") if len(t)]
     schema = pa.schema([("a", pa.string()), ("b", pa.string())])
     return pa.concat_tables(batches) if batches else schema.empty_table()
+
+
+def poly_poly_intersects_shuffle(a_ds, b_ds, res: int = 4, self_join: bool = False):
+    """Two-LARGE-layer plan (the round-1 agenda's cell-co-shuffle
+    variant): neither side broadcasts — each polygon row replicates to
+    every grid cell its bbox overlaps, the two sides meet in
+    ``groupby(cell)``, candidate pairs run the same exact intersects
+    decision procedure, and a ``groupby(a, b)`` dedups pairs found in
+    several shared cells.  Output matches poly_poly_intersects."""
+    from .sweep import _cells_for_bbox
+
+    def rep(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            minx = t.column("minx").to_numpy(zero_copy_only=False)
+            miny = t.column("miny").to_numpy(zero_copy_only=False)
+            maxx = t.column("maxx").to_numpy(zero_copy_only=False)
+            maxy = t.column("maxy").to_numpy(zero_copy_only=False)
+            cells, rows = _cells_for_bbox(minx, miny, maxx, maxy, res)
+            take = pa.array(rows, pa.int64())
+            out = t.take(take)
+            return out.append_column("cell", pa.array(cells)).append_column(
+                "side", pa.array([side] * len(cells), pa.string())
+            )
+
+        return f
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("side").to_pylist(), dtype=object)
+        am = side == "a"
+        at = g.filter(pa.array(am)).drop_columns(["cell", "side"])
+        bt = g.filter(pa.array(~am)).drop_columns(["cell", "side"])
+        if len(at) == 0 or len(bt) == 0:
+            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        layer_a = PolygonLayer.from_arrow(at)
+        layer_b = PolygonLayer.from_arrow(bt)
+        out_a, out_b = [], []
+        for ia in range(layer_a.num_polys):
+            abb = layer_a.bbox[ia]
+            aid = str(layer_a.poly_ids[ia])
+            for ib in range(layer_b.num_polys):
+                bid = str(layer_b.poly_ids[ib])
+                if self_join and aid >= bid:
+                    continue
+                bbb = layer_b.bbox[ib]
+                if abb[0] > bbb[2] or abb[2] < bbb[0] or abb[1] > bbb[3] or abb[3] < bbb[1]:
+                    continue
+                if polygons_intersect(layer_a, ia, layer_b, ib):
+                    out_a.append(aid)
+                    out_b.append(bid)
+        return pa.table({"a": pa.array(out_a, pa.string()), "b": pa.array(out_b, pa.string())})
+
+    unioned = a_ds.map_batches(rep("a"), batch_format="pyarrow").union(
+        b_ds.map_batches(rep("b"), batch_format="pyarrow")
+    )
+    pairs = unioned.groupby("cell").map_groups(group_pairs, batch_format="pyarrow")
+    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")

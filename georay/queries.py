@@ -1910,3 +1910,18 @@ def tile_clip_sum(sf_dir: str):
 
 
 QUERIES["tile_clip_sum"] = tile_clip_sum
+
+
+def poly_intersect_pairs_shuffle(sf_dir: str):
+    """Same self-join as poly_intersect_pairs but via the two-large-layer
+    cell-co-shuffle plan (polyjoin.poly_poly_intersects_shuffle) — same
+    SQL oracle gates both plans."""
+    from . import polyjoin
+
+    ds = _polygons_ds(sf_dir)
+    out = polyjoin.poly_poly_intersects_shuffle(ds, _polygons_ds(sf_dir), res=4, self_join=True)
+    df = out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table({"a": pa.array(df["a"], pa.string()), "b": pa.array(df["b"], pa.string())})
+
+
+QUERIES["poly_intersect_pairs_shuffle"] = poly_intersect_pairs_shuffle

@@ -971,3 +971,5 @@ def q_tile_clip_sum(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["tile_clip_sum"] = q_tile_clip_sum
+
+ORACLE_BUILDERS["poly_intersect_pairs_shuffle"] = q_poly_intersect_pairs
