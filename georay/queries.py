@@ -1925,3 +1925,32 @@ def poly_intersect_pairs_shuffle(sf_dir: str):
 
 
 QUERIES["poly_intersect_pairs_shuffle"] = poly_intersect_pairs_shuffle
+
+
+def geodesic_to_hot(sf_dir: str):
+    """Karney-framework ellipsoidal geodesic distance from sampled
+    points to the hot point (kernels/geodesic.py; geodesic.rs surface).
+    Rows-only: the safeguarded-Newton inverse is not SQL-expressible;
+    pytest pins the reference's three-ellipsoid doc goldens and sub-mm
+    Vincenty agreement."""
+    from .kernels.geodesic import geodesic_distance
+    from .sqlgen import HOT_LAT, HOT_LON
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("image_id").to_pylist()
+        idx = np.asarray([int(i[4:]) % 20 == 0 for i in ids])
+        sub = b.filter(pa.array(idx))
+        lon = sub.column("lon").to_numpy(zero_copy_only=False)
+        lat = sub.column("lat").to_numpy(zero_copy_only=False)
+        d = geodesic_distance(lon, lat, np.full(len(lon), HOT_LON), np.full(len(lon), HOT_LAT))
+        return pa.table(
+            {
+                "image_id": sub.column("image_id"),
+                "geodesic_m": pa.array(np.round(d, 3)),
+            }
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["geodesic_to_hot"] = geodesic_to_hot

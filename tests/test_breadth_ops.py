@@ -165,3 +165,44 @@ def test_segment_intersections_vs_bruteforce(ray_session):
                 want.add((f"s{i:04d}", f"s{j:04d}"))
     assert got_pairs == want
     assert len(want) > 20  # the test actually exercises crossings
+
+
+# ---------------------------------------------------------------------------
+# Karney-framework geodesic (geodesic.rs / Karney 2013)
+# ---------------------------------------------------------------------------
+
+
+def test_geodesic_reference_doc_goldens():
+    """geodesic.rs:32-53 doc values: WGS84 + custom ellipsoids, matched
+    to ~1e-13 relative (exact integrals vs geographiclib's series)."""
+    from georay.kernels.geodesic import _Ellipsoid, geodesic_distance
+
+    d = geodesic_distance([23.319941], [42.698334], [24.742168], [42.136097])[0]
+    assert abs(d - 132675.5018588206) / 132675.5 < 1e-12
+    nad83 = _Ellipsoid(6378137.0, 1 / 298.257222101)
+    assert abs(nad83.inverse(23.319941, 42.698334, 24.742168, 42.136097)[0]
+               - 132675.50185928209) / 132675.5 < 1e-12
+    mars = _Ellipsoid(3396200.0, 0.00589)
+    assert abs(mars.inverse(23.319941, 42.698334, 24.742168, 42.136097)[0]
+               - 70684.36315529353) / 70684.36 < 1e-12
+
+
+def test_geodesic_vs_vincenty_and_special_cases():
+    from georay.kernels.geodesic import geodesic_distance
+    from georay.kernels.measures import vincenty_distance
+
+    rs = np.random.RandomState(7)
+    lon1, lat1 = rs.uniform(-179, 179, 20), rs.uniform(-80, 80, 20)
+    lon2, lat2 = rs.uniform(-179, 179, 20), rs.uniform(-80, 80, 20)
+    gd = geodesic_distance(lon1, lat1, lon2, lat2)
+    vd = np.array([float(vincenty_distance(a, b, c, d))
+                   for a, b, c, d in zip(lon1, lat1, lon2, lat2)])
+    assert np.abs(gd - vd).max() < 1e-3  # sub-mm agreement on WGS84
+    # nearly antipodal: converges (Vincenty's classical failure mode)
+    d_ap = geodesic_distance([0.0], [0.5], [179.7], [-0.3])[0]
+    assert 19.9e6 < d_ap < 20.05e6
+    # equatorial geodesic is exactly a * lambda
+    d_eq = geodesic_distance([0.0], [0.0], [10.0], [0.0])[0]
+    assert abs(d_eq - 6378137.0 * np.radians(10)) < 1e-6
+    # coincident
+    assert geodesic_distance([5.0], [5.0], [5.0], [5.0])[0] == 0.0
