@@ -126,7 +126,7 @@ def main() -> None:
         scaling_points = str(int(os.environ.get("GEORAY_SCALING_POINTS", "64000000")))
         lo = int(os.environ.get("GEORAY_SCALE_LO", "4"))
         hi = int(os.environ.get("GEORAY_SCALE_HI", "16"))
-        reps = int(os.environ.get("GEORAY_SCALE_REPS", "5"))
+        reps = int(os.environ.get("GEORAY_SCALE_REPS", "3"))
         use_taskset = os.environ.get("GEORAY_TASKSET", "1") != "0"
 
         def run_level(n: int) -> float:

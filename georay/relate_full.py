@@ -102,19 +102,13 @@ class _Geom:
         else:
             self.bset = set()
 
-        # 1D skeleton segments + per-segment "vertex role" of endpoints
-        p1s, p2s, self.end_roles = [], [], []
+        # 1D skeleton segments
+        p1s, p2s = [], []
         if self.dim == 1:
             for ln in self.lines:
                 for i in range(len(ln) - 1):
                     p1s.append(ln[i])
                     p2s.append(ln[i + 1])
-                    self.end_roles.append(
-                        (
-                            "B" if (ln[i, 0], ln[i, 1]) in self.bset else "I",
-                            "B" if (ln[i + 1, 0], ln[i + 1, 1]) in self.bset else "I",
-                        )
-                    )
         elif self.dim == 2:
             for rings in self.pieces:
                 for r in rings:
@@ -123,7 +117,6 @@ class _Geom:
                             continue
                         p1s.append(r[i])
                         p2s.append(r[i + 1])
-                        self.end_roles.append(("B", "B"))  # ring points are boundary
         self.s1 = np.asarray(p1s, dtype=np.float64).reshape(-1, 2)
         self.s2 = np.asarray(p2s, dtype=np.float64).reshape(-1, 2)
 
@@ -480,16 +473,6 @@ def _relate_aa(A, B, nod, am, a_on, bm, b_on) -> str:
         float(allc[:, 1].max() - allc[:, 1].min()),
     )
     delta = max(1e-7 * extent, 1e-10 * float(np.abs(allc).max()))
-
-    def side_probes(G: _Geom, nodN, side: str):
-        """(interior-side points, exterior-side points) per fragment of
-        G's own boundary."""
-        mids, _on = (am, a_on) if side == "a" else (bm, b_on)
-        segs1 = G.s1 if side == "a" else G.s1
-        # recompute fragment directions from noding (approx: use the
-        # nearest original segment direction via fragment midpoints)
-        # simpler: probe both normal directions of the local tangent
-        return mids
 
     def probes(G: _Geom, side: str):
         """interior/exterior offset points for each boundary fragment of
