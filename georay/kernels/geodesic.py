@@ -26,8 +26,10 @@ geographiclib's published doc values (geodesic.rs:32 Sofia-Plovdiv
 132675.5018588206 m on WGS84; NAD83 and Mars variants) to ~1e-12
 relative, which the tests pin.
 
-Implemented: inverse (distance + forward azimuth).  Direct /
-interpolate and GeodesicArea remain on the round-3 agenda.
+Implemented: inverse (distance + forward azimuth) and GeodesicArea
+(Green's theorem with the closed-form authalic antiderivative, edges
+integrated along the actual geodesics).  Direct / interpolate remain
+on the round-3 agenda.
 """
 
 from __future__ import annotations
@@ -209,3 +211,120 @@ def geodesic_bearing(lon1, lat1, lon2, lat2):
     for i in range(len(lon1)):
         out[i] = _WGS84.inverse(lon1[i], lat1[i], lon2[i], lat2[i])[1]
     return out
+
+
+# ---------------------------------------------------------------------------
+# GeodesicArea (geodesic_area.rs — Karney's polygon area): Green's
+# theorem on the ellipsoid.  dA = a^2(1-e^2) cos(phi)/(1-e^2 sin^2 phi)^2
+# dphi dlambda has the CLOSED-FORM antiderivative in phi
+#   F(phi) = a^2(1-e^2)/2 [ sin(phi)/(1-e^2 sin^2 phi) + atanh(e sin phi)/e ]
+# so the signed area is the boundary integral  A = ∮ F(phi) dlambda,
+# evaluated edge-by-edge ALONG THE ACTUAL GEODESIC: each edge's inverse
+# solve supplies (alpha0, k2, sigma1, sigma2); on the edge,
+#   phi(sigma)     from sin(beta) = cos(alpha0) sin(sigma),
+#   dlambda/dsigma = sin(alpha0)/(cos^2 s + sin^2 a0 sin^2 s) - f sin(alpha0) i3(s)
+# and the quadrature is exact to ~1e-13 like the distance integrals.
+# Limitation (same as the reference documents): polygons enclosing a
+# pole / larger than half the ellipsoid need the unsigned adjustment.
+# ---------------------------------------------------------------------------
+
+
+class _AreaEllipsoid(_Ellipsoid):
+    def F(self, phi):
+        e = np.sqrt(self.e2)
+        s = np.sin(phi)
+        return (self.a * self.a * (1 - self.e2) / 2.0) * (
+            s / (1 - self.e2 * s * s) + np.arctanh(e * s) / e
+        )
+
+    def edge_area(self, lon1, lat1, lon2, lat2) -> float:
+        """∫ F(phi) dlambda along the directed geodesic p1 -> p2."""
+        if lon1 == lon2 and lat1 == lat2:
+            return 0.0
+        # canonical transforms (mirror _Ellipsoid.inverse)
+        swapped = abs(lat1) < abs(lat2)
+        a_lon1, a_lat1, a_lon2, a_lat2 = (
+            (lon2, lat2, lon1, lat1) if swapped else (lon1, lat1, lon2, lat2)
+        )
+        neg = a_lat1 > 0
+        if neg:
+            a_lat1, a_lat2 = -a_lat1, -a_lat2
+        lam12 = np.radians(a_lon2 - a_lon1)
+        lam12 = (lam12 + np.pi) % (2 * np.pi) - np.pi
+        lam_sign = -1.0 if lam12 < 0 else 1.0
+        lam12 = abs(lam12)
+        if lam12 < 1e-15:
+            return 0.0  # meridional edge: dlambda == 0
+        phi1, phi2 = np.radians(a_lat1), np.radians(a_lat2)
+        beta1 = np.arctan((1 - self.f) * np.tan(phi1))
+        beta2 = np.arctan((1 - self.f) * np.tan(phi2))
+        # solve the canonical azimuth exactly as inverse() does
+        lo, hi = 1e-12, np.pi - 1e-12
+        a1 = min(max(np.arctan2(
+            np.cos(beta2) * np.sin(lam12),
+            np.cos(beta1) * np.sin(beta2) - np.sin(beta1) * np.cos(beta2) * np.cos(lam12),
+        ), lo), hi)
+        for _ in range(60):
+            lam, _ = self._lambda12_s12(beta1, beta2, a1)
+            h = lam - lam12
+            if abs(h) < 1e-14:
+                break
+            if h < 0:
+                lo = a1
+            else:
+                hi = a1
+            da = 1e-7
+            lam_p, _ = self._lambda12_s12(beta1, beta2, min(a1 + da, np.pi - 1e-13))
+            lam_m, _ = self._lambda12_s12(beta1, beta2, max(a1 - da, 1e-13))
+            dl = (lam_p - lam_m) / (2 * da)
+            nxt = a1 - h / dl if dl != 0 else (lo + hi) / 2
+            if not (lo < nxt < hi):
+                nxt = (lo + hi) / 2
+            if abs(nxt - a1) < 1e-15:
+                a1 = nxt
+                break
+            a1 = nxt
+        sa1, ca1 = np.sin(a1), np.cos(a1)
+        sb1, cb1 = np.sin(beta1), np.cos(beta1)
+        sb2, cb2 = np.sin(beta2), np.cos(beta2)
+        sa0 = sa1 * cb1
+        ca0 = np.sqrt(1 - sa0 * sa0)
+        k2 = self.ep2 * ca0 * ca0
+        sigma1 = np.arctan2(sb1, ca1 * cb1)
+        sa2 = min(max(sa0 / cb2 if cb2 > 0 else 1.0, -1.0), 1.0)
+        ca2 = np.sqrt(max(0.0, 1 - sa2 * sa2))
+        sigma2 = np.arctan2(sb2, ca2 * cb2)
+        f = self.f
+
+        def integrand(s):
+            ss, cs = np.sin(s), np.cos(s)
+            sbeta = ca0 * ss
+            cbeta = np.hypot(cs, sa0 * ss)
+            phi = np.arctan2(sbeta, (1 - f) * cbeta)
+            omega_p = sa0 / (cs * cs + sa0 * sa0 * ss * ss)
+            i3 = (2 - f) / (1 + (1 - f) * np.sqrt(1 + k2 * ss * ss))
+            return self.F(phi) * (omega_p - f * sa0 * i3)
+
+        Ic = _gl_int(integrand, float(sigma1), float(sigma2))
+        sign = lam_sign * (-1.0 if neg else 1.0) * (-1.0 if swapped else 1.0)
+        return float(sign * Ic)
+
+
+_WGS84_AREA = _AreaEllipsoid(WGS84_A, WGS84_F)
+
+
+def geodesic_area_signed(lon, lat, a: float = WGS84_A, f: float = WGS84_F) -> float:
+    """Signed ellipsoidal area of one CLOSED ring (CCW positive),
+    geodesic edges (geodesic_area.rs semantics; pole-enclosing rings
+    out of scope like the reference's signed variant)."""
+    ell = _WGS84_AREA if (a == WGS84_A and f == WGS84_F) else _AreaEllipsoid(a, f)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    total = 0.0
+    for i in range(len(lon) - 1):
+        total += ell.edge_area(lon[i], lat[i], lon[i + 1], lat[i + 1])
+    return total
+
+
+def geodesic_area_unsigned(lon, lat) -> float:
+    return abs(geodesic_area_signed(lon, lat))

@@ -1954,3 +1954,30 @@ def geodesic_to_hot(sf_dir: str):
 
 
 QUERIES["geodesic_to_hot"] = geodesic_to_hot
+
+
+def geodesic_poly_area(sf_dir: str):
+    """Ellipsoidal polygon area (geodesic_area.rs semantics via Green's
+    theorem + Karney-framework edges; rows-only — pytest pins the
+    reference's London doc golden)."""
+    from .kernels.geodesic import geodesic_area_unsigned
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        ids, areas = [], []
+        for p in range(len(layer.poly_ids)):
+            r0 = layer.poly_ring_offsets[p]
+            ring = layer.coords[layer.ring_offsets[r0] : layer.ring_offsets[r0 + 1]]
+            ids.append(layer.poly_ids[p])
+            areas.append(geodesic_area_unsigned(ring[:, 0], ring[:, 1]))
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids, pa.string()),
+                "geodesic_area_m2": pa.array(np.round(np.asarray(areas), 1)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["geodesic_poly_area"] = geodesic_poly_area

@@ -206,3 +206,34 @@ def test_geodesic_vs_vincenty_and_special_cases():
     assert abs(d_eq - 6378137.0 * np.radians(10)) < 1e-6
     # coincident
     assert geodesic_distance([5.0], [5.0], [5.0], [5.0])[0] == 0.0
+
+
+def test_geodesic_area_reference_golden():
+    """geodesic_area.rs doc polygon (London): unsigned area rounds to
+    78_596 m^2 exactly."""
+    from georay.kernels.geodesic import geodesic_area_signed, geodesic_area_unsigned
+
+    ring = np.array(
+        [(0.00388383, 51.501574), (0.00538587, 51.502278), (0.00553607, 51.503299),
+         (0.00467777, 51.504181), (0.00327229, 51.504435), (0.00187754, 51.504168),
+         (0.00087976, 51.503380), (0.00107288, 51.502324), (0.00185608, 51.501770),
+         (0.00388383, 51.501574)]
+    )
+    a = geodesic_area_unsigned(ring[:, 0], ring[:, 1])
+    assert round(a) == 78596
+    # signed: reversing the ring flips the sign exactly
+    s1 = geodesic_area_signed(ring[:, 0], ring[:, 1])
+    s2 = geodesic_area_signed(ring[::-1, 0], ring[::-1, 1])
+    assert abs(s1 + s2) < 1e-6
+
+
+def test_geodesic_area_vs_sphere_large_polygon():
+    """A 10x10-degree quad: ellipsoidal area within 0.7% of the
+    spherical value (e^2 ~ 0.0067) and far from the planar one."""
+    from georay.kernels.geodesic import geodesic_area_unsigned
+
+    ring = np.array([(0.0, 30.0), (10.0, 30.0), (10.0, 40.0), (0.0, 40.0), (0.0, 30.0)])
+    a = geodesic_area_unsigned(ring[:, 0], ring[:, 1])
+    R = 6371008.8
+    sphere = R * R * np.radians(10.0) * (np.sin(np.radians(40)) - np.sin(np.radians(30)))
+    assert abs(a - sphere) / sphere < 0.007
