@@ -16,7 +16,10 @@ for geodesics", J. Geod 2013, arXiv:1109.4448):
 * the inverse problem solves lambda12(alpha1) = target with a
   safeguarded Newton iteration (lambda12 is monotonic in alpha1 in the
   canonical quadrant, so a bisection bracket guarantees convergence,
-  including nearly-antipodal pairs where plain Vincenty diverges).
+  including nearly-antipodal pairs where plain Vincenty diverges);
+* the DIRECT problem solves  s12 = b * I1(sigma1, sigma2)  for sigma2
+  with an (unconditionally convergent, monotone-integrand) Newton,
+  then reads lat2/lon2/alpha2 off the auxiliary-sphere triangle.
 
 Where Karney evaluates the integrals with 6th-order series in the
 expansion parameter, this implementation evaluates them with fixed
@@ -26,10 +29,18 @@ geographiclib's published doc values (geodesic.rs:32 Sofia-Plovdiv
 132675.5018588206 m on WGS84; NAD83 and Mars variants) to ~1e-12
 relative, which the tests pin.
 
-Implemented: inverse (distance + forward azimuth) and GeodesicArea
-(Green's theorem with the closed-form authalic antiderivative, edges
-integrated along the actual geodesics).  Direct / interpolate remain
-on the round-3 agenda.
+Everything is vectorized over rows: the Newton solves run on the
+active-row subset and the integrals evaluate as (n, 32) Gauss-Legendre
+matrices, so map_batches stages call straight into NumPy.
+
+Azimuth conventions follow the public geographiclib canonicalization
+(Geodesic::GenInverse): solve with point 1 southernmost (|lat1| >=
+|lat2|, lat1 <= 0) and 0 <= lambda12 <= pi, tracking swapp / latsign /
+lonsign; afterwards un-transform with
+    if swapp < 0: swap((salp1,calp1), (salp2,calp2))
+    salp *= swapp * lonsign ;  calp *= swapp * latsign
+so azi1/azi2 honour the documented [0, 360) compass contract in every
+quadrant (forward azimuth at each endpoint, direction of travel).
 """
 
 from __future__ import annotations
@@ -48,6 +59,10 @@ def _gl_int(fn, lo: float, hi: float) -> float:
     return float(half * np.dot(_WEIGHTS, fn(mid + half * _NODES)))
 
 
+def _f1d(x):
+    return np.atleast_1d(np.asarray(x, dtype=np.float64))
+
+
 class _Ellipsoid:
     def __init__(self, a: float, f: float):
         self.a = a
@@ -56,161 +71,273 @@ class _Ellipsoid:
         self.e2 = f * (2 - f)
         self.ep2 = self.e2 / (1 - self.e2)
 
-    def _i1(self, k2: float, s_lo: float, s_hi: float) -> float:
-        return _gl_int(lambda s: np.sqrt(1 + k2 * np.sin(s) ** 2), s_lo, s_hi)
+    # -- row-vectorized integrals: k2, s_lo, s_hi are (n,) arrays ---------
 
-    def _i3(self, k2: float, s_lo: float, s_hi: float) -> float:
+    def _i1_rows(self, k2, s_lo, s_hi):
+        mid = 0.5 * (s_lo + s_hi)
+        half = 0.5 * (s_hi - s_lo)
+        s = mid[:, None] + half[:, None] * _NODES[None, :]
+        return half * (np.sqrt(1.0 + k2[:, None] * np.sin(s) ** 2) @ _WEIGHTS)
+
+    def _i3_rows(self, k2, s_lo, s_hi):
         f = self.f
-        return _gl_int(
-            lambda s: (2 - f) / (1 + (1 - f) * np.sqrt(1 + k2 * np.sin(s) ** 2)),
-            s_lo,
-            s_hi,
-        )
+        mid = 0.5 * (s_lo + s_hi)
+        half = 0.5 * (s_hi - s_lo)
+        s = mid[:, None] + half[:, None] * _NODES[None, :]
+        g = (2.0 - f) / (1.0 + (1.0 - f) * np.sqrt(1.0 + k2[:, None] * np.sin(s) ** 2))
+        return half * (g @ _WEIGHTS)
 
-    def _lambda12_s12(self, beta1, beta2, alpha1):
-        """Given reduced latitudes and a trial azimuth at point 1,
-        return (lambda12, s12) along that geodesic (paper §3-4)."""
-        sa1, ca1 = np.sin(alpha1), np.cos(alpha1)
+    # -- auxiliary-sphere triangle for a trial azimuth (paper §3-4) -------
+
+    def _triangle_rows(self, sb1, cb1, sb2, cb2, salp1, calp1, lam_only: bool):
+        """Given reduced-latitude sines/cosines and a trial azimuth at
+        point 1, return lambda12 (+ s12 / alpha2 / alpha0 / sigmas when
+        lam_only is False) along that geodesic — all (n,) arrays."""
+        sa0 = salp1 * cb1  # Clairaut
+        ca0 = np.hypot(calp1, salp1 * sb1)
+        k2 = self.ep2 * ca0 * ca0
+        sigma1 = np.arctan2(sb1, calp1 * cb1)
+        omega1 = np.arctan2(sa0 * sb1, calp1 * cb1)
+        # alpha2 from Clairaut at beta2; ca2 >= 0 is the first crossing
+        # of latitude beta2 (valid in the canonical frame |b1| >= |b2|)
+        salp2 = np.clip(
+            np.where(cb2 > 0, sa0 / np.where(cb2 > 0, cb2, 1.0), 1.0), -1.0, 1.0
+        )
+        calp2 = np.sqrt(np.maximum(0.0, 1.0 - salp2 * salp2))
+        sigma2 = np.arctan2(sb2, calp2 * cb2)
+        omega2 = np.arctan2(sa0 * sb2, calp2 * cb2)
+        lam12 = (omega2 - omega1) - self.f * sa0 * self._i3_rows(k2, sigma1, sigma2)
+        if lam_only:
+            return lam12
+        s12 = self.b * self._i1_rows(k2, sigma1, sigma2)
+        return lam12, s12, salp2, calp2, sa0, ca0, k2, sigma1, sigma2
+
+    # -- canonical inverse solve (general branch), vectorized --------------
+
+    def _solve_rows(self, beta1, beta2, lam_t):
+        """Safeguarded Newton on h(alpha1) = lambda12(alpha1) - lam_t,
+        monotonically increasing on (0, pi) in the canonical frame.
+        Returns the solved alpha1 array."""
+        n = beta1.size
         sb1, cb1 = np.sin(beta1), np.cos(beta1)
         sb2, cb2 = np.sin(beta2), np.cos(beta2)
-        # Clairaut: sin(alpha0) = sin(alpha1) cos(beta1)
-        sa0 = sa1 * cb1
-        ca0 = np.sqrt(1 - sa0 * sa0)
-        k2 = self.ep2 * ca0 * ca0
-        # sigma1, omega1
-        s_s1, c_s1 = sb1, ca1 * cb1
-        sigma1 = np.arctan2(s_s1, c_s1)
-        omega1 = np.arctan2(sa0 * s_s1, c_s1)
-        # alpha2 from Clairaut at beta2 (take the branch with ca2 >= 0,
-        # i.e. the first crossing of latitude beta2)
-        sa2 = sa0 / cb2 if cb2 > 0 else 1.0
-        sa2 = min(max(sa2, -1.0), 1.0)
-        ca2 = np.sqrt(max(0.0, 1 - sa2 * sa2))
-        s_s2, c_s2 = sb2, ca2 * cb2
-        sigma2 = np.arctan2(s_s2, c_s2)
-        omega2 = np.arctan2(sa0 * s_s2, c_s2)
-        lam12 = (omega2 - omega1) - self.f * sa0 * self._i3(k2, sigma1, sigma2)
-        s12 = self.b * self._i1(k2, sigma1, sigma2)
-        return lam12, s12
-
-    def inverse(self, lon1, lat1, lon2, lat2):
-        """(s12 meters, azi1 degrees).  Canonical reduction per the
-        paper: point 1 is the southernmost, 0 <= lambda12 <= pi."""
-        # canonicalize
-        swapped = abs(lat1) < abs(lat2)
-        if swapped:
-            lon1, lat1, lon2, lat2 = lon2, lat2, lon1, lat1
-        neg = lat1 > 0
-        if neg:
-            lat1, lat2 = -lat1, -lat2
-        lam12 = np.radians(lon2 - lon1)
-        lam12 = (lam12 + np.pi) % (2 * np.pi) - np.pi
-        lam_sign = -1.0 if lam12 < 0 else 1.0
-        lam12 = abs(lam12)
-
-        phi1, phi2 = np.radians(lat1), np.radians(lat2)
-        beta1 = np.arctan((1 - self.f) * np.tan(phi1))
-        beta2 = np.arctan((1 - self.f) * np.tan(phi2))
-
-        # coincident / same-meridian-ish shortcuts
-        if abs(phi1 - phi2) < 1e-15 and lam12 < 1e-15:
-            return 0.0, 0.0
-
-        # equatorial geodesic: both on the equator and short enough
-        if abs(beta1) < 1e-15 and abs(beta2) < 1e-15 and lam12 <= (1 - self.f) * np.pi:
-            return self.a * lam12, 90.0 * lam_sign
-
-        # meridional: lambda12 == 0 -> pure north-south arc
-        if lam12 < 1e-15:
-            k2 = self.ep2  # alpha0 = 0 -> cos(alpha0) = 1
-            s12 = self.b * self._i1(k2, beta1_to_sigma(beta1), beta1_to_sigma(beta2))
-            return abs(s12), 0.0
-
-        # safeguarded Newton on h(alpha1) = lambda12(alpha1) - target,
-        # monotonically increasing on (0, pi)
-        lo, hi = 1e-12, np.pi - 1e-12
-        alpha = None
+        lo = np.full(n, 1e-12)
+        hi = np.full(n, np.pi - 1e-12)
         # spherical initial guess
-        guess = np.arctan2(
-            np.cos(beta2) * np.sin(lam12),
-            np.cos(beta1) * np.sin(beta2)
-            - np.sin(beta1) * np.cos(beta2) * np.cos(lam12),
+        a1 = np.clip(
+            np.arctan2(cb2 * np.sin(lam_t), cb1 * sb2 - sb1 * cb2 * np.cos(lam_t)),
+            lo,
+            hi,
         )
-        a1 = min(max(guess, lo), hi)
-        s12 = None
+        act = np.arange(n)
         for _ in range(60):
-            lam, s12 = self._lambda12_s12(beta1, beta2, a1)
-            h = lam - lam12
-            if abs(h) < 1e-14:
-                alpha = a1
+            if act.size == 0:
                 break
-            if h < 0:
-                lo = a1
-            else:
-                hi = a1
+            sb1a, cb1a, sb2a, cb2a = sb1[act], cb1[act], sb2[act], cb2[act]
+            aa = a1[act]
+            lam = self._triangle_rows(sb1a, cb1a, sb2a, cb2a, np.sin(aa), np.cos(aa), True)
+            h = lam - lam_t[act]
+            lo[act] = np.where(h < 0, aa, lo[act])
+            hi[act] = np.where(h >= 0, aa, hi[act])
+            done = np.abs(h) < 1e-14
             # Newton step from a central finite difference
             da = 1e-7
-            lam_p, _ = self._lambda12_s12(beta1, beta2, min(a1 + da, np.pi - 1e-13))
-            lam_m, _ = self._lambda12_s12(beta1, beta2, max(a1 - da, 1e-13))
-            dldA = (lam_p - lam_m) / (2 * da)
-            step = h / dldA if dldA != 0 else 0.0
-            nxt = a1 - step
-            if not (lo < nxt < hi):  # Newton left the bracket -> bisect
-                nxt = (lo + hi) / 2.0
-            if abs(nxt - a1) < 1e-15:
-                alpha = nxt
+            ap = np.minimum(aa + da, np.pi - 1e-13)
+            am = np.maximum(aa - da, 1e-13)
+            lam_p = self._triangle_rows(sb1a, cb1a, sb2a, cb2a, np.sin(ap), np.cos(ap), True)
+            lam_m = self._triangle_rows(sb1a, cb1a, sb2a, cb2a, np.sin(am), np.cos(am), True)
+            dl = (lam_p - lam_m) / (ap - am)
+            step = np.where(dl != 0, h / np.where(dl != 0, dl, 1.0), 0.0)
+            nxt = aa - step
+            outside = ~((lo[act] < nxt) & (nxt < hi[act]))
+            nxt = np.where(outside, 0.5 * (lo[act] + hi[act]), nxt)
+            stall = np.abs(nxt - aa) < 1e-15
+            upd = ~done
+            a1[act[upd]] = nxt[upd]
+            act = act[~(done | stall)]
+        return a1
+
+    # -- full inverse: distance + forward azimuths at both endpoints -------
+
+    def inverse_rows(self, lon1, lat1, lon2, lat2):
+        """Vectorized inverse problem.  Returns (s12 meters, azi1, azi2)
+        as (n,) arrays; azimuths in [0, 360), forward at each endpoint."""
+        lon1, lat1, lon2, lat2 = np.broadcast_arrays(
+            _f1d(lon1), _f1d(lat1), _f1d(lon2), _f1d(lat2)
+        )
+        n = lon1.size
+        # canonical transforms (geographiclib GenInverse conventions)
+        lon12 = ((lon2 - lon1 + 180.0) % 360.0) - 180.0
+        lonsign = np.where(lon12 < 0, -1.0, 1.0)
+        lon12 = np.abs(lon12)
+        swapp = np.where(np.abs(lat1) < np.abs(lat2), -1.0, 1.0)
+        lonsign = lonsign * swapp  # swapping endpoints reverses direction
+        lt1 = np.where(swapp < 0, lat2, lat1)
+        lt2 = np.where(swapp < 0, lat1, lat2)
+        latsign = np.where(lt1 > 0, -1.0, 1.0)
+        lt1 = lt1 * latsign
+        lt2 = lt2 * latsign
+        phi1 = np.radians(lt1)
+        phi2 = np.radians(lt2)
+        beta1 = np.arctan2((1 - self.f) * np.sin(phi1), np.cos(phi1))
+        beta2 = np.arctan2((1 - self.f) * np.sin(phi2), np.cos(phi2))
+        lam_t = np.radians(lon12)
+
+        s12 = np.zeros(n)
+        salp1 = np.zeros(n)
+        calp1 = np.ones(n)
+        salp2 = np.zeros(n)
+        calp2 = np.ones(n)
+
+        coincident = (lam_t < 1e-15) & (np.abs(phi1 - phi2) < 1e-15)
+        equatorial = (
+            ~coincident
+            & (np.abs(beta1) < 1e-15)
+            & (np.abs(beta2) < 1e-15)
+            & (lam_t <= (1 - self.f) * np.pi)
+        )
+        meridional = ~coincident & ~equatorial & (lam_t < 1e-15)
+        general = ~(coincident | equatorial | meridional)
+        # equatorial-but-long pairs leave the equator: break the sigma
+        # degeneracy by nudging point 1 infinitesimally south
+        eq_long = general & (np.abs(beta1) < 1e-15) & (np.abs(beta2) < 1e-15)
+        beta1 = np.where(eq_long, -1e-12, beta1)
+
+        if equatorial.any():
+            s12[equatorial] = self.a * lam_t[equatorial]
+            salp1[equatorial] = 1.0
+            calp1[equatorial] = 0.0
+            salp2[equatorial] = 1.0
+            calp2[equatorial] = 0.0
+        if meridional.any():
+            # alpha0 = 0: sigma == beta and k2 == e'^2; heading due north
+            k2m = np.full(int(meridional.sum()), self.ep2)
+            s12[meridional] = self.b * self._i1_rows(
+                k2m, beta1[meridional], beta2[meridional]
+            )
+            # salp = 0, calp = 1 already set
+        if general.any():
+            g = np.flatnonzero(general)
+            alpha = self._solve_rows(beta1[g], beta2[g], lam_t[g])
+            sb1, cb1 = np.sin(beta1[g]), np.cos(beta1[g])
+            sb2, cb2 = np.sin(beta2[g]), np.cos(beta2[g])
+            _, s12g, sa2, ca2, *_ = self._triangle_rows(
+                sb1, cb1, sb2, cb2, np.sin(alpha), np.cos(alpha), False
+            )
+            s12[g] = s12g
+            salp1[g] = np.sin(alpha)
+            calp1[g] = np.cos(alpha)
+            salp2[g] = sa2
+            calp2[g] = ca2
+
+        # un-transform the azimuths (geographiclib convention)
+        sw = swapp < 0
+        salp1f = np.where(sw, salp2, salp1) * swapp * lonsign
+        calp1f = np.where(sw, calp2, calp1) * swapp * latsign
+        salp2f = np.where(sw, salp1, salp2) * swapp * lonsign
+        calp2f = np.where(sw, calp1, calp2) * swapp * latsign
+        azi1 = np.degrees(np.arctan2(salp1f, calp1f)) % 360.0
+        azi2 = np.degrees(np.arctan2(salp2f, calp2f)) % 360.0
+        azi1 = np.where(coincident, 0.0, azi1)
+        azi2 = np.where(coincident, 0.0, azi2)
+        return s12, azi1, azi2
+
+    # -- direct problem: destination from (point, azimuth, distance) ------
+
+    def direct_rows(self, lon1, lat1, azi1, s12):
+        """Vectorized direct problem.  Returns (lon2, lat2, azi2) as
+        (n,) arrays; lon2 normalized to [-180, 180), azi2 in [0, 360)."""
+        lon1, lat1, azi1, s12 = np.broadcast_arrays(
+            _f1d(lon1), _f1d(lat1), _f1d(azi1), _f1d(s12)
+        )
+        phi1 = np.radians(lat1)
+        beta1 = np.arctan2((1 - self.f) * np.sin(phi1), np.cos(phi1))
+        sb1, cb1 = np.sin(beta1), np.cos(beta1)
+        alp1 = np.radians(azi1)
+        salp1, calp1 = np.sin(alp1), np.cos(alp1)
+        sa0 = salp1 * cb1
+        ca0 = np.hypot(calp1, salp1 * sb1)
+        k2 = self.ep2 * ca0 * ca0
+        sigma1 = np.arctan2(sb1, calp1 * cb1)
+        omega1 = np.arctan2(sa0 * sb1, calp1 * cb1)
+        # Newton on g(sigma2) = I1(sigma1, sigma2) - s12/b;
+        # g' = sqrt(1 + k2 sin^2 sigma2) >= 1 > 0, so plain Newton from
+        # the spherical guess converges monotonically and fast
+        tgt = s12 / self.b
+        sigma2 = sigma1 + tgt
+        for _ in range(20):
+            g = self._i1_rows(k2, sigma1, sigma2) - tgt
+            if np.all(np.abs(g) < 1e-15):
                 break
-            a1 = nxt
-        if alpha is None:
-            alpha = a1
-            _, s12 = self._lambda12_s12(beta1, beta2, alpha)
-        azi1 = np.degrees(alpha) * lam_sign
-        # undo canonical transforms for the azimuth
-        if neg:
-            azi1 = (180.0 - np.degrees(alpha)) * lam_sign
-        if swapped:
-            # azimuth at the original first point is the back-azimuth
-            # problem; distance is symmetric — report distance-only
-            # callers unaffected, azimuth approximated by recompute
-            s_only = s12
-            return float(s_only), float("nan")
-        return float(s12), float(azi1 % 360.0)
+            sigma2 = sigma2 - g / np.sqrt(1.0 + k2 * np.sin(sigma2) ** 2)
+        ss2, cs2 = np.sin(sigma2), np.cos(sigma2)
+        sb2 = ca0 * ss2
+        cb2 = np.hypot(cs2, sa0 * ss2)
+        lat2 = np.degrees(np.arctan2(sb2, (1 - self.f) * cb2))
+        omega2 = np.arctan2(sa0 * ss2, cs2)
+        lam12 = (omega2 - omega1) - self.f * sa0 * self._i3_rows(k2, sigma1, sigma2)
+        lon2 = ((lon1 + np.degrees(lam12) + 180.0) % 360.0) - 180.0
+        azi2 = np.degrees(np.arctan2(sa0, ca0 * cs2)) % 360.0
+        return lon2, lat2, azi2
 
+    # -- scalar conveniences -----------------------------------------------
 
-def beta1_to_sigma(beta: float) -> float:
-    """On a meridian (alpha0 = 0): sigma == beta."""
-    return float(beta)
+    def inverse(self, lon1, lat1, lon2, lat2):
+        """(s12 meters, azi1 degrees in [0, 360))."""
+        s12, azi1, _ = self.inverse_rows(lon1, lat1, lon2, lat2)
+        return float(s12[0]), float(azi1[0])
+
+    def direct(self, lon1, lat1, azi1, s12):
+        """(lon2, lat2, azi2 degrees)."""
+        lon2, lat2, azi2 = self.direct_rows(lon1, lat1, azi1, s12)
+        return float(lon2[0]), float(lat2[0]), float(azi2[0])
 
 
 _WGS84 = _Ellipsoid(WGS84_A, WGS84_F)
 
 
+def _ell(a: float, f: float) -> _Ellipsoid:
+    return _WGS84 if (a == WGS84_A and f == WGS84_F) else _Ellipsoid(a, f)
+
+
 def geodesic_distance(lon1, lat1, lon2, lat2, a: float = WGS84_A, f: float = WGS84_F):
-    """Vectorized-over-rows Karney-framework geodesic distance in
-    meters (WGS84 by default)."""
-    ell = _WGS84 if (a == WGS84_A and f == WGS84_F) else _Ellipsoid(a, f)
-    lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
-    lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
-    lon2 = np.atleast_1d(np.asarray(lon2, dtype=np.float64))
-    lat2 = np.atleast_1d(np.asarray(lat2, dtype=np.float64))
-    lon2b = np.broadcast_to(lon2, lon1.shape)
-    lat2b = np.broadcast_to(lat2, lat1.shape)
-    out = np.empty(len(lon1))
-    for i in range(len(lon1)):
-        out[i] = ell.inverse(lon1[i], lat1[i], lon2b[i], lat2b[i])[0]
-    return out
+    """Vectorized Karney-framework geodesic distance in meters (WGS84
+    by default).  geodesic.rs `Distance` surface."""
+    return _ell(a, f).inverse_rows(lon1, lat1, lon2, lat2)[0]
 
 
 def geodesic_bearing(lon1, lat1, lon2, lat2):
-    """Forward azimuth (degrees, [0, 360)) of the WGS84 geodesic."""
-    lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
-    lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
-    lon2 = np.atleast_1d(np.asarray(lon2, dtype=np.float64))
-    lat2 = np.atleast_1d(np.asarray(lat2, dtype=np.float64))
-    out = np.empty(len(lon1))
-    for i in range(len(lon1)):
-        out[i] = _WGS84.inverse(lon1[i], lat1[i], lon2[i], lat2[i])[1]
-    return out
+    """Forward azimuth (degrees, [0, 360)) of the WGS84 geodesic.
+    geodesic.rs `Bearing` surface."""
+    return _WGS84.inverse_rows(lon1, lat1, lon2, lat2)[1]
+
+
+def geodesic_inverse(lon1, lat1, lon2, lat2, a: float = WGS84_A, f: float = WGS84_F):
+    """(s12, azi1, azi2) arrays — the full inverse problem."""
+    return _ell(a, f).inverse_rows(lon1, lat1, lon2, lat2)
+
+
+def geodesic_destination(lon, lat, bearing, distance_m,
+                         a: float = WGS84_A, f: float = WGS84_F):
+    """Destination point(s) of the direct problem.  Returns
+    (lon2, lat2) arrays.  geodesic.rs `Destination` surface
+    (geodesic.rs:193 delegates to geographiclib `direct`)."""
+    lon2, lat2, _ = _ell(a, f).direct_rows(lon, lat, bearing, distance_m)
+    return lon2, lat2
+
+
+def geodesic_point_at_distance_between(lon1, lat1, lon2, lat2, meters_from_start):
+    """geodesic.rs:275 `point_at_distance_between`: bearing at start,
+    then the direct problem for the given distance."""
+    _, azi1, _ = _WGS84.inverse_rows(lon1, lat1, lon2, lat2)
+    return geodesic_destination(lon1, lat1, azi1, meters_from_start)
+
+
+def geodesic_point_at_ratio_between(lon1, lat1, lon2, lat2, ratio):
+    """geodesic.rs:316 `point_at_ratio_between`: the direct problem at
+    ratio * total distance along the start bearing."""
+    s12, azi1, _ = _WGS84.inverse_rows(lon1, lat1, lon2, lat2)
+    return geodesic_destination(lon1, lat1, azi1, np.asarray(ratio) * s12)
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +351,7 @@ def geodesic_bearing(lon1, lat1, lon2, lat2):
 #   phi(sigma)     from sin(beta) = cos(alpha0) sin(sigma),
 #   dlambda/dsigma = sin(alpha0)/(cos^2 s + sin^2 a0 sin^2 s) - f sin(alpha0) i3(s)
 # and the quadrature is exact to ~1e-13 like the distance integrals.
+# All edges of a ring are solved in ONE vectorized canonical solve.
 # Limitation (same as the reference documents): polygons enclosing a
 # pole / larger than half the ellipsoid need the unsigned adjustment.
 # ---------------------------------------------------------------------------
@@ -237,77 +365,59 @@ class _AreaEllipsoid(_Ellipsoid):
             s / (1 - self.e2 * s * s) + np.arctanh(e * s) / e
         )
 
-    def edge_area(self, lon1, lat1, lon2, lat2) -> float:
-        """∫ F(phi) dlambda along the directed geodesic p1 -> p2."""
-        if lon1 == lon2 and lat1 == lat2:
-            return 0.0
-        # canonical transforms (mirror _Ellipsoid.inverse)
-        swapped = abs(lat1) < abs(lat2)
-        a_lon1, a_lat1, a_lon2, a_lat2 = (
-            (lon2, lat2, lon1, lat1) if swapped else (lon1, lat1, lon2, lat2)
+    def ring_area(self, lon, lat) -> float:
+        """∮ F(phi) dlambda over one closed ring, geodesic edges."""
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        lo1, la1 = lon[:-1], lat[:-1]
+        lo2, la2 = lon[1:], lat[1:]
+        # canonical transforms per edge (mirror inverse_rows)
+        lon12 = ((lo2 - lo1 + 180.0) % 360.0) - 180.0
+        lonsign = np.where(lon12 < 0, -1.0, 1.0)
+        lon12 = np.abs(lon12)
+        swapp = np.where(np.abs(la1) < np.abs(la2), -1.0, 1.0)
+        lt1 = np.where(swapp < 0, la2, la1)
+        lt2 = np.where(swapp < 0, la1, la2)
+        latsign = np.where(lt1 > 0, -1.0, 1.0)
+        lt1 = lt1 * latsign
+        lt2 = lt2 * latsign
+        phi1 = np.radians(lt1)
+        phi2 = np.radians(lt2)
+        beta1 = np.arctan2((1 - self.f) * np.sin(phi1), np.cos(phi1))
+        beta2 = np.arctan2((1 - self.f) * np.sin(phi2), np.cos(phi2))
+        lam_t = np.radians(lon12)
+        # meridional / degenerate edges contribute dlambda == 0;
+        # equatorial edges contribute F(0) == 0
+        keep = (lam_t >= 1e-15) & ~(
+            (np.abs(beta1) < 1e-15) & (np.abs(beta2) < 1e-15)
         )
-        neg = a_lat1 > 0
-        if neg:
-            a_lat1, a_lat2 = -a_lat1, -a_lat2
-        lam12 = np.radians(a_lon2 - a_lon1)
-        lam12 = (lam12 + np.pi) % (2 * np.pi) - np.pi
-        lam_sign = -1.0 if lam12 < 0 else 1.0
-        lam12 = abs(lam12)
-        if lam12 < 1e-15:
-            return 0.0  # meridional edge: dlambda == 0
-        phi1, phi2 = np.radians(a_lat1), np.radians(a_lat2)
-        beta1 = np.arctan((1 - self.f) * np.tan(phi1))
-        beta2 = np.arctan((1 - self.f) * np.tan(phi2))
-        # solve the canonical azimuth exactly as inverse() does
-        lo, hi = 1e-12, np.pi - 1e-12
-        a1 = min(max(np.arctan2(
-            np.cos(beta2) * np.sin(lam12),
-            np.cos(beta1) * np.sin(beta2) - np.sin(beta1) * np.cos(beta2) * np.cos(lam12),
-        ), lo), hi)
-        for _ in range(60):
-            lam, _ = self._lambda12_s12(beta1, beta2, a1)
-            h = lam - lam12
-            if abs(h) < 1e-14:
-                break
-            if h < 0:
-                lo = a1
-            else:
-                hi = a1
-            da = 1e-7
-            lam_p, _ = self._lambda12_s12(beta1, beta2, min(a1 + da, np.pi - 1e-13))
-            lam_m, _ = self._lambda12_s12(beta1, beta2, max(a1 - da, 1e-13))
-            dl = (lam_p - lam_m) / (2 * da)
-            nxt = a1 - h / dl if dl != 0 else (lo + hi) / 2
-            if not (lo < nxt < hi):
-                nxt = (lo + hi) / 2
-            if abs(nxt - a1) < 1e-15:
-                a1 = nxt
-                break
-            a1 = nxt
-        sa1, ca1 = np.sin(a1), np.cos(a1)
-        sb1, cb1 = np.sin(beta1), np.cos(beta1)
-        sb2, cb2 = np.sin(beta2), np.cos(beta2)
-        sa0 = sa1 * cb1
-        ca0 = np.sqrt(1 - sa0 * sa0)
-        k2 = self.ep2 * ca0 * ca0
-        sigma1 = np.arctan2(sb1, ca1 * cb1)
-        sa2 = min(max(sa0 / cb2 if cb2 > 0 else 1.0, -1.0), 1.0)
-        ca2 = np.sqrt(max(0.0, 1 - sa2 * sa2))
-        sigma2 = np.arctan2(sb2, ca2 * cb2)
+        if not keep.any():
+            return 0.0
+        g = np.flatnonzero(keep)
+        alpha = self._solve_rows(beta1[g], beta2[g], lam_t[g])
+        sb1, cb1 = np.sin(beta1[g]), np.cos(beta1[g])
+        sb2, cb2 = np.sin(beta2[g]), np.cos(beta2[g])
+        _, _, _, _, sa0, ca0, k2, sigma1, sigma2 = self._triangle_rows(
+            sb1, cb1, sb2, cb2, np.sin(alpha), np.cos(alpha), False
+        )
         f = self.f
-
-        def integrand(s):
-            ss, cs = np.sin(s), np.cos(s)
-            sbeta = ca0 * ss
-            cbeta = np.hypot(cs, sa0 * ss)
-            phi = np.arctan2(sbeta, (1 - f) * cbeta)
-            omega_p = sa0 / (cs * cs + sa0 * sa0 * ss * ss)
-            i3 = (2 - f) / (1 + (1 - f) * np.sqrt(1 + k2 * ss * ss))
-            return self.F(phi) * (omega_p - f * sa0 * i3)
-
-        Ic = _gl_int(integrand, float(sigma1), float(sigma2))
-        sign = lam_sign * (-1.0 if neg else 1.0) * (-1.0 if swapped else 1.0)
-        return float(sign * Ic)
+        mid = 0.5 * (sigma1 + sigma2)
+        half = 0.5 * (sigma2 - sigma1)
+        s = mid[:, None] + half[:, None] * _NODES[None, :]
+        ss, cs = np.sin(s), np.cos(s)
+        sbeta = ca0[:, None] * ss
+        cbeta = np.hypot(cs, sa0[:, None] * ss)
+        phi = np.arctan2(sbeta, (1 - f) * cbeta)
+        omega_p = sa0[:, None] / (cs * cs + (sa0 * sa0)[:, None] * ss * ss)
+        i3 = (2 - f) / (1 + (1 - f) * np.sqrt(1 + k2[:, None] * ss * ss))
+        integ = self.F(phi) * (omega_p - f * sa0[:, None] * i3)
+        Ic = half * (integ @ _WEIGHTS)
+        # edge direction sign: lonsign flips west-going edges and latsign
+        # re-mirrors the hemisphere (F is odd in phi).  The two swap
+        # factors cancel: swapping endpoints negates lambda12 AND
+        # reverses the integral direction.
+        sign = lonsign * latsign
+        return float(np.sum(sign[g] * Ic))
 
 
 _WGS84_AREA = _AreaEllipsoid(WGS84_A, WGS84_F)
@@ -318,12 +428,7 @@ def geodesic_area_signed(lon, lat, a: float = WGS84_A, f: float = WGS84_F) -> fl
     geodesic edges (geodesic_area.rs semantics; pole-enclosing rings
     out of scope like the reference's signed variant)."""
     ell = _WGS84_AREA if (a == WGS84_A and f == WGS84_F) else _AreaEllipsoid(a, f)
-    lon = np.asarray(lon, dtype=np.float64)
-    lat = np.asarray(lat, dtype=np.float64)
-    total = 0.0
-    for i in range(len(lon) - 1):
-        total += ell.edge_area(lon[i], lat[i], lon[i + 1], lat[i + 1])
-    return total
+    return ell.ring_area(lon, lat)
 
 
 def geodesic_area_unsigned(lon, lat) -> float:

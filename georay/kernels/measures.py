@@ -333,3 +333,87 @@ def haversine_closest_point(qlon, qlat, x, y, offsets=None):
     best = np.argmin(dist, axis=1)
     rows = np.arange(n_q)
     return cx[rows, best], cy[rows, best], dist[rows, best]
+
+
+# ---------------------------------------------------------------------------
+# Haversine interpolation family (haversine.rs:283-481 InterpolatePoint):
+# point_at_ratio_between via the HaversineIntermediateFillCalculation
+# slerp (haversine.rs:407-481), point_at_distance_between via
+# bearing + destination (haversine.rs:304-312 does exactly that), and
+# the densify / points_along_line fills (densify.rs:138-168 semantics:
+# n = ceil(d / max), interior points at i/n ratios).
+# ---------------------------------------------------------------------------
+
+
+def haversine_point_at_ratio_between(lon1, lat1, lon2, lat2, ratio):
+    """Great-circle slerp (haversine.rs:417-481).  Vectorized; exact
+    passthrough at ratio 0 / 1 / coincident endpoints like the
+    reference's early returns."""
+    lon1, lat1, lon2, lat2, ratio = np.broadcast_arrays(
+        *(np.atleast_1d(np.asarray(v, dtype=np.float64))
+          for v in (lon1, lat1, lon2, lat2, ratio))
+    )
+    la1, ph1 = np.radians(lon1), np.radians(lat1)
+    la2, ph2 = np.radians(lon2), np.radians(lat2)
+    m = np.cos(ph1) * np.cos(ph2)
+    k = np.sqrt(np.sin((ph1 - ph2) / 2.0) ** 2 + m * np.sin((la1 - la2) / 2.0) ** 2)
+    d = 2.0 * np.arcsin(k)
+    sd = np.sin(d)
+    safe = np.where(sd == 0, 1.0, sd)
+    a = np.sin((1.0 - ratio) * d) / safe
+    b = np.sin(ratio * d) / safe
+    x = a * np.cos(ph1) * np.cos(la1) + b * np.cos(ph2) * np.cos(la2)
+    y = a * np.cos(ph1) * np.sin(la1) + b * np.cos(ph2) * np.sin(la2)
+    z = a * np.sin(ph1) + b * np.sin(ph2)
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    lon = np.degrees(np.arctan2(y, x))
+    # degenerate / exact-endpoint passthrough
+    start = (d == 0) | (ratio == 0.0)
+    end = ratio == 1.0
+    lon = np.where(start, lon1, np.where(end, lon2, lon))
+    lat = np.where(start, lat1, np.where(end, lat2, lat))
+    return lon, lat
+
+
+def haversine_point_at_distance_between(lon1, lat1, lon2, lat2, meters_from_start):
+    """haversine.rs:304-312: bearing at start, then destination."""
+    brg = haversine_bearing(lon1, lat1, lon2, lat2)
+    return haversine_destination(lon1, lat1, brg, meters_from_start)
+
+
+def densify_haversine_counts(x, y, offsets, max_distance_m):
+    """Per-linestring densified vertex count (densify.rs:138-168 over
+    the Haversine metric): each segment contributes
+    ceil(haversine(seg) / max) - 1 interior points."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if len(x) == 0:
+        return np.zeros(len(offsets) - 1, dtype=np.int64)
+    seg = haversine_distance(x[:-1], y[:-1], x[1:], y[1:])
+    nseg = np.maximum(np.ceil(seg / max_distance_m), 1.0).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(nseg)])
+    # per linestring: sum over its own segments (drop the phantom
+    # boundary segment) + 1 closing vertex
+    starts = offsets[:-1]
+    ends = offsets[1:] - 1
+    return (csum[ends] - csum[starts]) + 1
+
+
+def densify_haversine(coords: np.ndarray, max_distance_m: float) -> np.ndarray:
+    """Densify ONE linestring with great-circle interior points
+    (densify.rs Haversine doc example semantics)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    out = [coords[:1]]
+    for i in range(len(coords) - 1):
+        lon1, lat1 = coords[i]
+        lon2, lat2 = coords[i + 1]
+        d = float(haversine_distance(lon1, lat1, lon2, lat2))
+        n = max(int(np.ceil(d / max_distance_m)), 1)
+        if n > 1:
+            r = np.arange(1, n) / n
+            ilon, ilat = haversine_point_at_ratio_between(
+                np.full(n - 1, lon1), np.full(n - 1, lat1),
+                np.full(n - 1, lon2), np.full(n - 1, lat2), r)
+            out.append(np.column_stack([ilon, ilat]))
+        out.append(coords[i + 1 : i + 2])
+    return np.concatenate(out)

@@ -1933,20 +1933,20 @@ def geodesic_to_hot(sf_dir: str):
     Rows-only: the safeguarded-Newton inverse is not SQL-expressible;
     pytest pins the reference's three-ellipsoid doc goldens and sub-mm
     Vincenty agreement."""
-    from .kernels.geodesic import geodesic_distance
+    from .kernels.geodesic import geodesic_inverse
     from .sqlgen import HOT_LAT, HOT_LON
 
     def f(b: pa.Table) -> pa.Table:
-        ids = b.column("image_id").to_pylist()
-        idx = np.asarray([int(i[4:]) % 20 == 0 for i in ids])
-        sub = b.filter(pa.array(idx))
+        idx = _image_index(b.column("image_id"))
+        sub = b.filter(pa.array(idx % 20 == 0))
         lon = sub.column("lon").to_numpy(zero_copy_only=False)
         lat = sub.column("lat").to_numpy(zero_copy_only=False)
-        d = geodesic_distance(lon, lat, np.full(len(lon), HOT_LON), np.full(len(lon), HOT_LAT))
+        d, azi1, _ = geodesic_inverse(lon, lat, HOT_LON, HOT_LAT)
         return pa.table(
             {
                 "image_id": sub.column("image_id"),
                 "geodesic_m": pa.array(np.round(d, 3)),
+                "geodesic_azi": pa.array(np.round(azi1, 6)),
             }
         )
 
@@ -1981,3 +1981,96 @@ def geodesic_poly_area(sf_dir: str):
 
 
 QUERIES["geodesic_poly_area"] = geodesic_poly_area
+
+
+# ---------------------------------------------------------------------------
+# round-3 breadth: geodesic direct, haversine interpolation family
+# ---------------------------------------------------------------------------
+
+GEO_DEST_MOD = 10
+HAV_INTERP_MOD = 10
+HAV_DENSIFY_MAX_LEN = 20_000.0  # meters
+
+
+def geodesic_dest_pts(sf_dir: str):
+    """Karney DIRECT problem per sampled point (geodesic.rs:193
+    Destination): bearing / distance derived deterministically from the
+    point's own coordinates.  Rows-only: the sigma2 Newton solve is not
+    SQL-expressible; pytest pins the reference's four doc goldens and
+    the inverse->direct roundtrip to 1e-12 degrees."""
+    from .kernels.geodesic import geodesic_destination
+
+    def f(b: pa.Table) -> pa.Table:
+        idx = _image_index(b.column("image_id"))
+        sub = b.filter(pa.array(idx % GEO_DEST_MOD == 0))
+        lon = sub.column("lon").to_numpy(zero_copy_only=False)
+        lat = sub.column("lat").to_numpy(zero_copy_only=False)
+        brg = (lat + 90.0) * 2.0 % 360.0
+        dist = 50000.0 + (lon + 180.0) * 500.0
+        lon2, lat2 = geodesic_destination(lon, lat, brg, dist)
+        return pa.table(
+            {
+                "image_id": sub.column("image_id"),
+                "dest_lon": pa.array(np.round(lon2, 6)),
+                "dest_lat": pa.array(np.round(lat2, 6)),
+            }
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["geodesic_dest_pts"] = geodesic_dest_pts
+
+
+def hav_interp_pts(sf_dir: str):
+    """Haversine point_at_ratio_between (haversine.rs:407-481 slerp)
+    from each sampled point toward the hot point, ratio derived from
+    the point's id.  Fully SQL-oracled: the slerp is closed-form trig."""
+    from .kernels.measures import haversine_point_at_ratio_between
+    from .sqlgen import HOT_LAT, HOT_LON
+
+    def f(b: pa.Table) -> pa.Table:
+        idx = _image_index(b.column("image_id"))
+        keep = idx % HAV_INTERP_MOD == 0
+        sub = b.filter(pa.array(keep))
+        lon = sub.column("lon").to_numpy(zero_copy_only=False)
+        lat = sub.column("lat").to_numpy(zero_copy_only=False)
+        ratio = ((idx[keep] // HAV_INTERP_MOD) % 9 + 1) / 10.0
+        ilon, ilat = haversine_point_at_ratio_between(lon, lat, HOT_LON, HOT_LAT, ratio)
+        return pa.table(
+            {
+                "image_id": sub.column("image_id"),
+                "interp_lon": pa.array(np.round(ilon, 6)),
+                "interp_lat": pa.array(np.round(ilat, 6)),
+            }
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["hav_interp_pts"] = hav_interp_pts
+
+
+def densify_hav_counts(sf_dir: str):
+    """DensifyHaversine vertex budget per exterior ring
+    (densify.rs:138-168 over the Haversine metric): each segment gains
+    ceil(hav_len / max) - 1 interior points.  SQL-oracled via the
+    haversine formula over the segment table."""
+    from .kernels.measures import haversine_distance
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        x1, y1, x2, y2, seg_ring = layer.segments()
+        ext = ~layer.ring_is_hole[seg_ring]
+        seg = haversine_distance(x1[ext], y1[ext], x2[ext], y2[ext])
+        ins = np.maximum(np.ceil(seg / HAV_DENSIFY_MAX_LEN) - 1, 0).astype(np.int64)
+        out = np.zeros(layer.num_polys, dtype=np.int64)
+        np.add.at(out, layer.ring_poly[seg_ring[ext]], 1 + ins)
+        return pa.table(
+            {"polygon_id": b.column("polygon_id"), "n_hav_densified_edges": pa.array(out)}
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["densify_hav_counts"] = densify_hav_counts

@@ -973,3 +973,53 @@ def q_tile_clip_sum(sf_dir: str) -> str:
 ORACLE_BUILDERS["tile_clip_sum"] = q_tile_clip_sum
 
 ORACLE_BUILDERS["poly_intersect_pairs_shuffle"] = q_poly_intersect_pairs
+
+
+# ---------------------------------------------------------------------------
+# round-3 oracles: haversine interpolation family
+# ---------------------------------------------------------------------------
+
+HAV_INTERP_MOD = 10
+HAV_DENSIFY_MAX_LEN = 20_000.0
+
+
+def q_hav_interp_pts(sf_dir: str) -> str:
+    """Replay of the great-circle slerp (haversine.rs:417-481
+    HaversineIntermediateFillCalculation) in closed-form trig."""
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"inp AS (SELECT image_id, radians(lon) AS la1, radians(lat) AS ph1, "
+        f"  radians({HOT_LON!r}) AS la2, radians({HOT_LAT!r}) AS ph2, "
+        f"  (((CAST(substr(image_id, 5) AS BIGINT) // {HAV_INTERP_MOD}) % 9) + 1) / 10.0 AS r "
+        f"  FROM pts WHERE CAST(substr(image_id, 5) AS BIGINT) % {HAV_INTERP_MOD} = 0), "
+        f"s1 AS (SELECT *, 2.0 * asin(sqrt(pow(sin((ph1 - ph2) / 2.0), 2) + "
+        f"  cos(ph1) * cos(ph2) * pow(sin((la1 - la2) / 2.0), 2))) AS d FROM inp), "
+        f"s2 AS (SELECT *, sin((1.0 - r) * d) / sin(d) AS a, sin(r * d) / sin(d) AS b FROM s1), "
+        f"s3 AS (SELECT image_id, "
+        f"  a * cos(ph1) * cos(la1) + b * cos(ph2) * cos(la2) AS x, "
+        f"  a * cos(ph1) * sin(la1) + b * cos(ph2) * sin(la2) AS y, "
+        f"  a * sin(ph1) + b * sin(ph2) AS z FROM s2) "
+        f"SELECT image_id, round(degrees(atan2(y, x)), 6) AS interp_lon, "
+        f"round(degrees(atan2(z, sqrt(x * x + y * y))), 6) AS interp_lat FROM s3"
+    )
+
+
+def q_densify_hav_counts(sf_dir: str) -> str:
+    """densify.rs:138-168 over the Haversine metric: per exterior-ring
+    segment, ceil(hav_len / max) - 1 interior points."""
+    segs = datagen.segments_path(sf_dir)
+    hav = _hav_expr("x1", "y1", "x2", "y2")
+    return (
+        f"SELECT polygon_id, "
+        f"(count(*) + sum(GREATEST(ceil(({hav}) / {HAV_DENSIFY_MAX_LEN!r}) - 1, 0)))::BIGINT "
+        f"AS n_hav_densified_edges "
+        f"FROM read_parquet('{segs}') WHERE ring_idx = 0 GROUP BY polygon_id"
+    )
+
+
+ORACLE_BUILDERS.update(
+    {
+        "hav_interp_pts": q_hav_interp_pts,
+        "densify_hav_counts": q_densify_hav_counts,
+    }
+)

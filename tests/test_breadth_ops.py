@@ -237,3 +237,104 @@ def test_geodesic_area_vs_sphere_large_polygon():
     R = 6371008.8
     sphere = R * R * np.radians(10.0) * (np.sin(np.radians(40)) - np.sin(np.radians(30)))
     assert abs(a - sphere) / sphere < 0.007
+
+
+def test_geodesic_azimuths_all_quadrants():
+    """ADVICE-r2 regression: azi1/azi2 honour the [0,360) compass
+    contract in every canonicalization branch (swapped, meridional,
+    equatorial-west) and never NaN."""
+    from georay.kernels.geodesic import geodesic_inverse
+
+    # southward meridional pair (early-return branch)
+    _, a1, a2 = geodesic_inverse([0.0], [50.0], [0.0], [10.0])
+    assert abs(a1[0] - 180.0) < 1e-12 and abs(a2[0] - 180.0) < 1e-12
+    # northward meridional
+    _, a1, _ = geodesic_inverse([0.0], [10.0], [0.0], [50.0])
+    assert abs(a1[0]) < 1e-12
+    # swapped branch (|lat1| < |lat2|) must not be NaN
+    _, a1, a2 = geodesic_inverse([10.0], [10.0], [20.0], [40.0])
+    assert not np.isnan(a1[0]) and 0.0 < a1[0] < 45.0
+    # westward equatorial
+    _, a1, _ = geodesic_inverse([0.0], [0.0], [-10.0], [0.0])
+    assert abs(a1[0] - 270.0) < 1e-12
+    # geodesic.rs:135 doc golden
+    _, a1, _ = geodesic_inverse([9.0], [10.0], [9.5], [10.1])
+    assert abs(a1[0] - 78.54) < 1e-2
+    # cardinal goldens (geodesic.rs bearing tests)
+    for dst, want in [((0.0, 1.0), 0.0), ((1.0, 0.0), 90.0),
+                      ((0.0, -1.0), 180.0), ((-1.0, 0.0), 270.0)]:
+        _, a1, _ = geodesic_inverse([0.0], [0.0], [dst[0]], [dst[1]])
+        assert abs(a1[0] - want) < 1e-9
+
+
+def test_geodesic_direct_reference_goldens():
+    """geodesic.rs Destination doc + unit goldens (geographiclib doc
+    values) to full precision, plus the interpolate surface."""
+    from georay.kernels.geodesic import (
+        geodesic_destination,
+        geodesic_point_at_distance_between,
+        geodesic_point_at_ratio_between,
+    )
+
+    for brg, want in [(0.0, (0.0, 0.9043687229127633)),
+                      (90.0, (0.8983152841195217, 0.0)),
+                      (180.0, (0.0, -0.9043687229127633)),
+                      (270.0, (-0.8983152841195217, 0.0))]:
+        lon2, lat2 = geodesic_destination([0.0], [0.0], [brg], [100_000.0])
+        assert abs(lon2[0] - want[0]) < 1e-12 and abs(lat2[0] - want[1]) < 1e-12
+    lon2, lat2 = geodesic_destination([-73.78], [40.64], [45.0], [100_000.0])
+    assert abs(lon2[0] - -72.94) < 1e-2 and abs(lat2[0] - 41.27) < 1e-2
+    p = geodesic_point_at_distance_between([10.0], [20.0], [125.0], [25.0], [100_000.0])
+    assert abs(p[0][0] - 10.81) < 1e-2 and abs(p[1][0] - 20.49) < 1e-2
+    p = geodesic_point_at_distance_between([10.0], [20.0], [125.0], [25.0], [10_000_000.0])
+    assert abs(p[0][0] - 112.20) < 1e-2 and abs(p[1][0] - 30.67) < 1e-2
+    for r, want in [(0.1, (19.52, 25.31)), (0.9, (114.73, 29.69)), (0.5, (65.88, 37.72))]:
+        p = geodesic_point_at_ratio_between([10.0], [20.0], [125.0], [25.0], [r])
+        assert abs(p[0][0] - want[0]) < 1e-2 and abs(p[1][0] - want[1]) < 1e-2
+
+
+def test_geodesic_inverse_direct_roundtrip():
+    """inverse -> direct lands back on p2 (1e-10 deg) with a consistent
+    forward azimuth at p2, across random quadrant-covering pairs."""
+    from georay.kernels.geodesic import _WGS84, geodesic_destination, geodesic_inverse
+
+    rs = np.random.RandomState(11)
+    lon1, lat1 = rs.uniform(-179, 179, 120), rs.uniform(-85, 85, 120)
+    lon2, lat2 = rs.uniform(-179, 179, 120), rs.uniform(-85, 85, 120)
+    s, a1, a2 = geodesic_inverse(lon1, lat1, lon2, lat2)
+    assert not np.isnan(a1).any() and not np.isnan(a2).any()
+    assert ((0 <= a1) & (a1 < 360)).all() and ((0 <= a2) & (a2 < 360)).all()
+    lo, la = geodesic_destination(lon1, lat1, a1, s)
+    err = np.hypot((lo - lon2 + 180.0) % 360.0 - 180.0, la - lat2)
+    assert err.max() < 1e-10
+    _, _, a2d = _WGS84.direct_rows(lon1, lat1, a1, s)
+    assert np.abs((a2d - a2 + 180.0) % 360.0 - 180.0).max() < 1e-9
+
+
+def test_haversine_interpolation_reference_goldens():
+    """haversine.rs:283-340 InterpolatePoint doc goldens + the
+    densify.rs Haversine doc example, exactly."""
+    from georay.kernels.measures import (
+        densify_haversine,
+        haversine_point_at_distance_between,
+        haversine_point_at_ratio_between,
+    )
+
+    p = haversine_point_at_distance_between([10.0], [20.0], [125.0], [25.0], [100_000.0])
+    assert abs(p[0][0] - 10.81) < 1e-2 and abs(p[1][0] - 20.49) < 1e-2
+    p = haversine_point_at_distance_between([10.0], [20.0], [125.0], [25.0], [10_000_000.0])
+    assert abs(p[0][0] - 112.33) < 1e-2 and abs(p[1][0] - 30.57) < 1e-2
+    for r, want in [(0.1, (19.52, 25.27)), (0.9, (114.72, 29.65)), (0.5, (65.87, 37.62))]:
+        p = haversine_point_at_ratio_between([10.0], [20.0], [125.0], [25.0], [r])
+        assert abs(p[0][0] - want[0]) < 1e-2 and abs(p[1][0] - want[1]) < 1e-2
+    # exact passthrough at ratio 0 / 1 / coincident
+    p = haversine_point_at_ratio_between([10.0], [20.0], [125.0], [25.0], [0.0])
+    assert p[0][0] == 10.0 and p[1][0] == 20.0
+    p = haversine_point_at_ratio_between([10.0], [20.0], [125.0], [25.0], [1.0])
+    assert p[0][0] == 125.0 and p[1][0] == 25.0
+    p = haversine_point_at_ratio_between([10.0], [20.0], [10.0], [20.0], [0.5])
+    assert p[0][0] == 10.0 and p[1][0] == 20.0
+    # densify.rs doc example (Haversine, max 200 km)
+    d = densify_haversine(np.array([[0.0, 0.0], [0.0, 6.0], [1.0, 7.0]]), 200_000.0)
+    want = np.array([[0.0, 0.0], [0.0, 1.5], [0.0, 3.0], [0.0, 4.5], [0.0, 6.0], [1.0, 7.0]])
+    assert np.abs(d - want).max() < 1e-12
