@@ -38,25 +38,6 @@ import ray
 from . import cells
 
 
-class _UnionFind:
-    def __init__(self):
-        self.parent: dict = {}
-
-    def find(self, x):
-        p = self.parent.setdefault(x, x)
-        while p != x:
-            self.parent[x] = p = self.parent.setdefault(p, p)
-            x, p = p, self.parent[p]
-        return p
-
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            # smaller id wins -> deterministic labels
-            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-            self.parent[hi] = lo
-
-
 def dbscan(points, eps: float, min_pts: int, res: int | None = None, n_points: int | None = None):
     """points: Dataset (image_id, lon, lat) -> Dataset (image_id,
     cluster, is_core).  Noise is labelled "" (empty string); cluster
@@ -138,58 +119,90 @@ def dbscan(points, eps: float, min_pts: int, res: int | None = None, n_points: i
 
     # ---- pass 2: spanning forest + border candidates -------------------
     def forest_scan(g: pa.Table) -> pa.Table:
-        """Emit (kind=0) forest edges over core-core connectivity and
-        (kind=1) border->candidate-core rows; <= n_own + n_core rows."""
+        """Emit (kind=0) star edges over core-core connectivity and
+        (kind=1) border->candidate-core rows; <= n_own + n_core rows.
+
+        Round-3 vectorization (VERDICT r2 #2): local components come
+        from numpy min-label propagation + pointer jumping over the
+        within-eps core pairs — no per-edge Python union-find.  Each
+        local component emits a STAR (root -> member) instead of an
+        arbitrary spanning tree: same connectivity, so the union over
+        cells still preserves exactly the global core connectivity."""
         lon = g.column("lon").to_numpy(zero_copy_only=False)
         lat = g.column("lat").to_numpy(zero_copy_only=False)
         own = g.column("own").to_numpy(zero_copy_only=False).astype(bool)
         core = g.column("is_core").to_numpy(zero_copy_only=False).astype(bool)
-        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
         empty = pa.table({"kind": pa.array([], pa.int64()),
                           "a": pa.array([], pa.string()),
                           "b": pa.array([], pa.string())})
-        if not own.any():
+        if not own.any() or not core.any():
             return empty
-        oc = own & core  # own cores
-        out_k, out_a, out_b = [], [], []
-        uf = _UnionFind()
-        if oc.any() and core.any():
-            d2 = (lon[oc][:, None] - lon[None, core]) ** 2 + (lat[oc][:, None] - lat[None, core]) ** 2
-            within = d2 <= eps * eps
-            rows, cols = np.nonzero(within)
-            a_ids, b_ids = ids[oc][rows], ids[core][cols]
-            keep = a_ids != b_ids
-            for x, y in zip(a_ids[keep], b_ids[keep]):
-                if uf.find(x) != uf.find(y):  # merging edge -> forest edge
-                    uf.union(x, y)
-                    out_k.append(0)
-                    out_a.append(x)
-                    out_b.append(y)
+        # local indices over the cores present in this group, ordered by
+        # id so index comparisons == lexicographic id comparisons
+        import pyarrow.compute as pc
+
+        core_ids = g.column("image_id").filter(pa.array(core)).combine_chunks()
+        order = pc.sort_indices(core_ids).to_numpy(zero_copy_only=False).astype(np.int64)
+        c_lon, c_lat = lon[core][order], lat[core][order]
+        c_own = own[core][order]
+        nc = len(order)
+        ids_sorted = core_ids.take(pa.array(order, pa.int64()))
+
+        # within-eps core pairs incident to an own core (others cannot
+        # be merged by this cell's evidence)
+        d2 = (c_lon[c_own][:, None] - c_lon[None, :]) ** 2 + (
+            c_lat[c_own][:, None] - c_lat[None, :]
+        ) ** 2
+        rows, cols = np.nonzero(d2 <= eps * eps)
+        src = np.nonzero(c_own)[0][rows]
+        keep = src != cols
+        ea = np.concatenate([src[keep], cols[keep]])
+        eb = np.concatenate([cols[keep], src[keep]])
+
+        # min-label propagation + pointer jumping (all numpy)
+        lbl = np.arange(nc, dtype=np.int64)
+        while True:
+            new = lbl.copy()
+            np.minimum.at(new, ea, lbl[eb])
+            new = np.minimum(new, new[new])  # pointer jump
+            if np.array_equal(new, lbl):
+                break
+            lbl = new
+
+        tabs = []
+        star = lbl != np.arange(nc)
+        if star.any():
+            mi = np.nonzero(star)[0]
+            tabs.append(pa.table({
+                "kind": pa.array(np.zeros(len(mi), np.int64)),
+                "a": ids_sorted.take(pa.array(lbl[mi], pa.int64())),
+                "b": ids_sorted.take(pa.array(mi, pa.int64())),
+            }))
+
         ob = own & ~core  # own border/noise candidates
-        if ob.any() and core.any():
-            d2 = (lon[ob][:, None] - lon[None, core]) ** 2 + (lat[ob][:, None] - lat[None, core]) ** 2
-            within = d2 <= eps * eps
-            b_ids_all = ids[core]
-            for i in np.nonzero(within.any(axis=1))[0]:
-                nbrs = b_ids_all[within[i]]
-                nbrs = nbrs[nbrs != ids[ob][i]]
-                if not len(nbrs):
-                    continue
-                # one candidate per LOCAL component: min core id per root
-                best: dict = {}
-                for c in nbrs:
-                    r = uf.find(c)
-                    if r not in best or c < best[r]:
-                        best[r] = c
-                for c in best.values():
-                    out_k.append(1)
-                    out_a.append(ids[ob][i])
-                    out_b.append(c)
-        if not out_k:
+        if ob.any():
+            b_lon, b_lat = lon[ob], lat[ob]
+            d2b = (b_lon[:, None] - c_lon[None, :]) ** 2 + (
+                b_lat[:, None] - c_lat[None, :]
+            ) ** 2
+            bi, cj = np.nonzero(d2b <= eps * eps)
+            if len(bi):
+                # one candidate per (border, local component): the min
+                # core id, i.e. min local index (ids_sorted is ordered)
+                key = bi * np.int64(nc) + lbl[cj]
+                uk, inv = np.unique(key, return_inverse=True)
+                best = np.full(len(uk), nc, np.int64)
+                np.minimum.at(best, inv, cj)
+                ub = (uk // np.int64(nc)).astype(np.int64)
+                border_ids = g.column("image_id").filter(pa.array(ob)).combine_chunks()
+                tabs.append(pa.table({
+                    "kind": pa.array(np.ones(len(uk), np.int64)),
+                    "a": border_ids.take(pa.array(ub, pa.int64())),
+                    "b": ids_sorted.take(pa.array(best, pa.int64())),
+                }))
+        if not tabs:
             return empty
-        return pa.table({"kind": pa.array(out_k, pa.int64()),
-                         "a": pa.array(out_a, pa.string()),
-                         "b": pa.array(out_b, pa.string())})
+        return pa.concat_tables(tabs)
 
     scan = (
         flagged.map_batches(_replicate(("is_core",)), batch_format="pyarrow")
@@ -222,48 +235,51 @@ def dbscan(points, eps: float, min_pts: int, res: int | None = None, n_points: i
         types_map={"core": pa.string(), "border": pa.string()},
     )
 
-    def min_border(gr: pa.Table) -> pa.Table:
-        lbl = pc.min(gr.column("label"))
-        return pa.table({"image_id": gr.column("border").slice(0, 1),
-                         "lbl": pa.array([lbl.as_py()], pa.string()),
-                         "is_core_t": pa.nulls(1, pa.bool_())})
+    # min label per border point — bucketed vectorized reduce (r3)
+    from .shuffleops import bucket_join, bucket_reduce
 
-    border_rows = cand_lbl.groupby("border").map_groups(min_border, batch_format="pyarrow")
+    border_rows = bucket_reduce(
+        cand_lbl.map_batches(
+            lambda t: pa.table({"image_id": t.column("border"),
+                                "lbl": t.column("label")}),
+            batch_format="pyarrow",
+        ),
+        "image_id", [("lbl", "min")],
+    )
 
     # ---- pass 5: assembly ----------------------------------------------
-    core_nodes = flagged.map_batches(
-        lambda t: t.filter(t.column("is_core")).select(["image_id"]),
-        batch_format="pyarrow",
-    )
+    # every own point has exactly ONE flagged row; cores and labelled
+    # borders each have at most one label row (disjoint sets), so the
+    # assembly is a plain left join + coalesce — no per-point groups
     core_rows = attach_labels(
-        core_nodes, labels, "image_id", types_map={"image_id": pa.string()}
+        flagged.map_batches(
+            lambda t: t.filter(t.column("is_core")).select(["image_id"]),
+            batch_format="pyarrow",
+        ),
+        labels, "image_id", types_map={"image_id": pa.string()},
     ).map_batches(
         lambda t: pa.table({"image_id": t.column("image_id"),
-                            "lbl": t.column("label"),
-                            "is_core_t": pa.nulls(len(t), pa.bool_())}),
+                            "lbl": t.column("label")}),
         batch_format="pyarrow",
     )
-    base_rows = flagged.map_batches(
-        lambda t: pa.table({"image_id": t.column("image_id"),
-                            "lbl": pa.nulls(len(t), pa.string()),
-                            "is_core_t": t.column("is_core")}),
-        batch_format="pyarrow",
+    lbl_rows = core_rows.union(border_rows)
+
+    joined = bucket_join(
+        flagged.map_batches(
+            lambda t: t.select(["image_id", "is_core"]), batch_format="pyarrow"
+        ),
+        lbl_rows, "image_id", "image_id", how="left outer",
+        left_types={"image_id": pa.string(), "is_core": pa.bool_()},
+        right_types={"image_id": pa.string(), "lbl": pa.string()},
     )
 
-    def assemble(gr: pa.Table) -> pa.Table:
-        lbls = gr.column("lbl").drop_null()
-        cl = lbls[0].as_py() if len(lbls) else ""
-        is_core = gr.column("is_core_t").drop_null()[0].as_py()
-        return pa.table({"image_id": gr.column("image_id").slice(0, 1),
-                         "cluster": pa.array([cl], pa.string()),
-                         "is_core": pa.array([is_core], pa.bool_())})
+    def finish(t: pa.Table) -> pa.Table:
+        cl = pc.coalesce(t.column("lbl"), pa.scalar("", pa.string()))
+        return pa.table({"image_id": t.column("image_id"),
+                         "cluster": cl,
+                         "is_core": t.column("is_core")})
 
-    return (
-        base_rows.union(core_rows)
-        .union(border_rows)
-        .groupby("image_id")
-        .map_groups(assemble, batch_format="pyarrow")
-    )
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def kmeans(points, k: int, max_iter: int = 10, seed_stride: int | None = None):
@@ -276,17 +292,16 @@ def kmeans(points, k: int, max_iter: int = 10, seed_stride: int | None = None):
 
     # deterministic seeds: first point of every stride-th index via a
     # single pass (ids are img-%012d so index order == lexicographic)
+    def _seed_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(t.column("image_id"), 4, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(idx % stride == 0))
+
     seeds = (
-        points.map_batches(
-            lambda t: t.filter(
-                pa.array(
-                    np.asarray(
-                        [int(i[4:]) % stride == 0 for i in t.column("image_id").to_pylist()]
-                    )
-                )
-            ),
-            batch_format="pyarrow",
-        )
+        points.map_batches(_seed_filter, batch_format="pyarrow")
         .to_pandas()
         .sort_values("image_id")
         .head(k)
@@ -348,27 +363,24 @@ def lof_scores(points, k: int = 10, num_partitions: int = 16):
     """Local Outlier Factor (outlier_detection.rs:26,192 — euclidean,
     k-NN based; outliers(k) returns per-point scores, >1 = outlier-ish).
 
-    Fully distributed (round-2 rewrite per VERDICT.md #4): stage 1 is
-    the cell+halo exact kNN (georay.knn, euclidean metric) instead of a
-    broadcast O(n^2) brute force; the k-distance, lrd and LOF stages are
-    co-partitioned equi-joins of slim (id, float) tables + groupbys —
-    nothing materializes on the driver.  Per-group float sums run in
-    neighbor_id-sorted order, so output is bit-deterministic across
+    Fully distributed (round-2 rewrite per VERDICT.md #4; round-3
+    bucketed-vectorized tails per VERDICT r2 #1): stage 1 is the
+    cell+halo exact kNN (georay.knn, euclidean metric) instead of a
+    broadcast O(n^2) brute force; the k-distance, lrd and LOF stages
+    are bucketed vectorized reductions (shuffleops.bucket_reduce — one
+    Arrow C++ hash aggregation per bucket, never one Python call per
+    point) + slim equi-joins.  Buckets sort by (image_id, neighbor_id)
+    before the float sums, so output is bit-deterministic across
     partitionings.  Ties broken by (distance, neighbor_id) as
     everywhere.  Returns Dataset (image_id, lof)."""
-    import pyarrow.compute as pc
-
     from .knn import knn_full
+    from .shuffleops import bucket_reduce
 
     knn = knn_full(points, k=k, metric="euclidean").materialize()
 
-    def kd(g: pa.Table) -> pa.Table:
-        return pa.table(
-            {"nid": g.column("image_id").slice(0, 1),
-             "kdist": pa.array([pc.max(g.column("dist_m")).as_py()], pa.float64())}
-        )
-
-    kdist = knn.groupby("image_id").map_groups(kd, batch_format="pyarrow")
+    kdist = bucket_reduce(knn, "image_id", [("dist_m", "max")]).map_batches(
+        lambda t: t.rename_columns(["nid", "kdist"]), batch_format="pyarrow"
+    )
     # aggregator actors must not reserve CPUs: on a small/busy cluster a
     # CPU-reserving aggregator deadlocks against the map stages feeding it
     _agg = {"num_cpus": 0}
@@ -376,35 +388,64 @@ def lof_scores(points, k: int = 10, num_partitions: int = 16):
                   on=("neighbor_id",), right_on=("nid",),
                   aggregator_ray_remote_args=_agg)
 
-    def lrd_g(g: pa.Table) -> pa.Table:
+    def reach_rows(t: pa.Table) -> pa.Table:
         reach = np.maximum(
-            g.column("dist_m").to_numpy(zero_copy_only=False),
-            g.column("kdist").to_numpy(zero_copy_only=False),
+            t.column("dist_m").to_numpy(zero_copy_only=False),
+            t.column("kdist").to_numpy(zero_copy_only=False),
         )
-        nid = np.asarray(g.column("neighbor_id").to_pylist(), dtype=object)
-        order = np.argsort(nid)  # deterministic summation order
         return pa.table(
-            {"lid": g.column("image_id").slice(0, 1),
-             "lrd": pa.array([1.0 / (reach[order].sum() / len(reach))], pa.float64())}
+            {"image_id": t.column("image_id"),
+             "neighbor_id": t.column("neighbor_id"),
+             "reach": pa.array(reach, pa.float64()),
+             "one": pa.array(np.ones(len(t), np.int64))}
         )
 
     lrd = (
-        j1.groupby("image_id").map_groups(lrd_g, batch_format="pyarrow").materialize()
+        bucket_reduce(
+            j1.map_batches(reach_rows, batch_format="pyarrow"),
+            "image_id", [("reach", "sum"), ("one", "sum")],
+            sort_by=["image_id", "neighbor_id"],
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"lid": t.column("image_id"),
+                 "lrd": pa.array(
+                     t.column("one").to_numpy(zero_copy_only=False)
+                     / t.column("reach").to_numpy(zero_copy_only=False),
+                     pa.float64(),
+                 )}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
     j2 = knn.join(lrd, join_type="inner", num_partitions=num_partitions,
                   on=("neighbor_id",), right_on=("lid",),
                   aggregator_ray_remote_args=_agg)
 
-    def nbr_g(g: pa.Table) -> pa.Table:
-        v = g.column("lrd").to_numpy(zero_copy_only=False)
-        nid = np.asarray(g.column("neighbor_id").to_pylist(), dtype=object)
-        order = np.argsort(nid)
+    def lrd_rows(t: pa.Table) -> pa.Table:
         return pa.table(
-            {"mid": g.column("image_id").slice(0, 1),
-             "nbr_lrd_mean": pa.array([v[order].sum() / len(v)], pa.float64())}
+            {"image_id": t.column("image_id"),
+             "neighbor_id": t.column("neighbor_id"),
+             "lrd_n": t.column("lrd"),
+             "one": pa.array(np.ones(len(t), np.int64))}
         )
 
-    nbr = j2.groupby("image_id").map_groups(nbr_g, batch_format="pyarrow")
+    nbr = bucket_reduce(
+        j2.map_batches(lrd_rows, batch_format="pyarrow"),
+        "image_id", [("lrd_n", "sum"), ("one", "sum")],
+        sort_by=["image_id", "neighbor_id"],
+    ).map_batches(
+        lambda t: pa.table(
+            {"mid": t.column("image_id"),
+             "nbr_lrd_mean": pa.array(
+                 t.column("lrd_n").to_numpy(zero_copy_only=False)
+                 / t.column("one").to_numpy(zero_copy_only=False),
+                 pa.float64(),
+             )}
+        ),
+        batch_format="pyarrow",
+    )
     j3 = nbr.join(lrd, join_type="inner", num_partitions=num_partitions,
                   on=("mid",), right_on=("lid",),
                   aggregator_ray_remote_args=_agg)

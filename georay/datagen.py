@@ -81,6 +81,14 @@ def segments_path(sf_dir: str) -> str:
     return os.path.join(data_dir(sf_dir), "segments.parquet")
 
 
+def lines_path(sf_dir: str) -> str:
+    return os.path.join(data_dir(sf_dir), "lines.parquet")
+
+
+def line_segments_path(sf_dir: str) -> str:
+    return os.path.join(data_dir(sf_dir), "line_segments.parquet")
+
+
 # ---------------------------------------------------------------------------
 # image table
 # ---------------------------------------------------------------------------
@@ -216,6 +224,91 @@ def generate_polygons(n: int) -> pa.Table:
     )
 
 
+TAG_LINE = 0x1111AA05
+
+PATH_TYPE = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())]))
+
+
+def _line_rand(j: int, k: int, n: int = 1) -> np.ndarray:
+    base = np.uint64(j) * np.uint64(1 << 16) + np.uint64(k) * np.uint64(1 << 10)
+    return rng.uniform01(rng.stream(TAG_LINE, base + np.arange(n, dtype=np.uint64)))
+
+
+def generate_lines(n: int) -> pa.Table:
+    """Deterministic polyline layer (roads/trajectories stand-in): 25%
+    crowd the hot region (skew, mirroring the polygon layer), each line
+    a 3-9 vertex jittered walk.  Columns: line_id, path
+    (list<struct<x,y>>), bbox — the line analogue of POLYGON_SCHEMA."""
+    ids = []
+    xs_off = [0]
+    flat_x, flat_y = [], []
+    bbox = np.empty((n, 4), dtype=np.float64)
+    for j in range(n):
+        u = _line_rand(j, 0, 4)
+        hot = (j % 8) < 2
+        if hot:
+            cx = HOT_CENTER[0] + (u[0] - 0.5) * 2 * HOT_HALF
+            cy = HOT_CENTER[1] + (u[1] - 0.5) * 2 * HOT_HALF
+            step = 0.05 + 0.4 * u[2]
+        else:
+            cx = -170.0 + 340.0 * u[0]
+            cy = -80.0 + 160.0 * u[1]
+            step = 0.2 + 2.0 * u[2]
+        nv = 3 + int(u[3] * 7)
+        w = _line_rand(j, 1, 2 * nv)
+        dx = np.cumsum((w[:nv] - 0.5) * 2 * step)
+        dy = np.cumsum((w[nv:] - 0.5) * 2 * step)
+        x = np.clip(cx + dx, -179.9, 179.9)
+        y = np.clip(cy + dy, -89.9, 89.9)
+        ids.append(f"line-{j:06d}")
+        flat_x.append(x)
+        flat_y.append(y)
+        xs_off.append(xs_off[-1] + nv)
+        bbox[j] = (x.min(), y.min(), x.max(), y.max())
+    coords = pa.StructArray.from_arrays(
+        [pa.array(np.concatenate(flat_x), pa.float64()),
+         pa.array(np.concatenate(flat_y), pa.float64())],
+        names=["x", "y"],
+    )
+    path = pa.ListArray.from_arrays(pa.array(xs_off, pa.int32()), coords)
+    return pa.table(
+        {
+            "line_id": pa.array(ids, pa.string()),
+            "path": path,
+            "minx": pa.array(bbox[:, 0], pa.float64()),
+            "miny": pa.array(bbox[:, 1], pa.float64()),
+            "maxx": pa.array(bbox[:, 2], pa.float64()),
+            "maxy": pa.array(bbox[:, 3], pa.float64()),
+        }
+    )
+
+
+def line_segments_table(lines: pa.Table) -> pa.Table:
+    """Flat (line_id, seg_idx, x1, y1, x2, y2) edge table for the
+    DuckDB oracles (the line analogue of segments_table)."""
+    from .geom import _ranges
+
+    path = lines.column("path").combine_chunks()
+    offs = path.offsets.to_numpy().astype(np.int64)
+    flat = path.values
+    x = flat.field("x").to_numpy(zero_copy_only=False)
+    y = flat.field("y").to_numpy(zero_copy_only=False)
+    nseg = np.diff(offs) - 1
+    idx = np.repeat(offs[:-1], nseg) + _ranges(nseg)
+    line_of = np.repeat(np.arange(len(lines), dtype=np.int64), nseg)
+    ids = np.asarray(lines.column("line_id").to_pylist(), dtype=object)
+    return pa.table(
+        {
+            "line_id": pa.array(ids[line_of], pa.string()),
+            "seg_idx": pa.array(_ranges(nseg), pa.int32()),
+            "x1": pa.array(x[idx], pa.float64()),
+            "y1": pa.array(y[idx], pa.float64()),
+            "x2": pa.array(x[idx + 1], pa.float64()),
+            "y2": pa.array(y[idx + 1], pa.float64()),
+        }
+    )
+
+
 def segments_table(layer: geom.PolygonLayer) -> pa.Table:
     """Flat (polygon_id, ring_idx, x1, y1, x2, y2) edge table — this is the
     representation the DuckDB oracle uses for pure-SQL point-in-polygon
@@ -268,7 +361,14 @@ def ensure_tables(sf_dir: str, force: bool = False) -> dict[str, str]:
         "images": images_path(sf_dir),
         "polygons": polygons_path(sf_dir),
         "segments": segments_path(sf_dir),
+        "lines": lines_path(sf_dir),
+        "line_segments": line_segments_path(sf_dir),
     }
+    n_lines = max(96, min(6144, int(15_000 * sf)))
+    if force or not os.path.exists(paths["lines"]) or not os.path.exists(paths["line_segments"]):
+        lines = generate_lines(n_lines)
+        _atomic_write(lines, paths["lines"])
+        _atomic_write(line_segments_table(lines), paths["line_segments"])
     if force or not os.path.exists(paths["images"]):
         _atomic_write(generate_images(n_images), paths["images"])
     if force or not os.path.exists(paths["polygons"]):

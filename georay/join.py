@@ -203,6 +203,25 @@ def broadcast_pip_annotate(points, polygons: pa.Table, predicate: str = "contain
 # Plan B: cell-co-shuffle join with hot-cell salting
 # ---------------------------------------------------------------------------
 
+def _salt_lookup(hot_salts: dict[int, int]):
+    """Vectorized {cell: salt} lookup (default 1) — np.searchsorted
+    against the sorted hot-cell array instead of a per-row dict.get
+    (VERDICT r2 #3)."""
+    hot = np.asarray(sorted(hot_salts), dtype=np.int64)
+    val = np.asarray([hot_salts[int(c)] for c in hot], dtype=np.int64)
+
+    def lookup(cell: np.ndarray) -> np.ndarray:
+        if len(hot) == 0:
+            return np.ones(len(cell), dtype=np.int64)
+        pos = np.searchsorted(hot, cell)
+        pos_c = np.minimum(pos, len(hot) - 1)
+        fan = np.ones(len(cell), dtype=np.int64)
+        is_hot = hot[pos_c] == cell
+        fan[is_hot] = val[pos_c[is_hot]]
+        return fan
+
+    return lookup
+
 def _poly_cell_replicas(
     polygons: pa.Table, res: int, n_salt: int, hot_salts: dict[int, int] | None = None
 ) -> pa.Table:
@@ -221,7 +240,7 @@ def _poly_cell_replicas(
     if hot_salts is None:
         fan = np.full(len(cell), n_salt, dtype=np.int64)
     else:
-        fan = np.asarray([hot_salts.get(int(c), 1) for c in cell], dtype=np.int64)
+        fan = _salt_lookup(hot_salts)(cell)
     cell = np.repeat(cell, fan)
     poly = np.repeat(poly, fan)
     salt = _ranges(fan)
@@ -284,12 +303,12 @@ def shuffle_pip_join(
     overhead), hot cells split into up to max_salt sub-groups.
     """
     layer_ref = ray.put(polygons)
-    salt_of = dict(hot_salts) if hot_salts is not None else None
+    salt_of = _salt_lookup(hot_salts) if hot_salts is not None else None
 
     def _cell_salt(cell: np.ndarray) -> np.ndarray:
         if salt_of is None:
             return np.full(len(cell), n_salt, dtype=np.int64)
-        return np.asarray([salt_of.get(int(c), 1) for c in cell], dtype=np.int64)
+        return salt_of(cell)
 
     def tag_points(batch: pa.Table) -> pa.Table:
         from .texthash import hash_strings
@@ -353,7 +372,7 @@ def shuffle_pip_join(
             {"image_id": ids, "polygon_id": pa.array(layer.poly_ids[pair_poly], pa.string())}
         )
 
-    replicas = _poly_cell_replicas(polygons, res, n_salt, hot_salts=salt_of)
+    replicas = _poly_cell_replicas(polygons, res, n_salt, hot_salts=hot_salts)
     import ray.data as rd
 
     poly_ds = rd.from_arrow(replicas).map_batches(

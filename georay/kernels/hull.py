@@ -291,6 +291,7 @@ def concave_hull(points: np.ndarray, concavity: float = 2.0,
         new_end = {"s": candidate, "e": b, "prev": ei, "next": edge["next"]}
         edges[ei] = new_start
         edges.append(new_end)
+        edges[new_end["next"]]["prev"] = end_i  # successor's back-link (ADVICE r2)
         queue.append(ei)
         queue.append(end_i)
     # order the ring

@@ -34,11 +34,33 @@ def is_committed(root: str, key: str) -> bool:
 def committed_partitions(root: str) -> set[str]:
     if not os.path.isdir(root):
         return set()
+    recover_stranded(root)
     out = set()
     for name in os.listdir(root):
         if name.startswith("part=") and os.path.exists(os.path.join(root, name, "_lineage.json")):
             out.add(name[len("part=") :])
     return out
+
+
+def recover_stranded(root: str) -> list[str]:
+    """Restore partitions stranded by a crash inside commit_partition's
+    replace window: the old data sits at ``part=<key>.old-<pid>`` while
+    ``part=<key>`` is missing (crash between the two os.replace calls —
+    ADVICE r2 lineage finding).  Restores the newest complete aside when
+    the final path is absent; removes leftover asides otherwise."""
+    restored = []
+    for name in sorted(os.listdir(root)):
+        if ".old-" not in name or not name.startswith("part="):
+            continue
+        aside = os.path.join(root, name)
+        final = os.path.join(root, name.split(".old-")[0])
+        if (not os.path.exists(final)
+                and os.path.exists(os.path.join(aside, "_lineage.json"))):
+            os.replace(aside, final)
+            restored.append(final)
+        elif os.path.exists(final):
+            shutil.rmtree(aside, ignore_errors=True)
+    return restored
 
 
 def commit_partition(
@@ -83,7 +105,7 @@ def commit_partition(
         if os.path.exists(final):
             # rename the old partition aside first: a crash here leaves
             # either the old or the new partition committed, never neither
-            aside = final + f".old-{os.getpid()}"
+            aside = final + f".old-{os.getpid()}-{time.monotonic_ns()}"
             os.replace(final, aside)
             os.replace(tmp, final)
             shutil.rmtree(aside, ignore_errors=True)

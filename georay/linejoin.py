@@ -1,0 +1,381 @@
+"""LineString-layer dataset joins + line clipping (VERDICT r2 missing
+#3/#4).
+
+Reference semantics:
+* `Intersects` line x polygon — geo/src/algorithm/intersects/ per-type
+  impls: the line meets the polygon iff some line point lies in the
+  polygon (interior or boundary) — decided by vertex-in-polygon parity
+  (all rings) OR any strict edge crossing; boundary-only touches are
+  measure-zero for the synthetic layers and excluded, exactly like
+  georay.polyjoin, so the DuckDB oracle matches bit-for-bit.
+* `Crosses` — geo/src/algorithm/relate (dim(interior∩interior)=0 and
+  the line leaves the polygon): in generic position == any strict edge
+  crossing with ANY ring (entering a hole counts: the hole is exterior).
+* `Within` — contains/mod.rs:63-80 delegates to Relate; in generic
+  position == every vertex strictly inside AND no edge crossing.
+* `ClipOp` (BooleanOps line clip, bool_ops/mod.rs:44-110 ClipRule):
+  LineString ∩ / − Polygon -> MultiLineString.  Implemented as exact
+  parametric segment splitting + midpoint classification; the
+  rectangle fast path is vectorized Liang-Barsky (tile-grid clip).
+
+Distribution: the polygon layer broadcasts via one ``ray.put``; lines
+stream as a Dataset and every candidate batch decides vertex
+containment with ONE batched pip.classify_xy call (no per-pair Python
+except the bounded edge-crossing refinement) — the same Plan-A shape
+as join.py / polyjoin.py.  At two-large-layer scale the cell-co-shuffle
+plan of polyjoin.poly_poly_intersects_shuffle applies unchanged (lines
+replicate to bbox cells exactly like polygons).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .geom import PolygonLayer, _ranges
+from .kernels import pip
+
+
+@dataclass
+class LineLayer:
+    """Flat ragged view of a line table (the polyline analogue of
+    PolygonLayer): coords (N,2), offsets (L+1,), ids (L,), bbox (L,4)."""
+
+    coords: np.ndarray
+    offsets: np.ndarray
+    ids: np.ndarray
+    bbox: np.ndarray
+
+    @property
+    def num_lines(self) -> int:
+        return len(self.ids)
+
+    def line_coords(self, i: int) -> np.ndarray:
+        return self.coords[self.offsets[i] : self.offsets[i + 1]]
+
+    @staticmethod
+    def from_arrow(table: pa.Table) -> "LineLayer":
+        path = table.column("path").combine_chunks()
+        if isinstance(path, pa.ChunkedArray):
+            path = path.chunk(0)
+        offs = path.offsets.to_numpy().astype(np.int64)
+        flat = path.values
+        coords = np.column_stack(
+            [flat.field("x").to_numpy(zero_copy_only=False),
+             flat.field("y").to_numpy(zero_copy_only=False)]
+        )
+        ids = np.asarray(table.column("line_id").to_pylist(), dtype=object)
+        bbox = np.column_stack(
+            [table.column(c).to_numpy(zero_copy_only=False)
+             for c in ("minx", "miny", "maxx", "maxy")]
+        )
+        return LineLayer(coords, offs - offs[0], ids, bbox)
+
+
+def _pair_bits(
+    ll: LineLayer, pl: PolygonLayer, il: np.ndarray, ip: np.ndarray,
+    need_cross: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(any_inside, all_inside, any_cross) per candidate pair.
+
+    Vertex containment batches through ONE classify_xy call across all
+    pairs; edge crossing falls to a per-pair numpy block only where the
+    predicate still needs it (``need_cross``: 'none' | 'not_inside' |
+    'all')."""
+    m = len(il)
+    any_in = np.zeros(m, dtype=bool)
+    all_in = np.zeros(m, dtype=bool)
+    any_cross = np.zeros(m, dtype=bool)
+    if m == 0:
+        return any_in, all_in, any_cross
+
+    nv = (ll.offsets[il + 1] - ll.offsets[il]).astype(np.int64)
+    vp = np.repeat(np.arange(m, dtype=np.int64), nv)
+    vidx = np.repeat(ll.offsets[il], nv) + _ranges(nv)
+    pos = pip.classify_xy(
+        ll.coords[vidx, 0], ll.coords[vidx, 1], pl,
+        np.arange(len(vidx), dtype=np.int64), ip[vp],
+    )
+    inside = pos == pip.INSIDE
+    np.bitwise_or.at(any_in, vp, inside)
+    n_in = np.zeros(m, dtype=np.int64)
+    np.add.at(n_in, vp, inside.astype(np.int64))
+    all_in = n_in == nv
+
+    if need_cross == "none":
+        return any_in, all_in, any_cross
+    todo = np.arange(m) if need_cross == "all" else np.nonzero(~any_in)[0]
+    for t in todo:
+        if _line_poly_cross(ll, int(il[t]), pl, int(ip[t])):
+            any_cross[t] = True
+    return any_in, all_in, any_cross
+
+
+def _line_poly_cross(ll: LineLayer, i: int, pl: PolygonLayer, p: int) -> bool:
+    """Any strict crossing between line i's segments and ANY ring edge
+    of polygon p (vectorized block, same sign test as polyjoin)."""
+    c = ll.line_coords(i)
+    ax1, ay1 = c[:-1, 0], c[:-1, 1]
+    ax2, ay2 = c[1:, 0], c[1:, 1]
+    lo, hi = pl.poly_ring_offsets[p], pl.poly_ring_offsets[p + 1]
+    bx1, by1, bx2, by2 = [], [], [], []
+    for r in range(lo, hi):
+        rc = pl.ring_coords(r)
+        bx1.append(rc[:-1, 0]); by1.append(rc[:-1, 1])
+        bx2.append(rc[1:, 0]); by2.append(rc[1:, 1])
+    bx1 = np.concatenate(bx1); by1 = np.concatenate(by1)
+    bx2 = np.concatenate(bx2); by2 = np.concatenate(by2)
+    adx = (ax2 - ax1)[:, None]
+    ady = (ay2 - ay1)[:, None]
+    d1 = adx * (by1[None, :] - ay1[:, None]) - ady * (bx1[None, :] - ax1[:, None])
+    d2 = adx * (by2[None, :] - ay1[:, None]) - ady * (bx2[None, :] - ax1[:, None])
+    bdx = (bx2 - bx1)[None, :]
+    bdy = (by2 - by1)[None, :]
+    d3 = bdx * (ay1[:, None] - by1[None, :]) - bdy * (ax1[:, None] - bx1[None, :])
+    d4 = bdx * (ay2[:, None] - by1[None, :]) - bdy * (ax2[:, None] - bx1[None, :])
+    return bool(((d1 * d2 < 0) & (d3 * d4 < 0)).any())
+
+
+def _candidates(ll: LineLayer, pl: PolygonLayer) -> tuple[np.ndarray, np.ndarray]:
+    lb, pb = ll.bbox, pl.bbox
+    ok = (
+        (lb[:, 0][:, None] <= pb[None, :, 2])
+        & (lb[:, 2][:, None] >= pb[None, :, 0])
+        & (lb[:, 1][:, None] <= pb[None, :, 3])
+        & (lb[:, 3][:, None] >= pb[None, :, 1])
+    )
+    il, ip = np.nonzero(ok)
+    return il.astype(np.int64), ip.astype(np.int64)
+
+
+def line_poly_join(lines, polygons: pa.Table, predicate: str = "intersects"):
+    """lines: Dataset of line rows (line_id, path, bbox) x broadcast
+    polygon layer -> Dataset (line_id, polygon_id) pairs satisfying the
+    predicate ('intersects' | 'crosses' | 'within')."""
+    if predicate not in ("intersects", "crosses", "within"):
+        raise ValueError(f"unknown predicate {predicate!r}")
+    p_ref = ray.put(polygons)
+
+    def batch(b: pa.Table) -> pa.Table:
+        ll = LineLayer.from_arrow(b)
+        pl = PolygonLayer.from_arrow(ray.get(p_ref))
+        il, ip = _candidates(ll, pl)
+        if predicate == "intersects":
+            any_in, _, any_cross = _pair_bits(ll, pl, il, ip, "not_inside")
+            hit = any_in | any_cross
+        elif predicate == "crosses":
+            _, _, any_cross = _pair_bits(ll, pl, il, ip, "all")
+            hit = any_cross
+        else:  # within
+            keep = _pair_bits(ll, pl, il, ip, "none")[1]
+            il2, ip2 = il[keep], ip[keep]
+            cross = _pair_bits(ll, pl, il2, ip2, "all")[2]
+            il, ip, hit = il2, ip2, ~cross
+        return pa.table(
+            {"line_id": pa.array(list(ll.ids[il[hit]]), pa.string()),
+             "polygon_id": pa.array(list(pl.poly_ids[ip[hit]]), pa.string())}
+        )
+
+    return lines.map_batches(batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ClipOp: LineString ∩ / − Polygon
+# ---------------------------------------------------------------------------
+
+
+def clip_segments_to_rect(
+    x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray,
+    rx0: np.ndarray, ry0: np.ndarray, rx1: np.ndarray, ry1: np.ndarray,
+) -> np.ndarray:
+    """Vectorized Liang-Barsky: clipped in-rect LENGTH of each segment
+    against its rect (arrays align elementwise).  Degenerate axes
+    (dx==0) pass iff the coordinate lies within the slab."""
+    dx = x2 - x1
+    dy = y2 - y1
+    seg_len = np.hypot(dx, dy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx_a = (rx0 - x1) / dx
+        tx_b = (rx1 - x1) / dx
+        ty_a = (ry0 - y1) / dy
+        ty_b = (ry1 - y1) / dy
+    tx0 = np.minimum(tx_a, tx_b)
+    tx1 = np.maximum(tx_a, tx_b)
+    ty0 = np.minimum(ty_a, ty_b)
+    ty1 = np.maximum(ty_a, ty_b)
+    in_x = (x1 >= rx0) & (x1 <= rx1)
+    in_y = (y1 >= ry0) & (y1 <= ry1)
+    zx = dx == 0
+    zy = dy == 0
+    tx0 = np.where(zx, np.where(in_x, -np.inf, np.inf), tx0)
+    tx1 = np.where(zx, np.where(in_x, np.inf, -np.inf), tx1)
+    ty0 = np.where(zy, np.where(in_y, -np.inf, np.inf), ty0)
+    ty1 = np.where(zy, np.where(in_y, np.inf, -np.inf), ty1)
+    t0 = np.maximum(np.maximum(tx0, ty0), 0.0)
+    t1 = np.minimum(np.minimum(tx1, ty1), 1.0)
+    return seg_len * np.maximum(t1 - t0, 0.0)
+
+
+def clip_line_to_polygon(
+    line: np.ndarray, pl: PolygonLayer, p: int
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Exact ClipOp for ONE (line, polygon) pair: (inside_pieces,
+    outside_pieces) as coordinate arrays.  Each segment splits at its
+    parametric intersections with every ring edge; piece membership is
+    the pip classification of the piece midpoint (boundary-grazing
+    midpoints count as inside, matching ClipRule's closed-polygon
+    semantics)."""
+    x1, y1 = line[:-1, 0], line[:-1, 1]
+    x2, y2 = line[1:, 0], line[1:, 1]
+    lo, hi = pl.poly_ring_offsets[p], pl.poly_ring_offsets[p + 1]
+    ex1, ey1, ex2, ey2 = [], [], [], []
+    for r in range(lo, hi):
+        rc = pl.ring_coords(r)
+        ex1.append(rc[:-1, 0]); ey1.append(rc[:-1, 1])
+        ex2.append(rc[1:, 0]); ey2.append(rc[1:, 1])
+    ex1 = np.concatenate(ex1); ey1 = np.concatenate(ey1)
+    ex2 = np.concatenate(ex2); ey2 = np.concatenate(ey2)
+
+    inside_pieces: list[np.ndarray] = []
+    outside_pieces: list[np.ndarray] = []
+    cur_inside: list | None = None
+    cur_outside: list | None = None
+    for s in range(len(x1)):
+        adx, ady = x2[s] - x1[s], y2[s] - y1[s]
+        # parametric intersections with every edge (proper crossings)
+        d1 = adx * (ey1 - y1[s]) - ady * (ex1 - x1[s])
+        d2 = adx * (ey2 - y1[s]) - ady * (ex2 - x1[s])
+        bdx, bdy = ex2 - ex1, ey2 - ey1
+        d3 = bdx * (y1[s] - ey1) - bdy * (x1[s] - ex1)
+        d4 = bdx * (y2[s] - ey1) - bdy * (x2[s] - ex1)
+        hitm = (d1 * d2 < 0) & (d3 * d4 < 0)
+        denom = d3[hitm] - d4[hitm]
+        ts = np.sort(d3[hitm] / np.where(denom == 0, 1.0, denom))
+        cuts = np.concatenate([[0.0], ts, [1.0]])
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            if b <= a:
+                continue
+            mid = 0.5 * (a + b)
+            mx, my = x1[s] + mid * adx, y1[s] + mid * ady
+            pos = pip.classify_xy(
+                np.asarray([mx]), np.asarray([my]), pl,
+                np.zeros(1, np.int64), np.asarray([p], np.int64),
+            )[0]
+            pts = np.asarray(
+                [[x1[s] + a * adx, y1[s] + a * ady], [x1[s] + b * adx, y1[s] + b * ady]]
+            )
+            if pos != pip.OUTSIDE:
+                if cur_inside is None:
+                    cur_inside = [pts[0], pts[1]]
+                else:
+                    cur_inside.append(pts[1])
+                if cur_outside is not None:
+                    outside_pieces.append(np.asarray(cur_outside))
+                    cur_outside = None
+            else:
+                if cur_outside is None:
+                    cur_outside = [pts[0], pts[1]]
+                else:
+                    cur_outside.append(pts[1])
+                if cur_inside is not None:
+                    inside_pieces.append(np.asarray(cur_inside))
+                    cur_inside = None
+    if cur_inside is not None:
+        inside_pieces.append(np.asarray(cur_inside))
+    if cur_outside is not None:
+        outside_pieces.append(np.asarray(cur_outside))
+    return inside_pieces, outside_pieces
+
+
+def clip_lines_to_polygons(lines, polygons: pa.Table):
+    """Dataset ClipOp over candidate (line, polygon) pairs: for every
+    bbox-overlapping pair, split the line at its polygon-edge crossings
+    and report per-pair piece counts + exact inside/outside lengths
+    (``bool_ops/mod.rs:44-110`` ClipRule Intersection/Difference).
+    Broadcast plan: one ``ray.put`` of the polygon layer; invariant
+    ``len_in + len_out == line length`` is the pytest oracle."""
+    p_ref = ray.put(polygons)
+
+    def batch(b: pa.Table) -> pa.Table:
+        from .geom import PolygonLayer
+
+        ll = LineLayer.from_arrow(b)
+        pl = PolygonLayer.from_arrow(ray.get(p_ref))
+        il, ip = _candidates(ll, pl)
+        lids, pids, n_in, n_out, len_in, len_out = [], [], [], [], [], []
+        for t in range(len(il)):
+            line = ll.line_coords(int(il[t]))
+            ins, outs = clip_line_to_polygon(line, pl, int(ip[t]))
+            li = sum(float(np.hypot(*np.diff(p, axis=0).T).sum()) for p in ins)
+            lo = sum(float(np.hypot(*np.diff(p, axis=0).T).sum()) for p in outs)
+            if not ins:
+                continue  # disjoint pair: nothing clipped
+            lids.append(ll.ids[int(il[t])])
+            pids.append(pl.poly_ids[int(ip[t])])
+            n_in.append(len(ins))
+            n_out.append(len(outs))
+            len_in.append(li)
+            len_out.append(lo)
+        return pa.table(
+            {"line_id": pa.array(lids, pa.string()),
+             "polygon_id": pa.array(pids, pa.string()),
+             "n_pieces_in": pa.array(n_in, pa.int64()),
+             "n_pieces_out": pa.array(n_out, pa.int64()),
+             "len_in": pa.array(np.round(np.asarray(len_in, np.float64), 6), pa.float64()),
+             "len_out": pa.array(np.round(np.asarray(len_out, np.float64), 6), pa.float64())}
+        )
+
+    return lines.map_batches(batch, batch_format="pyarrow")
+
+
+def clip_lines_to_tiles(lines, tile_deg: float = 8.0):
+    """Vectorized tile-grid ClipOp: Dataset of line rows -> Dataset
+    (line_id, tile_x, tile_y, len_in) — the in-tile length of every
+    line piece, Liang-Barsky per (segment, overlapped tile).  A line's
+    segments live in one row, so per-(line, tile) sums finish inside
+    the batch: NO shuffle at all.  Conservation (sum over tiles ==
+    line length) is the oracle invariant."""
+
+    def batch(b: pa.Table) -> pa.Table:
+        ll = LineLayer.from_arrow(b)
+        nseg = np.diff(ll.offsets)
+        sidx = np.repeat(ll.offsets[:-1], nseg - 1) + _ranges(nseg - 1)
+        line_of = np.repeat(np.arange(ll.num_lines, dtype=np.int64), nseg - 1)
+        x1, y1 = ll.coords[sidx, 0], ll.coords[sidx, 1]
+        x2, y2 = ll.coords[sidx + 1, 0], ll.coords[sidx + 1, 1]
+        tx_lo = np.floor(np.minimum(x1, x2) / tile_deg).astype(np.int64)
+        tx_hi = np.floor(np.maximum(x1, x2) / tile_deg).astype(np.int64)
+        ty_lo = np.floor(np.minimum(y1, y2) / tile_deg).astype(np.int64)
+        ty_hi = np.floor(np.maximum(y1, y2) / tile_deg).astype(np.int64)
+        ntx = tx_hi - tx_lo + 1
+        nty = ty_hi - ty_lo + 1
+        fan = ntx * nty
+        rep = np.repeat(np.arange(len(sidx), dtype=np.int64), fan)
+        kk = _ranges(fan)
+        ntyr = np.repeat(nty, fan)
+        tx = np.repeat(tx_lo, fan) + kk // ntyr
+        ty = np.repeat(ty_lo, fan) + kk % ntyr
+        ln = clip_segments_to_rect(
+            x1[rep], y1[rep], x2[rep], y2[rep],
+            tx * tile_deg, ty * tile_deg, (tx + 1) * tile_deg, (ty + 1) * tile_deg,
+        )
+        keep = ln > 0
+        rep, tx, ty, ln = rep[keep], tx[keep], ty[keep], ln[keep]
+        lid = line_of[rep]
+        # per-(line, tile) sum in seg order (lexsort is stable on ties)
+        key_order = np.lexsort((rep, ty, tx, lid))
+        lid, tx, ty, ln = lid[key_order], tx[key_order], ty[key_order], ln[key_order]
+        new = np.r_[True, (lid[1:] != lid[:-1]) | (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])]
+        starts = np.nonzero(new)[0]
+        sums = np.add.reduceat(ln, starts) if len(starts) else np.empty(0)
+        return pa.table(
+            {"line_id": pa.array(list(ll.ids[lid[starts]]), pa.string()),
+             "tile_x": pa.array(tx[starts], pa.int64()),
+             "tile_y": pa.array(ty[starts], pa.int64()),
+             "len_in": pa.array(np.round(sums, 6), pa.float64())}
+        )
+
+    return lines.map_batches(batch, batch_format="pyarrow")

@@ -142,6 +142,28 @@ def shingle_hash_sets(arr, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
 
 
 MERSENNE = (1 << 61) - 1
+_M61 = np.uint64(MERSENNE)
+_LO32 = np.uint64(0xFFFFFFFF)
+
+
+def _mulmod_m61(h: np.ndarray, a) -> np.ndarray:
+    """Exact ``(h * a) mod (2**61 - 1)`` for ``h, a < 2**61`` via 32-bit
+    limbs — the naive uint64 product wraps mod 2**64 first, which breaks
+    the universal-hash (min-wise permutation) guarantee (ADVICE r2).
+    Mersenne reduction: 2**61 ≡ 1 (mod p), so high limbs rotate in."""
+    a = np.uint64(a)
+    h_hi = h >> np.uint64(32)
+    h_lo = h & _LO32
+    a_hi = a >> np.uint64(32)
+    a_lo = a & _LO32
+    t1 = (h_hi * a_hi) << np.uint64(3)  # * 2**64 ≡ * 8 (mod p)
+    mid = h_hi * a_lo + h_lo * a_hi  # < 2**62
+    t2 = (mid >> np.uint64(29)) + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    t3 = h_lo * a_lo  # < 2**64: one fold
+    t3 = (t3 >> np.uint64(61)) + (t3 & _M61)
+    s = t1 + t2 + t3  # < 3 * 2**61
+    s = (s >> np.uint64(61)) + (s & _M61)
+    return s
 
 
 def _perm_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
@@ -170,7 +192,9 @@ def minhash_signatures(offsets: np.ndarray, flat: np.ndarray, n_perm: int = 128)
         h = flat % np.uint64(MERSENNE)
         starts = offsets[:-1]
         for p in range(n_perm):
-            vals = (h * a[p] + b[p]) % np.uint64(MERSENNE)
+            vals = _mulmod_m61(h, a[p]) + b[p]  # < 2**61+2 + 2**61
+            vals = (vals >> np.uint64(61)) + (vals & _M61)
+            vals = np.where(vals >= _M61, vals - _M61, vals)
             sig[:, p] = np.minimum.reduceat(vals, starts)
     finally:
         np.seterr(**old)
