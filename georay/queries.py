@@ -2074,3 +2074,78 @@ def densify_hav_counts(sf_dir: str):
 
 
 QUERIES["densify_hav_counts"] = densify_hav_counts
+
+
+# ---------------------------------------------------------------------------
+# line-layer joins + line clipping (linejoin; VERDICT r2 missing #3/#4)
+# ---------------------------------------------------------------------------
+
+
+def _lines_ds(sf_dir: str):
+    paths = datagen.ensure_tables(sf_dir)
+    return rd.read_parquet(paths["lines"])
+
+
+def line_poly_intersects(sf_dir: str):
+    """LineString x Polygon `Intersects` dataset join (broadcast plan;
+    intersects/ per-type impls, contains/mod.rs:63-80 Relate
+    delegation): any vertex inside (parity) OR any strict edge
+    crossing."""
+    from . import linejoin
+
+    paths = datagen.ensure_tables(sf_dir)
+    polys = pq.read_table(paths["polygons"])
+    return linejoin.line_poly_join(_lines_ds(sf_dir), polys, "intersects")
+
+
+def line_poly_crosses(sf_dir: str):
+    """`Crosses` (relate: interior intersection of dim 0 + line leaves
+    the polygon): strict edge crossing with any ring."""
+    from . import linejoin
+
+    paths = datagen.ensure_tables(sf_dir)
+    polys = pq.read_table(paths["polygons"])
+    return linejoin.line_poly_join(_lines_ds(sf_dir), polys, "crosses")
+
+
+def line_poly_within(sf_dir: str):
+    """`Within` (contains/mod.rs:63-80): every vertex strictly inside
+    and no edge crossing."""
+    from . import linejoin
+
+    paths = datagen.ensure_tables(sf_dir)
+    polys = pq.read_table(paths["polygons"])
+    return linejoin.line_poly_join(_lines_ds(sf_dir), polys, "within")
+
+
+def line_tile_clip(sf_dir: str):
+    """Vectorized tile-grid line ClipOp (Liang-Barsky): per-(line,
+    tile) in-tile length, no shuffle (a line's segments live in one
+    row).  Fully SQL-oracled including the clipped lengths."""
+    from . import linejoin
+
+    return linejoin.clip_lines_to_tiles(_lines_ds(sf_dir), tile_deg=8.0)
+
+
+def line_clip_pieces(sf_dir: str):
+    """Exact LineString / Polygon ClipOp (bool_ops ClipRule): per
+    intersecting candidate pair, piece counts + inside/outside lengths
+    (parametric splitting at ring-edge crossings, midpoint
+    classification).  Conservation (len_in + len_out == line length)
+    is pytest-gated; rows-only for the driver."""
+    from . import linejoin
+
+    paths = datagen.ensure_tables(sf_dir)
+    polys = pq.read_table(paths["polygons"])
+    return linejoin.clip_lines_to_polygons(_lines_ds(sf_dir), polys)
+
+
+QUERIES.update(
+    {
+        "line_poly_intersects": line_poly_intersects,
+        "line_poly_crosses": line_poly_crosses,
+        "line_poly_within": line_poly_within,
+        "line_tile_clip": line_tile_clip,
+        "line_clip_pieces": line_clip_pieces,
+    }
+)

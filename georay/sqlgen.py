@@ -1023,3 +1023,126 @@ ORACLE_BUILDERS.update(
         "densify_hav_counts": q_densify_hav_counts,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# line-layer joins + tile clip oracles
+# ---------------------------------------------------------------------------
+
+_LINE_CROSS = (
+    "sign((sa.x2 - sa.x1) * (sb.y1 - sa.y1) - (sa.y2 - sa.y1) * (sb.x1 - sa.x1)) * "
+    "sign((sa.x2 - sa.x1) * (sb.y2 - sa.y1) - (sa.y2 - sa.y1) * (sb.x2 - sa.x1)) < 0 AND "
+    "sign((sb.x2 - sb.x1) * (sa.y1 - sb.y1) - (sb.y2 - sb.y1) * (sa.x1 - sb.x1)) * "
+    "sign((sb.x2 - sb.x1) * (sa.y2 - sb.y1) - (sb.y2 - sb.y1) * (sa.x2 - sb.x1)) < 0"
+)
+
+
+def _line_join_ctes(sf_dir: str) -> str:
+    """Shared CTEs: line bbox candidates, distinct line vertices with
+    odd-parity (strictly inside) classification, strict edge
+    crossings — mirrors linejoin._pair_bits / _line_poly_cross."""
+    lines = datagen.lines_path(sf_dir)
+    lsegs = datagen.line_segments_path(sf_dir)
+    polys = datagen.polygons_path(sf_dir)
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"l AS (SELECT line_id, minx, miny, maxx, maxy FROM read_parquet('{lines}')), "
+        f"p AS (SELECT polygon_id, minx, miny, maxx, maxy FROM read_parquet('{polys}')), "
+        f"ls AS (SELECT * FROM read_parquet('{lsegs}')), "
+        f"segs AS (SELECT * FROM read_parquet('{segs}')), "
+        f"lv AS (SELECT line_id, x1 AS x, y1 AS y FROM ls "
+        f"       UNION SELECT line_id, x2, y2 FROM ls), "
+        f"cand AS (SELECT l.line_id, p.polygon_id FROM l JOIN p "
+        f"  ON l.minx <= p.maxx AND l.maxx >= p.minx "
+        f"  AND l.miny <= p.maxy AND l.maxy >= p.miny), "
+        f"vin_rows AS (SELECT c.line_id, c.polygon_id, v.x, v.y FROM cand c "
+        f"  JOIN lv v ON v.line_id = c.line_id "
+        f"  JOIN segs s ON s.polygon_id = c.polygon_id "
+        f"  WHERE ((s.y1 <= v.y AND s.y2 > v.y) OR (s.y2 <= v.y AND s.y1 > v.y)) "
+        f"    AND v.x < s.x1 + (v.y - s.y1) * (s.x2 - s.x1) / (s.y2 - s.y1) "
+        f"  GROUP BY c.line_id, c.polygon_id, v.x, v.y HAVING count(*) % 2 = 1), "
+        f"xcr AS (SELECT DISTINCT c.line_id, c.polygon_id FROM cand c "
+        f"  JOIN ls sa ON sa.line_id = c.line_id "
+        f"  JOIN segs sb ON sb.polygon_id = c.polygon_id "
+        f"  WHERE {_LINE_CROSS})"
+    )
+
+
+def q_line_poly_intersects(sf_dir: str) -> str:
+    return (
+        f"WITH {_line_join_ctes(sf_dir)} "
+        f"SELECT DISTINCT line_id, polygon_id FROM "
+        f"(SELECT line_id, polygon_id FROM vin_rows UNION SELECT * FROM xcr)"
+    )
+
+
+def q_line_poly_crosses(sf_dir: str) -> str:
+    return f"WITH {_line_join_ctes(sf_dir)} SELECT line_id, polygon_id FROM xcr"
+
+
+def q_line_poly_within(sf_dir: str) -> str:
+    return (
+        f"WITH {_line_join_ctes(sf_dir)}, "
+        f"vtot AS (SELECT line_id, count(*) AS nv FROM lv GROUP BY line_id), "
+        f"vin_cnt AS (SELECT line_id, polygon_id, count(*) AS ni "
+        f"  FROM vin_rows GROUP BY line_id, polygon_id) "
+        f"SELECT c.line_id, c.polygon_id FROM vin_cnt c "
+        f"JOIN vtot t ON t.line_id = c.line_id AND c.ni = t.nv "
+        f"LEFT JOIN xcr x ON x.line_id = c.line_id AND x.polygon_id = c.polygon_id "
+        f"WHERE x.line_id IS NULL"
+    )
+
+
+ORACLE_BUILDERS.update(
+    {
+        "line_poly_intersects": q_line_poly_intersects,
+        "line_poly_crosses": q_line_poly_crosses,
+        "line_poly_within": q_line_poly_within,
+    }
+)
+
+LINE_TILE_DEG = 8.0
+
+
+def q_line_tile_clip(sf_dir: str) -> str:
+    """Liang-Barsky in SQL: per (segment, overlapped tile) the clipped
+    parametric interval, summed per (line, tile) and rounded at 1e-6
+    (identical formula order to linejoin.clip_segments_to_rect;
+    degenerate axes via +-1e308 sentinels == the numpy +-inf)."""
+    lsegs = datagen.line_segments_path(sf_dir)
+    d = LINE_TILE_DEG
+    return (
+        f"WITH s AS (SELECT line_id, x1, y1, x2, y2 FROM read_parquet('{lsegs}')), "
+        # static world-bounded tile axes (lon/lat extent / tile size);
+        # DuckDB's generate_series cannot take lateral column args, so
+        # the per-segment tile fan is a range join against these
+        f"gx AS (SELECT tx FROM generate_series(-23, 22) AS gx(tx)), "
+        f"gy AS (SELECT ty FROM generate_series(-12, 11) AS gy(ty)), "
+        f"f AS (SELECT s.*, gx.tx AS tx, gy.ty AS ty FROM s "
+        f"  JOIN gx ON gx.tx BETWEEN CAST(floor(least(x1, x2) / {d!r}) AS BIGINT) "
+        f"                       AND CAST(floor(greatest(x1, x2) / {d!r}) AS BIGINT) "
+        f"  JOIN gy ON gy.ty BETWEEN CAST(floor(least(y1, y2) / {d!r}) AS BIGINT) "
+        f"                       AND CAST(floor(greatest(y1, y2) / {d!r}) AS BIGINT)), "
+        f"t AS (SELECT line_id, tx, ty, "
+        f"  CASE WHEN x2 = x1 THEN CASE WHEN x1 >= tx * {d!r} AND x1 <= (tx + 1) * {d!r} "
+        f"    THEN -1e308 ELSE 1e308 END "
+        f"    ELSE least((tx * {d!r} - x1) / (x2 - x1), ((tx + 1) * {d!r} - x1) / (x2 - x1)) END AS tx0, "
+        f"  CASE WHEN x2 = x1 THEN CASE WHEN x1 >= tx * {d!r} AND x1 <= (tx + 1) * {d!r} "
+        f"    THEN 1e308 ELSE -1e308 END "
+        f"    ELSE greatest((tx * {d!r} - x1) / (x2 - x1), ((tx + 1) * {d!r} - x1) / (x2 - x1)) END AS tx1, "
+        f"  CASE WHEN y2 = y1 THEN CASE WHEN y1 >= ty * {d!r} AND y1 <= (ty + 1) * {d!r} "
+        f"    THEN -1e308 ELSE 1e308 END "
+        f"    ELSE least((ty * {d!r} - y1) / (y2 - y1), ((ty + 1) * {d!r} - y1) / (y2 - y1)) END AS ty0, "
+        f"  CASE WHEN y2 = y1 THEN CASE WHEN y1 >= ty * {d!r} AND y1 <= (ty + 1) * {d!r} "
+        f"    THEN 1e308 ELSE -1e308 END "
+        f"    ELSE greatest((ty * {d!r} - y1) / (y2 - y1), ((ty + 1) * {d!r} - y1) / (y2 - y1)) END AS ty1, "
+        f"  sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS seg_len "
+        f"  FROM f) "
+        f"SELECT line_id, tx AS tile_x, ty AS tile_y, "
+        f"round(sum(seg_len * greatest(least(tx1, ty1, 1.0) - greatest(tx0, ty0, 0.0), 0.0)), 6) AS len_in "
+        f"FROM t GROUP BY line_id, tx, ty "
+        f"HAVING sum(seg_len * greatest(least(tx1, ty1, 1.0) - greatest(tx0, ty0, 0.0), 0.0)) > 0"
+    )
+
+
+ORACLE_BUILDERS["line_tile_clip"] = q_line_tile_clip
