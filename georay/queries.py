@@ -2149,3 +2149,99 @@ QUERIES.update(
         "line_clip_pieces": line_clip_pieces,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# CRS transforms (closed-form PROJ stand-in; proj.rs Transform trait)
+# ---------------------------------------------------------------------------
+
+
+def webmercator_pts(sf_dir: str):
+    """EPSG:4326 -> EPSG:3857 per image point (kernels.crs closed
+    form).  Oracled: DuckDB evaluates the identical ln/tan expression;
+    mm rounding (noise is ~1e-9 m)."""
+    from .kernels import crs
+
+    def f(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        x, y = crs.lonlat_to_webmercator(lon, lat)
+        return pa.table(
+            {"image_id": b.column("image_id"),
+             "merc_x": pa.array(np.round(x, 2)),
+             "merc_y": pa.array(np.round(y, 2))}
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def utm_pts(sf_dir: str):
+    """EPSG:4326 -> UTM (zone, easting, northing) via the Snyder
+    series (kernels.crs).  The oracle evaluates the same series in
+    SQL; mm rounding."""
+    from .kernels import crs
+
+    def f(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        e, n, z = crs.lonlat_to_utm(lon, lat)
+        return pa.table(
+            {"image_id": b.column("image_id"),
+             "zone": pa.array(z, pa.int64()),
+             "easting": pa.array(np.round(e, 1)),
+             "northing": pa.array(np.round(n, 1))}
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["webmercator_pts"] = webmercator_pts
+QUERIES["utm_pts"] = utm_pts
+
+
+def within_radius(sf_dir: str, radius_m: float = 500_000.0, sample_mod: int = KNN_SAMPLE_MOD):
+    """All points within ``radius_m`` (haversine) of each sampled query
+    point — the public ``within_radius`` BallTree query
+    (ball_tree.rs:563).  Same broadcast shape as knn_sample but purely
+    per-batch: a radius predicate needs no top-k merge, so there is NO
+    shuffle at all; at cluster scale the cell+halo plan of
+    georay.knn applies when the radius is small vs the cell size."""
+    pts = _points(sf_dir)
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        idx = _image_index(b.column("image_id"))
+        return b.filter(pa.array(idx % sample_mod == 0))
+
+    qtab = pts.map_batches(pick_queries, batch_format="pyarrow").to_pandas()
+    qids = qtab["image_id"].to_numpy()
+    qlon = qtab["lon"].to_numpy()
+    qlat = qtab["lat"].to_numpy()
+    qref = ray.put((qids, qlon, qlat))
+
+    class RadiusScan:
+        def __init__(self):
+            self.qids, self.qlon, self.qlat = ray.get(qref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lon = b.column("lon").to_numpy(zero_copy_only=False)
+            lat = b.column("lat").to_numpy(zero_copy_only=False)
+            ids = np.asarray(b.column("image_id").to_pylist(), dtype=object)
+            d = measures.haversine_distance(
+                self.qlon[:, None], self.qlat[:, None], lon[None, :], lat[None, :]
+            )
+            hit = (d <= radius_m) & (ids[None, :] != self.qids[:, None])
+            rq, rn = np.nonzero(hit)
+            return pa.table(
+                {
+                    "qid": pa.array(self.qids[rq]),
+                    "neighbor_id": pa.array(ids[rn]),
+                    "dist_m": pa.array(np.round(d[rq, rn], 1)),
+                }
+            )
+
+    return pts.map_batches(
+        RadiusScan, batch_format="pyarrow", batch_size=16384, concurrency=(1, 4)
+    )
+
+
+QUERIES["within_radius"] = within_radius

@@ -1146,3 +1146,91 @@ def q_line_tile_clip(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["line_tile_clip"] = q_line_tile_clip
+
+
+# ---------------------------------------------------------------------------
+# CRS transform oracles (kernels.crs closed forms re-evaluated in SQL)
+# ---------------------------------------------------------------------------
+
+
+def q_webmercator_pts(sf_dir: str) -> str:
+    from .kernels.crs import MERC_R
+
+    r = repr(MERC_R)
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, "
+        f"round({r} * radians(lon), 2) AS merc_x, "
+        f"round({r} * ln(tan(pi() / 4.0 + radians(lat) / 2.0)), 2) AS merc_y "
+        f"FROM pts"
+    )
+
+
+def q_utm_pts(sf_dir: str) -> str:
+    """Snyder forward series, identical expression tree to
+    kernels.crs.lonlat_to_utm (constants interpolated from the same
+    module; 0.1 m rounding vs ~1e-8 m cross-engine trig noise)."""
+    from .kernels import crs
+
+    a = repr(crs.WGS84_A)
+    e2 = crs._E2
+    ep2 = repr(crs._EP2)
+    k0 = repr(crs.UTM_K0)
+    c1 = repr(1.0 - e2 / 4.0 - 3.0 * e2**2 / 64.0 - 5.0 * e2**3 / 256.0)
+    c2 = repr(3.0 * e2 / 8.0 + 3.0 * e2**2 / 32.0 + 45.0 * e2**3 / 1024.0)
+    c3 = repr(15.0 * e2**2 / 256.0 + 45.0 * e2**3 / 1024.0)
+    c4 = repr(35.0 * e2**3 / 3072.0)
+    e2 = repr(e2)
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"z AS (SELECT image_id, lon, lat, "
+        f"  ((CAST(floor((lon + 180.0) / 6.0) AS BIGINT) % 60) + 1) AS zone "
+        f"  FROM pts), "
+        f"b AS (SELECT image_id, zone, radians(lat) AS phi, "
+        f"  radians(lon) - radians(zone * 6.0 - 183.0) AS dlam, "
+        f"  sin(radians(lat)) AS sphi, cos(radians(lat)) AS cphi FROM z), "
+        f"c AS (SELECT image_id, zone, phi, sphi, cphi, "
+        f"  {a} / sqrt(1.0 - {e2} * sphi * sphi) AS n_rad, "
+        f"  pow(sphi / cphi, 2) AS t, "
+        f"  {ep2} * cphi * cphi AS c, "
+        f"  dlam * cphi AS aa, "
+        f"  {a} * ({c1} * phi - {c2} * sin(2.0 * phi) + {c3} * sin(4.0 * phi) "
+        f"       - {c4} * sin(6.0 * phi)) AS m "
+        f"  FROM b) "
+        f"SELECT image_id, zone, "
+        f"round({k0} * n_rad * (aa + (1.0 - t + c) * pow(aa, 3) / 6.0 "
+        f"  + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * {ep2}) * pow(aa, 5) / 120.0) "
+        f"  + 500000.0, 1) AS easting, "
+        f"round({k0} * (m + n_rad * (sphi / cphi) * (aa * aa / 2.0 "
+        f"  + (5.0 - t + 9.0 * c + 4.0 * c * c) * pow(aa, 4) / 24.0 "
+        f"  + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * {ep2}) * pow(aa, 6) / 720.0)) "
+        f"  + CASE WHEN phi < 0.0 THEN 10000000.0 ELSE 0.0 END, 1) AS northing "
+        f"FROM c"
+    )
+
+
+ORACLE_BUILDERS.update(
+    {
+        "webmercator_pts": q_webmercator_pts,
+        "utm_pts": q_utm_pts,
+    }
+)
+
+
+WR_RADIUS_M = 500_000.0
+
+
+def q_within_radius(sf_dir: str) -> str:
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"q AS (SELECT image_id AS qid, lon AS qlon, lat AS qlat FROM pts "
+        f"  WHERE CAST(substr(image_id, 5) AS BIGINT) % {KNN_SAMPLE_MOD} = 0) "
+        f"SELECT q.qid, p.image_id AS neighbor_id, "
+        f"round({_hav_expr('q.qlon', 'q.qlat', 'p.lon', 'p.lat')}, 1) AS dist_m "
+        f"FROM q CROSS JOIN pts p "
+        f"WHERE p.image_id <> q.qid "
+        f"AND {_hav_expr('q.qlon', 'q.qlat', 'p.lon', 'p.lat')} <= {WR_RADIUS_M!r}"
+    )
+
+
+ORACLE_BUILDERS["within_radius"] = q_within_radius

@@ -338,3 +338,58 @@ def test_haversine_interpolation_reference_goldens():
     d = densify_haversine(np.array([[0.0, 0.0], [0.0, 6.0], [1.0, 7.0]]), 200_000.0)
     want = np.array([[0.0, 0.0], [0.0, 1.5], [0.0, 3.0], [0.0, 4.5], [0.0, 6.0], [1.0, 7.0]])
     assert np.abs(d - want).max() < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# CRS transforms (kernels/crs.py — closed-form PROJ stand-in)
+# ---------------------------------------------------------------------------
+
+
+def test_webmercator_roundtrip_and_goldens():
+    from georay.kernels import crs
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-85, 85, 500)
+    x, y = crs.lonlat_to_webmercator(lon, lat)
+    lon2, lat2 = crs.webmercator_to_lonlat(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # equator/meridian anchors: x spans +-pi*R, y(0)=0
+    x0, y0 = crs.lonlat_to_webmercator(np.array([180.0]), np.array([0.0]))
+    assert x0[0] == pytest.approx(np.pi * crs.MERC_R)
+    assert y0[0] == 0.0
+    # the Web-Mercator square: y(85.051128779806) == x(180)
+    xs, ys = crs.lonlat_to_webmercator(np.array([0.0]), np.array([85.05112877980659]))
+    assert ys[0] == pytest.approx(np.pi * crs.MERC_R, rel=1e-12)
+    with pytest.raises(KeyError):
+        crs.transform_xy(np.zeros(1), np.zeros(1), "EPSG:4326", "EPSG:32633")
+
+
+def test_utm_invariants_and_roundtrip():
+    from georay.kernels import crs
+    from georay.kernels.geodesic import geodesic_inverse
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 400)
+    lat = rng.uniform(-80, 80, 400)
+    e, n, z = crs.lonlat_to_utm(lon, lat)
+    assert np.all((z >= 1) & (z <= 60))
+    lon2, lat2 = crs.utm_to_lonlat(e, n, z, south=lat < 0)
+    np.testing.assert_allclose(lon2, lon, atol=2e-9)
+    np.testing.assert_allclose(lat2, lat, atol=2e-9)
+    # central meridian -> exact false easting; equator -> zero northing
+    cm = crs.utm_central_meridian(np.array([31]))  # zone 31: 3 deg E
+    e0, n0, _ = crs.lonlat_to_utm(cm, np.array([0.0]), zone=31)
+    assert e0[0] == pytest.approx(500000.0, abs=1e-6)
+    assert n0[0] == pytest.approx(0.0, abs=1e-6)
+    # scale on the central meridian == k0 (vs the validated Karney
+    # inverse): meridian arc 45->46 deg scaled by 0.9996
+    e1, n1, _ = crs.lonlat_to_utm(np.array([3.0, 3.0]), np.array([45.0, 46.0]), zone=31)
+    s12 = geodesic_inverse(
+        np.array([3.0]), np.array([45.0]), np.array([3.0]), np.array([46.0])
+    )[0][0]
+    assert (n1[1] - n1[0]) == pytest.approx(crs.UTM_K0 * s12, rel=1e-9)
+    # southern hemisphere false northing
+    es, ns, _ = crs.lonlat_to_utm(np.array([3.0]), np.array([-1.0]), zone=31)
+    assert ns[0] > 9.8e6
