@@ -282,11 +282,36 @@ def dbscan(points, eps: float, min_pts: int, res: int | None = None, n_points: i
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
-def kmeans(points, k: int, max_iter: int = 10, seed_stride: int | None = None):
+def kmeans(
+    points,
+    k: int,
+    max_iter: int = 10,
+    seed_stride: int | None = None,
+    tolerance: float = 1e-4,
+    max_radius: float | None = None,
+    max_split_depth: int = 10,
+):
     """points: Dataset (image_id, lon, lat) -> (centroids ndarray,
     assignment Dataset).  Iterative: broadcast centroids -> per-batch
     partial (sum, count) per cluster -> driver combine (a k x 3 array —
-    no shuffle at all)."""
+    no shuffle at all).
+
+    ``tolerance`` / ``max_radius`` / ``max_split_depth`` mirror the
+    reference KMeansParams (kmeans/mod.rs:166-250): iteration stops
+    when the max centroid shift drops below ``tolerance``; when
+    ``max_radius`` is set, clusters whose farthest member exceeds it
+    are split by a 2-means pass (children seeded at the parent
+    centroid and its farthest point), repeated up to
+    ``max_split_depth`` rounds — so MORE than k clusters may return.
+    Split labels are replayed per batch from the recorded centroid
+    history (no per-point label materialization between rounds).
+
+    The slim (id, lon, lat) input is materialized ONCE up front: an
+    iterative algorithm re-executes its input per pass (count + seeds
+    + max_iter + up to max_split_depth*(1+max_iter) passes), and
+    re-running the upstream read every time costs far more than
+    holding ~24 bytes/row in the object store (which spills)."""
+    points = points.materialize()
     n = points.count()
     stride = seed_stride or max(1, n // k)
 
@@ -337,26 +362,129 @@ def kmeans(points, k: int, max_iter: int = 10, seed_stride: int | None = None):
         new[agg.index[nz]] = np.column_stack(
             [agg.loc[nz, "sx"] / agg.loc[nz, "cnt"], agg.loc[nz, "sy"] / agg.loc[nz, "cnt"]]
         )
-        if np.allclose(new, cent, atol=1e-12):
-            cent = new
-            break
+        shift = np.sqrt(((new - cent) ** 2).sum(axis=1)).max() if len(cent) else 0.0
         cent = new
+        if shift < tolerance:
+            break
 
-    cref = ray.put(cent)
+    # --- max_radius subdivision rounds (kmeans/mod.rs apply_max_radius_constraint)
+    centers = cent.copy()  # (m, 2), ids == row index; parents first; cent
+    # itself stays the FROZEN parent matrix every label replay starts from
+    history: list[list[tuple[int, np.ndarray, np.ndarray, int]]] = []
+
+    def _labels(lon: np.ndarray, lat: np.ndarray, cents, hist) -> np.ndarray:
+        """Replay: argmin over the frozen parent centroids, then each
+        recorded split round's binary child choice."""
+        d2 = (lon[:, None] - cents[None, : , 0]) ** 2 + (lat[:, None] - cents[None, :, 1]) ** 2
+        lbl = np.argmin(d2, axis=1).astype(np.int64)
+        for round_splits in hist:
+            for c, ch0, ch1, new_id in round_splits:
+                m = lbl == c
+                if not m.any():
+                    continue
+                d0 = (lon[m] - ch0[0]) ** 2 + (lat[m] - ch0[1]) ** 2
+                d1 = (lon[m] - ch1[0]) ** 2 + (lat[m] - ch1[1]) ** 2
+                sub = lbl[m]
+                sub[d1 < d0] = new_id
+                lbl[m] = sub
+        return lbl
+
+    if max_radius is not None:
+        base = ray.put(cent)
+        for _depth in range(max_split_depth):
+            n_ids = len(centers)
+            href = ray.put((centers, history))
+
+            def radius_partial(b: pa.Table) -> pa.Table:
+                cents, hist = ray.get(href)
+                lon = b.column("lon").to_numpy(zero_copy_only=False)
+                lat = b.column("lat").to_numpy(zero_copy_only=False)
+                lbl = _labels(lon, lat, ray.get(base), hist)
+                d = np.sqrt((lon - cents[lbl, 0]) ** 2 + (lat - cents[lbl, 1]) ** 2)
+                # per-cluster farthest point, ties by (d, lon, lat)
+                order = np.lexsort((lat, lon, d, lbl))
+                lbl_s, d_s, lon_s, lat_s = lbl[order], d[order], lon[order], lat[order]
+                last = np.r_[lbl_s[1:] != lbl_s[:-1], True]
+                idx = np.nonzero(last)[0]
+                return pa.table(
+                    {"cluster": pa.array(lbl_s[idx]), "maxd": pa.array(d_s[idx]),
+                     "flon": pa.array(lon_s[idx]), "flat": pa.array(lat_s[idx])}
+                )
+
+            rp = points.map_batches(radius_partial, batch_format="pyarrow").to_pandas()
+            rp = rp.sort_values(["cluster", "maxd", "flon", "flat"]).groupby("cluster").last()
+            bad = rp[rp["maxd"] > max_radius]
+            if len(bad) == 0:
+                break
+            # one simultaneous 2-means per oversized cluster
+            bad_ids = np.asarray(sorted(bad.index), dtype=np.int64)
+            ch0 = centers[bad_ids].copy()
+            ch1 = np.column_stack(
+                [bad.loc[bad_ids, "flon"].to_numpy(), bad.loc[bad_ids, "flat"].to_numpy()]
+            )
+            for _ in range(max_iter):
+                sref = ray.put((bad_ids, ch0, ch1, history))
+
+                def split_partial(b: pa.Table) -> pa.Table:
+                    bids, c0, c1, hist = ray.get(sref)
+                    lon = b.column("lon").to_numpy(zero_copy_only=False)
+                    lat = b.column("lat").to_numpy(zero_copy_only=False)
+                    lbl = _labels(lon, lat, ray.get(base), hist)
+                    pos = np.searchsorted(bids, lbl)
+                    pos_ok = (pos < len(bids)) & (bids[np.minimum(pos, len(bids) - 1)] == lbl)
+                    rows = np.nonzero(pos_ok)[0]
+                    j = pos[rows]
+                    d0 = (lon[rows] - c0[j, 0]) ** 2 + (lat[rows] - c0[j, 1]) ** 2
+                    d1 = (lon[rows] - c1[j, 0]) ** 2 + (lat[rows] - c1[j, 1]) ** 2
+                    side = (d1 < d0).astype(np.int64)
+                    key = j * 2 + side
+                    sx = np.bincount(key, weights=lon[rows], minlength=2 * len(bids))
+                    sy = np.bincount(key, weights=lat[rows], minlength=2 * len(bids))
+                    cnt = np.bincount(key, minlength=2 * len(bids))
+                    return pa.table(
+                        {"key": pa.array(np.arange(2 * len(bids), dtype=np.int64)),
+                         "sx": pa.array(sx.astype(np.float64)),
+                         "sy": pa.array(sy.astype(np.float64)),
+                         "cnt": pa.array(cnt.astype(np.int64))}
+                    )
+
+                sp = points.map_batches(split_partial, batch_format="pyarrow").to_pandas()
+                agg = sp.groupby("key")[["sx", "sy", "cnt"]].sum()
+                shift = 0.0
+                for j in range(len(bad_ids)):
+                    for side, arr in ((0, ch0), (1, ch1)):
+                        row = agg.loc[2 * j + side]
+                        if row["cnt"] > 0:
+                            nc = np.array([row["sx"] / row["cnt"], row["sy"] / row["cnt"]])
+                            shift = max(shift, float(np.hypot(*(nc - arr[j]))))
+                            arr[j] = nc
+                if shift < tolerance:
+                    break
+            round_splits = []
+            new_centers = [centers]
+            for j, c in enumerate(bad_ids):
+                new_id = n_ids + j
+                round_splits.append((int(c), ch0[j].copy(), ch1[j].copy(), new_id))
+                centers[c] = ch0[j]
+                new_centers.append(ch1[j][None, :])
+            centers = np.vstack(new_centers)
+            history.append(round_splits)
+
+    base_ref = ray.put(cent)
+    hist_ref = ray.put(history)
 
     def assign(b: pa.Table) -> pa.Table:
-        c = ray.get(cref)
         lon = b.column("lon").to_numpy(zero_copy_only=False)
         lat = b.column("lat").to_numpy(zero_copy_only=False)
-        d2 = (lon[:, None] - c[None, :, 0]) ** 2 + (lat[:, None] - c[None, :, 1]) ** 2
+        lbl = _labels(lon, lat, ray.get(base_ref), ray.get(hist_ref))
         return pa.table(
             {
                 "image_id": b.column("image_id"),
-                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+                "cluster": pa.array(lbl),
             }
         )
 
-    return cent, points.map_batches(assign, batch_format="pyarrow")
+    return centers, points.map_batches(assign, batch_format="pyarrow")
 
 
 def lof_scores(points, k: int = 10, num_partitions: int = 16):

@@ -487,13 +487,35 @@ def embed_neardup_pairs(embeds, threshold: float = 0.8, id_col: str = "vec_id", 
     return embeds.map_batches(block, batch_format="pyarrow")
 
 
+def lsh_params_for(
+    threshold: float, target_recall: float = 0.9, max_tables: int = 32,
+    max_bits: int = 16,
+) -> tuple[int, int]:
+    """(n_tables, n_bits) hitting ``target_recall`` at cosine ==
+    ``threshold``: collision prob per bit is p = 1 - theta/pi (Charikar
+    2002), a bucket matches with p**bits, any of t tables with
+    1-(1-p**bits)**t.  Picks the LONGEST key (fewest candidates per
+    bucket) whose required table count stays <= max_tables — low
+    thresholds (theta -> pi/2) force short keys, the inherent
+    random-hyperplane tradeoff."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    need = np.log(1.0 - target_recall)
+    best = (max_tables, 4)
+    for bits in range(max_bits, 3, -1):
+        t = int(np.ceil(need / np.log(1.0 - p**bits)))
+        if t <= max_tables:
+            best = (t, bits)
+            break
+    return best
+
+
 def embed_neardup_lsh(
     embeds,
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_tables: int = 8,
-    n_bits: int = 12,
+    n_tables: int | None = None,
+    n_bits: int | None = None,
 ):
     """Scale path: random-hyperplane LSH (Charikar 2002) — each vector
     gets ``n_tables`` bucket keys from the sign pattern of ``n_bits``
@@ -501,7 +523,13 @@ def embed_neardup_lsh(
     ``groupby(table, bucket)`` and verify exact cosine WITHIN the group
     (vectors ride along, bounded per bucket).  No broadcast of the
     corpus; recall < 1 by design (p_match = 1-(1-(1-θ/π)^bits)^tables).
-    Returns distinct (a, b) pairs."""
+    When params are omitted they are derived from the threshold via
+    :func:`lsh_params_for` (target recall 0.9).  Returns distinct
+    (a, b) pairs."""
+    if n_tables is None or n_bits is None:
+        auto_t, auto_b = lsh_params_for(threshold)
+        n_tables = auto_t if n_tables is None else n_tables
+        n_bits = auto_b if n_bits is None else n_bits
     rs = np.random.RandomState(20240817)
     dim_probe = embeds.take(1)[0][vec_col]
     dim = len(dim_probe)

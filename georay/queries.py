@@ -800,6 +800,21 @@ def embed_neardup(sf_dir: str):
     return pa.concat_tables(batches) if batches else schema.empty_table()
 
 
+def embed_neardup_lsh_pairs(sf_dir: str):
+    """Random-hyperplane-LSH near-dup pairs — the 100-TB path
+    (bucketed groupby, no corpus broadcast; Charikar 2002).  Rows-only
+    for the driver (recall < 1 by design, so no equality oracle); the
+    recall-vs-exact bound is pytest-gated
+    (test_dedup_text_multimodal.test_embed_lsh_corpus_recall)."""
+    from . import dedup as gdedup
+    from .sqlgen import EMB_NEARDUP_T
+
+    ds = gdedup.embed_neardup_lsh(_testdata(sf_dir, "embeddings"), threshold=EMB_NEARDUP_T)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if len(b)]
+    return pa.concat_tables(batches) if batches else schema.empty_table()
+
+
 def minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup groups (rows-only: banded LSH + exact-Jaccard
     verify aren't SQL-expressible; conformance is pytest-gated against
@@ -887,6 +902,21 @@ def kmeans_assign(sf_dir: str):
     return assign
 
 
+def kmeans_radius(sf_dir: str):
+    """k-means with the max_radius subdivision constraint
+    (kmeans/mod.rs:244-250 + apply_max_radius_constraint): oversized
+    clusters split until every cluster fits in 12 degrees — may yield
+    more than k clusters.  Rows-only; determinism + radius-bound are
+    pytest-gated (test_kmeans_tolerance_and_max_radius)."""
+    from . import cluster
+
+    _, assign = cluster.kmeans(_points(sf_dir), k=16, max_iter=5, max_radius=12.0)
+    return assign
+
+
+QUERIES["kmeans_radius"] = kmeans_radius
+
+
 def knn_all(sf_dir: str):
     """Exact self-kNN for EVERY image (cell+halo plan with certified
     guarantee + fallback; rows-only — the sampled variant knn_sample is
@@ -901,6 +931,7 @@ QUERIES.update(
         "lang_guess": lang_guess,
         "ngram_jaccard": ngram_jaccard,
         "embed_neardup": embed_neardup,
+        "embed_neardup_lsh": embed_neardup_lsh_pairs,
         "minhash_dedup": minhash_dedup,
         "simhash_sig": simhash_sig,
         "doc_fingerprints": doc_fingerprints,

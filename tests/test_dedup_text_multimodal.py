@@ -288,3 +288,23 @@ def test_frame_sample_contract(ray_session):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_embed_lsh_corpus_recall(ray_session, tiny_sf):
+    """Recall-vs-exact bound on the real embeddings table: the LSH path
+    must (a) emit only pairs the exact path also finds (precision 1.0
+    — every candidate is cosine-verified in-group) and (b) recover a
+    healthy fraction of them (8 tables x 12 bits at theta<=37 deg
+    gives p ~ 0.9+)."""
+    import ray.data as rd
+
+    from georay import queries
+
+    sf_dir, _ = tiny_sf
+    exact = queries.embed_neardup(sf_dir)
+    lsh = queries.embed_neardup_lsh_pairs(sf_dir)
+    ep = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    lp = set(zip(lsh["a"].to_pylist(), lsh["b"].to_pylist()))
+    assert lp <= ep  # precision 1.0 (exact verify inside buckets)
+    if ep:
+        assert len(lp) / len(ep) >= 0.5  # conservative recall floor

@@ -155,3 +155,37 @@ def test_lof_flags_planted_outlier(pts_ds):
     # blob cores sit near 1.0; the most isolated background points score higher
     blob_scores = [m[ids[i]] for i in range(50, 250)]
     assert np.median(blob_scores) == pytest.approx(1.0, abs=0.2)
+
+
+def test_kmeans_tolerance_and_max_radius(pts_ds):
+    """KMeansParams parity (kmeans/mod.rs:166-250): tolerance controls
+    the stop; max_radius subdivides oversized clusters so every final
+    cluster fits, possibly yielding > k clusters."""
+    from georay import cluster
+
+    ds, ids, xy = pts_ds
+    # plain run: some cluster exceeds a tight radius
+    cent0, a0 = cluster.kmeans(ds, k=4, max_iter=8)
+    df0 = a0.to_pandas()
+    m0 = dict(zip(df0["image_id"], df0["cluster"]))
+    r0 = max(
+        np.hypot(*(xy[i] - cent0[m0[iid]]))
+        for i, iid in enumerate(ids)
+    )
+    radius = r0 * 0.6
+    cent, a = cluster.kmeans(ds, k=4, max_iter=8, max_radius=radius)
+    df = a.to_pandas()
+    mm = dict(zip(df["image_id"], df["cluster"]))
+    assert len(cent) > 4  # subdivision happened
+    # every point now within max_radius of its (possibly child) centroid
+    for i, iid in enumerate(ids):
+        assert np.hypot(*(xy[i] - cent[mm[iid]])) <= radius + 1e-9
+    # determinism
+    cent2, a2 = cluster.kmeans(ds, k=4, max_iter=8, max_radius=radius)
+    assert np.array_equal(cent, cent2)
+    assert df.sort_values("image_id").reset_index(drop=True).equals(
+        a2.to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    # loose tolerance stops earlier but still assigns argmin-consistently
+    cent3, a3 = cluster.kmeans(ds, k=4, max_iter=8, tolerance=1e9)
+    assert len(cent3) == 4
