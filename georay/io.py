@@ -56,6 +56,11 @@ def parse_wkt(text: str):
     ("polygon", [rings]) | ("multipolygon", [[rings], ...])."""
     t = text.strip()
     up = t.upper()
+    if up.startswith("GEOMETRYCOLLECTION"):
+        if "EMPTY" in up and "(" not in t:
+            return ("geometrycollection", [])
+        inner = t[t.index("(") + 1 : t.rindex(")")]
+        return ("geometrycollection", [parse_wkt(p) for p in _split_top(inner)])
     if up.startswith("MULTIPOINT"):
         return ("multipoint", _parse_coord_seq(t))
     if up.startswith("POINT"):
@@ -88,6 +93,22 @@ def _ring_wkt(ring: np.ndarray) -> str:
 
 
 def to_wkt(kind: str, value) -> str:
+    if kind == "geometrycollection":
+        if not value:
+            return "GEOMETRYCOLLECTION EMPTY"
+        return (
+            "GEOMETRYCOLLECTION ("
+            + ", ".join(to_wkt(k, v) for k, v in value)
+            + ")"
+        )
+    if kind == "multipoint":
+        return "MULTIPOINT " + _ring_wkt(np.asarray(value))
+    if kind == "multilinestring":
+        return (
+            "MULTILINESTRING ("
+            + ", ".join(_ring_wkt(np.asarray(ls)) for ls in value)
+            + ")"
+        )
     if kind == "point":
         return f"POINT ({value[0]:.17g} {value[1]:.17g})"
     if kind == "linestring":

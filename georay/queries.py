@@ -2276,3 +2276,89 @@ def within_radius(sf_dir: str, radius_m: float = 500_000.0, sample_mod: int = KN
 
 
 QUERIES["within_radius"] = within_radius
+
+
+def geom_dimensions(sf_dir: str):
+    """HasDimensions over the polygon + line layers (dimensions.rs
+    rules: a polygon's dimensionality is decided by its DISTINCT
+    exterior-ring coordinate count — 1 -> 0-dim, 2 -> 1-dim, else
+    2-dim, no collinearity check; a linestring is 0-dim when every
+    coordinate is identical, and a CLOSED linestring has an empty
+    boundary).  Output: (geom_id, dims, boundary_dims); degenerate
+    branches are pytest-covered (test_has_dimensions_reference_rules),
+    this query oracles the counting rules in SQL."""
+    from . import linejoin
+
+    def poly_batch(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        dims = np.empty(layer.num_polys, np.int64)
+        for p in range(layer.num_polys):
+            ring = layer.ring_coords(layer.poly_ring_offsets[p])[:-1]
+            n = len(np.unique(ring, axis=0))
+            dims[p] = 0 if n == 1 else (1 if n == 2 else 2)
+        bdims = np.where(dims == 2, 1, np.where(dims == 1, 0, -1))
+        return pa.table(
+            {"geom_id": b.column("polygon_id"),
+             "dims": pa.array(dims),
+             "boundary_dims": pa.array(bdims)}
+        )
+
+    def line_batch(b: pa.Table) -> pa.Table:
+        ll = linejoin.LineLayer.from_arrow(b)
+        dims = np.empty(ll.num_lines, np.int64)
+        bdims = np.empty(ll.num_lines, np.int64)
+        for i in range(ll.num_lines):
+            c = ll.line_coords(i)
+            n = len(np.unique(c, axis=0))
+            dims[i] = 0 if n == 1 else 1
+            closed = len(c) > 1 and bool(np.all(c[0] == c[-1]))
+            bdims[i] = -1 if (closed or dims[i] == 0) else 0
+        return pa.table(
+            {"geom_id": pa.array(list(ll.ids), pa.string()),
+             "dims": pa.array(dims),
+             "boundary_dims": pa.array(bdims)}
+        )
+
+    paths = datagen.ensure_tables(sf_dir)
+    polys = _polygons_ds(sf_dir).map_batches(poly_batch, batch_format="pyarrow")
+    lines = rd.read_parquet(paths["lines"]).map_batches(line_batch, batch_format="pyarrow")
+    return polys.union(lines)
+
+
+QUERIES["geom_dimensions"] = geom_dimensions
+
+
+def segment_vector_ops(sf_dir: str):
+    """Vector2DOps over consecutive line segments (vector_ops.rs
+    wedge/dot/magnitude): for every interior vertex, the dot and wedge
+    products of the incoming and outgoing segment vectors plus the
+    incoming magnitude — the turn-direction/angle primitives every
+    geometry kernel builds on.  SQL-oracled via LEAD over the segment
+    table."""
+    from . import linejoin
+    from .kernels import vector2d as V
+
+    def f(b: pa.Table) -> pa.Table:
+        ll = linejoin.LineLayer.from_arrow(b)
+        nseg = np.diff(ll.offsets) - 1
+        # interior vertices: segments s and s+1 of the same line
+        n_int = np.maximum(nseg - 1, 0)
+        line_of = np.repeat(np.arange(ll.num_lines, dtype=np.int64), n_int)
+        first_seg = np.repeat(ll.offsets[:-1], n_int) + _ranges_q(n_int)
+        a = ll.coords[first_seg + 1] - ll.coords[first_seg]
+        bvec = ll.coords[first_seg + 2] - ll.coords[first_seg + 1]
+        seg_idx = first_seg - np.repeat(ll.offsets[:-1], n_int)
+        return pa.table(
+            {"line_id": pa.array(list(ll.ids[line_of]), pa.string()),
+             "seg_idx": pa.array(seg_idx, pa.int64()),
+             "dot": pa.array(np.round(V.dot_product(a, bvec), 9)),
+             "wedge": pa.array(np.round(V.wedge_product(a, bvec), 9)),
+             "mag_in": pa.array(np.round(V.magnitude(a), 9))}
+        )
+
+    return _lines_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+from .geom import _ranges as _ranges_q  # noqa: E402
+
+QUERIES["segment_vector_ops"] = segment_vector_ops

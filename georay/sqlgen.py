@@ -1234,3 +1234,57 @@ def q_within_radius(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["within_radius"] = q_within_radius
+
+
+def q_geom_dimensions(sf_dir: str) -> str:
+    """dimensions.rs counting rules in SQL: distinct exterior-ring
+    vertices for polygons (segments ring_idx=0 starts), distinct path
+    vertices + closed test for lines."""
+    segs = datagen.segments_path(sf_dir)
+    lsegs = datagen.line_segments_path(sf_dir)
+    return (
+        f"WITH pv AS (SELECT polygon_id, count(DISTINCT (x1, y1)) AS n "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0 GROUP BY polygon_id), "
+        f"pd AS (SELECT polygon_id AS geom_id, "
+        f"  CASE WHEN n = 1 THEN 0 WHEN n = 2 THEN 1 ELSE 2 END AS dims FROM pv), "
+        f"lss AS (SELECT * FROM read_parquet('{lsegs}')), "
+        f"lv AS (SELECT line_id, count(DISTINCT (x, y)) AS n FROM "
+        f"  (SELECT line_id, x1 AS x, y1 AS y FROM lss "
+        f"   UNION ALL SELECT line_id, x2, y2 FROM lss) GROUP BY line_id), "
+        f"lends AS (SELECT s.line_id, "
+        f"  first(x1 ORDER BY seg_idx) AS fx, first(y1 ORDER BY seg_idx) AS fy, "
+        f"  last(x2 ORDER BY seg_idx) AS lx, last(y2 ORDER BY seg_idx) AS ly "
+        f"  FROM lss s GROUP BY s.line_id), "
+        f"ld AS (SELECT v.line_id AS geom_id, "
+        f"  CASE WHEN v.n = 1 THEN 0 ELSE 1 END AS dims, "
+        f"  (e.fx = e.lx AND e.fy = e.ly) AS closed "
+        f"  FROM lv v JOIN lends e ON e.line_id = v.line_id) "
+        f"SELECT geom_id, dims, "
+        f"  CASE WHEN dims = 2 THEN 1 WHEN dims = 1 THEN 0 ELSE -1 END AS boundary_dims "
+        f"FROM pd "
+        f"UNION ALL "
+        f"SELECT geom_id, dims, "
+        f"  CASE WHEN closed OR dims = 0 THEN -1 ELSE 0 END AS boundary_dims "
+        f"FROM ld"
+    )
+
+
+ORACLE_BUILDERS["geom_dimensions"] = q_geom_dimensions
+
+
+def q_segment_vector_ops(sf_dir: str) -> str:
+    lsegs = datagen.line_segments_path(sf_dir)
+    return (
+        f"WITH s AS (SELECT line_id, seg_idx, x2 - x1 AS ax, y2 - y1 AS ay, "
+        f"  lead(x2 - x1) OVER w AS bx, lead(y2 - y1) OVER w AS by "
+        f"  FROM read_parquet('{lsegs}') "
+        f"  WINDOW w AS (PARTITION BY line_id ORDER BY seg_idx)) "
+        f"SELECT line_id, seg_idx, "
+        f"round(ax * bx + ay * by, 9) AS dot, "
+        f"round(ax * by - ay * bx, 9) AS wedge, "
+        f"round(sqrt(ax * ax + ay * ay), 9) AS mag_in "
+        f"FROM s WHERE bx IS NOT NULL"
+    )
+
+
+ORACLE_BUILDERS["segment_vector_ops"] = q_segment_vector_ops

@@ -393,3 +393,94 @@ def test_utm_invariants_and_roundtrip():
     # southern hemisphere false northing
     es, ns, _ = crs.lonlat_to_utm(np.array([3.0]), np.array([-1.0]), zone=31)
     assert ns[0] > 9.8e6
+
+
+# ---------------------------------------------------------------------------
+# HasDimensions / Vector2DOps / GEOMETRYCOLLECTION WKT (named surfaces)
+# ---------------------------------------------------------------------------
+
+
+def test_has_dimensions_reference_rules():
+    from georay.io import parse_wkt
+    from georay.kernels import dimensions as D
+
+    cases = [
+        # (wkt, dims, boundary_dims)   — dimensions.rs impl rules
+        ("POINT (1 2)", D.ZERO, D.EMPTY),
+        ("MULTIPOINT (1 2, 3 4)", D.ZERO, D.EMPTY),
+        ("LINESTRING (0 0, 0 1, 1 1)", D.ONE, D.ZERO),
+        ("LINESTRING (0 0, 0 1, 1 1, 0 0)", D.ONE, D.EMPTY),  # closed ring
+        ("LINESTRING (5 5, 5 5, 5 5)", D.ZERO, D.EMPTY),  # degenerate point
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", D.TWO, D.ONE),
+        ("POLYGON ((1 1, 1 1, 1 1, 1 1))", D.ZERO, D.EMPTY),  # collapsed point
+        ("POLYGON ((0 0, 2 2, 0 0, 2 2, 0 0))", D.ONE, D.ZERO),  # collapsed line
+        ("MULTILINESTRING ((0 0, 1 0), (9 9, 9 9))", D.ONE, D.ZERO),
+        ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))", D.TWO, D.ONE),
+        ("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 0))", D.ONE, D.ZERO),
+        ("GEOMETRYCOLLECTION (POINT (1 1), POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))", D.TWO, D.ONE),
+        ("GEOMETRYCOLLECTION EMPTY", D.EMPTY, D.EMPTY),
+    ]
+    for wkt, dims, bdims in cases:
+        kind, value = parse_wkt(wkt)
+        assert D.dimensions(kind, value) == dims, wkt
+        assert D.boundary_dimensions(kind, value) == bdims, wkt
+    # is_empty
+    assert parse_wkt("GEOMETRYCOLLECTION EMPTY") == ("geometrycollection", [])
+    kind, value = parse_wkt("GEOMETRYCOLLECTION (POINT (1 1))")
+    from georay.kernels.dimensions import is_empty
+
+    assert not is_empty(kind, value)
+    assert is_empty("geometrycollection", [])
+
+
+def test_geometrycollection_wkt_roundtrip():
+    from georay.io import parse_wkt, to_wkt
+
+    src = (
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1), "
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "MULTIPOINT (5 5, 6 6), MULTILINESTRING ((0 0, 1 0), (2 2, 3 3)))"
+    )
+    kind, value = parse_wkt(src)
+    assert kind == "geometrycollection"
+    assert [k for k, _ in value] == [
+        "point", "linestring", "polygon", "multipoint", "multilinestring"
+    ]
+    again = parse_wkt(to_wkt(kind, value))
+    assert again[0] == "geometrycollection"
+    for (k1, v1), (k2, v2) in zip(value, again[1]):
+        assert k1 == k2
+    # nested collection
+    nested = parse_wkt("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (1 1)), POINT (2 2))")
+    assert nested[1][0][0] == "geometrycollection"
+    assert parse_wkt(to_wkt(*nested))[1][0][0] == "geometrycollection"
+
+
+def test_vector2d_ops_reference_goldens():
+    """vector_ops.rs test values: wedge/dot/magnitude/left/right/
+    try_normalize."""
+    from georay.kernels import vector2d as V
+
+    a = np.array([[2.0, 0.0]])
+    b = np.array([[0.0, 3.0]])
+    assert V.wedge_product(a, b)[0] == 6.0  # area of the spanned rect
+    assert V.wedge_product(b, a)[0] == -6.0  # antisymmetric
+    assert V.dot_product(a, b)[0] == 0.0
+    assert V.dot_product(np.array([[1.0, 2.0]]), np.array([[3.0, 4.0]]))[0] == 11.0
+    assert V.magnitude(np.array([[3.0, 4.0]]))[0] == 5.0
+    assert V.magnitude_squared(np.array([[3.0, 4.0]]))[0] == 25.0
+    # left = CCW, right = CW; left(left(v)) == -v
+    v = np.array([[1.0, 2.0]])
+    np.testing.assert_array_equal(V.left(v), [[-2.0, 1.0]])
+    np.testing.assert_array_equal(V.right(v), [[2.0, -1.0]])
+    np.testing.assert_array_equal(V.left(V.left(v)), -v)
+    np.testing.assert_array_equal(V.right(V.left(v)), v)
+    # try_normalize: unit result, NaN for zero/non-finite inputs
+    got = V.try_normalize(np.array([[3.0, 4.0], [0.0, 0.0], [np.inf, 1.0], [1e-300, 0.0]]))
+    np.testing.assert_allclose(got[0], [0.6, 0.8])
+    assert np.isnan(got[1]).all()
+    assert np.isnan(got[2]).all()
+    assert got[3][0] == 1.0  # tiny but normalizable
+    np.testing.assert_array_equal(
+        V.is_finite(np.array([[1.0, 2.0], [np.nan, 0.0]])), [True, False]
+    )
