@@ -36,6 +36,16 @@ import numpy as np
 from .pip import BOUNDARY, INSIDE, OUTSIDE, ring_positions
 
 
+def _ranges_local(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized per-group arange)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    return np.arange(total, dtype=np.int64) - starts
+
+
 # ---------------------------------------------------------------------------
 # membership
 # ---------------------------------------------------------------------------
@@ -56,6 +66,20 @@ class _Piece:
         self.y1 = np.concatenate(ys1) if ys1 else np.zeros(0)
         self.x2 = np.concatenate(xs2) if xs2 else np.zeros(0)
         self.y2 = np.concatenate(ys2) if ys2 else np.zeros(0)
+        self._finish()
+
+    @classmethod
+    def from_segments(cls, p1: np.ndarray, p2: np.ndarray) -> "_Piece":
+        """Membership piece straight from a segment soup (the winding /
+        parity tests never need assembled rings — only the full
+        boundary multiset)."""
+        pc = cls.__new__(cls)
+        pc.x1, pc.y1 = p1[:, 0], p1[:, 1]
+        pc.x2, pc.y2 = p2[:, 0], p2[:, 1]
+        pc._finish()
+        return pc
+
+    def _finish(self):
         if len(self.x1):
             self.bbox = (
                 min(self.x1.min(), self.x2.min()),
@@ -167,20 +191,33 @@ def _region_membership(px, py, pieces: list[_Piece], pad: float, evenodd: bool =
 
 
 def _collect_segments(regions):
-    """-> (P1 (S,2), P2 (S,2)) concatenated over every ring of every
-    piece of every region, zero-length segments dropped."""
-    p1s, p2s = [], []
-    for region in regions:
+    """-> (P1 (S,2), P2 (S,2), piece_of (S,), piece_region (list))
+    concatenated over every ring of every piece of every region,
+    zero-length segments dropped.  piece_of maps each segment to a
+    global piece index; piece_region maps piece index -> region
+    index (membership stays PER PIECE — pieces of one region may
+    overlap with opposite winding, so their soups must not merge)."""
+    p1s, p2s, pids = [], [], []
+    piece_region: list[int] = []
+    for ri, region in enumerate(regions):
         for rings in region:
+            pi = len(piece_region)
+            piece_region.append(ri)
             for r in rings:
                 r = np.asarray(r, dtype=np.float64)
                 a, b = r[:-1], r[1:]
                 keep = (a[:, 0] != b[:, 0]) | (a[:, 1] != b[:, 1])
                 p1s.append(a[keep])
                 p2s.append(b[keep])
+                pids.append(np.full(int(keep.sum()), pi, np.int64))
     if not p1s:
-        return np.zeros((0, 2)), np.zeros((0, 2))
-    return np.concatenate(p1s), np.concatenate(p2s)
+        return np.zeros((0, 2)), np.zeros((0, 2)), np.zeros(0, np.int64), piece_region
+    return (
+        np.concatenate(p1s),
+        np.concatenate(p2s),
+        np.concatenate(pids),
+        piece_region,
+    )
 
 
 def _candidate_pairs(p1, p2, pad):
@@ -272,13 +309,15 @@ def _node(p1, p2, snap):
 
 
 def _fragments(p1, p2, ts, snap):
-    """Split each segment at its params -> fragment endpoint arrays."""
-    f1, f2 = [], []
+    """Split each segment at its params -> fragment endpoint arrays +
+    source segment index per fragment.  Sub-snap segments are KEPT
+    here: the snap-rounding pass collapses them exactly (both endpoints
+    land on one hot pixel), which preserves ring continuity — dropping
+    them pre-snap would leave sub-snap gaps in the boundary."""
+    f1, f2, src = [], [], []
     for i in range(len(p1)):
         seg_len = float(np.hypot(*(p2[i] - p1[i])))
-        if seg_len <= snap:
-            continue
-        if ts[i]:
+        if ts[i] and seg_len > snap:
             tv = np.unique(np.clip(np.asarray(ts[i], dtype=np.float64), 0.0, 1.0))
             # drop params closer than snap (in distance) to each other/ends
             tol = snap / seg_len
@@ -292,9 +331,143 @@ def _fragments(p1, p2, ts, snap):
             pts = np.vstack([p1[i], p2[i]])
         f1.append(pts[:-1])
         f2.append(pts[1:])
+        src.append(np.full(len(pts) - 1, i, np.int64))
     if not f1:
-        return np.zeros((0, 2)), np.zeros((0, 2))
-    return np.concatenate(f1), np.concatenate(f2)
+        return np.zeros((0, 2)), np.zeros((0, 2)), np.zeros(0, np.int64)
+    return np.concatenate(f1), np.concatenate(f2), np.concatenate(src)
+
+
+def _snap_round(f1, f2, src, snap):
+    """Hot-pixel snap rounding (Hobby 1999 / JTS SnapRoundingNoder —
+    public algorithm): quantize every fragment endpoint to the snap
+    grid, then reroute any fragment passing within half a pixel of a
+    hot pixel (an occupied grid point) THROUGH that pixel, iterating to
+    a fixpoint.  Afterwards every endpoint is a grid point, sub-snap
+    slivers have collapsed exactly, and no fragment passes closer than
+    ~snap/2 to a node it is not incident to — which is what makes
+    sub-pixel classification probes consistent."""
+    g1 = np.round(f1 / snap) * snap
+    g2 = np.round(f2 / snap) * snap
+    for _ in range(2):  # JTS-style single hot-pixel pass + one mop-up
+        live = (g1[:, 0] != g2[:, 0]) | (g1[:, 1] != g2[:, 1])
+        g1, g2, src = g1[live], g2[live], src[live]
+        if len(g1) == 0:
+            return g1, g2, src
+        # hot pixels via integer grid keys (endpoints are exact snap
+        # multiples); np.unique(axis=0) on float rows is ~10x slower
+        cc = np.concatenate([g1, g2])
+        ikx = np.round(cc[:, 0] / snap).astype(np.int64)
+        iky = np.round(cc[:, 1] / snap).astype(np.int64)
+        kx0, ky0 = ikx.min(), iky.min()
+        span = int(iky.max() - ky0) + 1
+        ukey = np.unique((ikx - kx0) * span + (iky - ky0))
+        hot = np.column_stack(
+            [(ukey // span + kx0) * snap, (ukey % span + ky0) * snap]
+        )
+        # candidate (fragment, pixel): pixel inside fragment bbox+pad
+        pad = 0.5 * snap
+        fminx = np.minimum(g1[:, 0], g2[:, 0]) - pad
+        fmaxx = np.maximum(g1[:, 0], g2[:, 0]) + pad
+        fminy = np.minimum(g1[:, 1], g2[:, 1]) - pad
+        fmaxy = np.maximum(g1[:, 1], g2[:, 1]) + pad
+        F, H = len(g1), len(hot)
+        # candidate (fragment, pixel) pairs via a coarse-grid supercover
+        # join: walk each fragment through cells of size ~extent/sqrt(H)
+        # (expanded by half a pixel), sort-merge against the pixels'
+        # cell keys.  Near-linear even for long fragments — an x-range
+        # or bbox prefilter degenerates to F x H on jagged inputs.
+        ex0 = min(float(g1[:, 0].min()), float(g2[:, 0].min()))
+        ey0 = min(float(g1[:, 1].min()), float(g2[:, 1].min()))
+        ex1 = max(float(g1[:, 0].max()), float(g2[:, 0].max()))
+        ey1 = max(float(g1[:, 1].max()), float(g2[:, 1].max()))
+        # fine cells: supercover visits stay ~total_length/cell while
+        # per-cell pixel counts stay O(1) even when pixels cluster
+        # along dense offset curves (a sqrt(H) grid puts thousands of
+        # clustered pixels in every touched cell on jagged inputs)
+        cell = max((ex1 - ex0 + ey1 - ey0) / 8192.0, 4.0 * snap)
+        hcx = np.floor((hot[:, 0] - ex0) / cell).astype(np.int64)
+        hcy = np.floor((hot[:, 1] - ey0) / cell).astype(np.int64)
+        ncy = int(hcy.max()) + 2
+        hkey = hcx * ncy + hcy
+        horder = np.argsort(hkey, kind="stable")
+        hkey_s = hkey[horder]
+        # explode fragments over their x-cell spans
+        fcx0 = np.floor((fminx - ex0) / cell).astype(np.int64)
+        fcx1 = np.floor((fmaxx - ex0) / cell).astype(np.int64)
+        nxc = fcx1 - fcx0 + 1
+        fid1 = np.repeat(np.arange(F, dtype=np.int64), nxc)
+        cx = np.repeat(fcx0, nxc) + _ranges_local(nxc)
+        # y-range of each fragment within that x slab (clip the segment
+        # to the slab, then pad by half a pixel)
+        ax, ay = g1[fid1, 0], g1[fid1, 1]
+        bx, by = g2[fid1, 0], g2[fid1, 1]
+        sx0 = ex0 + cx * cell
+        sx1 = sx0 + cell
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t0c = np.clip((sx0 - ax) / (bx - ax), 0.0, 1.0)
+            t1c = np.clip((sx1 - ax) / (bx - ax), 0.0, 1.0)
+        vert = bx == ax
+        t0c = np.where(vert, 0.0, t0c)
+        t1c = np.where(vert, 1.0, t1c)
+        ya = ay + t0c * (by - ay)
+        yb = ay + t1c * (by - ay)
+        ylo = np.minimum(ya, yb) - pad
+        yhi = np.maximum(ya, yb) + pad
+        fcy0 = np.floor((ylo - ey0) / cell).astype(np.int64)
+        fcy1 = np.floor((yhi - ey0) / cell).astype(np.int64)
+        nyc = np.maximum(fcy1 - fcy0 + 1, 0)
+        fid2 = np.repeat(fid1, nyc)
+        cx2 = np.repeat(cx, nyc)
+        cy2 = np.repeat(fcy0, nyc) + _ranges_local(nyc)
+        ckey = cx2 * ncy + cy2
+        plo = np.searchsorted(hkey_s, ckey, side="left")
+        phi = np.searchsorted(hkey_s, ckey, side="right")
+        pcnt = phi - plo
+        fi = np.repeat(fid2, pcnt)
+        hi = horder[np.repeat(plo, pcnt) + _ranges_local(pcnt)]
+        if not len(fi):
+            break
+        a, b, q = g1[fi], g2[fi], hot[hi]
+        d = b - a
+        ll = d[:, 0] ** 2 + d[:, 1] ** 2
+        t = ((q[:, 0] - a[:, 0]) * d[:, 0] + (q[:, 1] - a[:, 1]) * d[:, 1]) / ll
+        interior = (t > 0.0) & (t < 1.0)
+        px = a[:, 0] + t * d[:, 0]
+        py = a[:, 1] + t * d[:, 1]
+        dist2 = (px - q[:, 0]) ** 2 + (py - q[:, 1]) ** 2
+        not_end = ((q[:, 0] != a[:, 0]) | (q[:, 1] != a[:, 1])) & (
+            (q[:, 0] != b[:, 0]) | (q[:, 1] != b[:, 1])
+        )
+        ok = interior & not_end & (dist2 < pad * pad)
+        if not ok.any():
+            break
+        # vectorized chain rebuild: per-fragment cuts sorted by t, then
+        # points [g1_i, q_i1..q_ik, g2_i] laid out contiguously; the
+        # next round's zero-length mask drops duplicate-cut segments
+        cf, ct, cq = fi[ok], t[ok], q[ok]
+        order = np.lexsort((ct, cf))
+        cf, cq = cf[order], cq[order]
+        ccnt = np.bincount(cf, minlength=F)
+        has = ccnt > 0
+        cut_frags = np.nonzero(has)[0]
+        npts = ccnt[has] + 2
+        offs = np.r_[0, np.cumsum(npts)]
+        pts = np.empty((offs[-1], 2))
+        pts[offs[:-1]] = g1[cut_frags]
+        pts[offs[1:] - 1] = g2[cut_frags]
+        group_of_cut = np.searchsorted(cut_frags, cf)
+        rank = _ranges_local(ccnt[has])
+        pts[offs[group_of_cut] + 1 + rank] = cq
+        seg_mask = np.ones(offs[-1], bool)
+        seg_mask[offs[1:] - 1] = False  # last point of each chain starts no segment
+        c1 = pts[seg_mask]
+        c2 = pts[np.r_[False, seg_mask[:-1]]]
+        csrc = np.repeat(src[cut_frags], npts - 1)
+        g1 = np.concatenate([g1[~has], c1])
+        g2 = np.concatenate([g2[~has], c2])
+        src = np.concatenate([src[~has], csrc])
+    live = (g1[:, 0] != g2[:, 0]) | (g1[:, 1] != g2[:, 1])
+    return g1[live], g2[live], src[live]
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +491,7 @@ def overlay(region_a, region_b, op: str, evenodd_a: bool = False):
     difference | xor.  Returns list of (shell_ccw, [holes_cw...]).
     """
     combine = _OPS[op]
-    p1, p2 = _collect_segments([region_a, region_b])
+    p1, p2, seg_piece, piece_region = _collect_segments([region_a, region_b])
     if len(p1) == 0:
         return []
     allc = np.concatenate([p1, p2])
@@ -332,16 +505,30 @@ def overlay(region_a, region_b, op: str, evenodd_a: bool = False):
     )
     maxabs = float(np.abs(allc).max())
     snap = max(1e-9 * extent, 1e-12 * maxabs)
-    delta = max(1e-7 * extent, 1e-10 * maxabs)
 
     ts = _node(p1, p2, snap)
-    f1, f2 = _fragments(p1, p2, ts, snap)
+    f1, f2, fsrc = _fragments(p1, p2, ts, snap)
+    f1, f2, fsrc = _snap_round(f1, f2, fsrc, snap)
     if len(f1) == 0:
         return []
 
-    pieces_a = [_Piece(rings) for rings in region_a]
-    pieces_b = [_Piece(rings) for rings in region_b]
+    # membership pieces from the SNAPPED per-piece fragment soup: the
+    # boundary probed is bit-identical to the fragments being kept, so
+    # classification and stitching can never disagree below snap scale
+    fpiece = seg_piece[fsrc]
+    pieces_a, pieces_b = [], []
+    for pi, ri in enumerate(piece_region):
+        m = fpiece == pi
+        if not m.any():
+            continue
+        (pieces_a if ri == 0 else pieces_b).append(_Piece.from_segments(f1[m], f2[m]))
 
+    # probes sit a third of a pixel off each fragment midpoint: after
+    # hot-pixel rounding no OTHER boundary passes nearer than ~snap/2
+    # to a fragment interior, and the winding tests are exact, so a
+    # sub-pixel delta classifies correctly where the old extent-scaled
+    # 1e-7 delta could swallow legitimate thin features
+    delta = snap / 3.0
     mx = (f1[:, 0] + f2[:, 0]) / 2
     my = (f1[:, 1] + f2[:, 1]) / 2
     dx = f2[:, 0] - f1[:, 0]
@@ -369,35 +556,16 @@ def overlay(region_a, region_b, op: str, evenodd_a: bool = False):
     return _assemble(rings)
 
 
-def _canon_keys(pts, snap):
-    """Canonical node key per point: quantize to the snap grid, but
-    resolve each point against already-seen points in the 3x3 neighbor
-    cells so coincident-up-to-noding-error points NEVER land on opposite
-    sides of a grid boundary."""
-    table: dict = {}
-    keys = []
-    for x, y in pts:
-        cx, cy = round(x / snap), round(y / snap)
-        found = None
-        for ddx in (0, -1, 1):
-            if found is not None:
-                break
-            for ddy in (0, -1, 1):
-                c = (cx + ddx, cy + ddy)
-                if c in table:
-                    found = table[c]
-                    break
-        if found is None:
-            found = (cx, cy)
-        table[(cx, cy)] = found
-        keys.append(found)
-    return keys
-
-
 def _stitch(f1, f2, snap):
     """Stitch region-left-oriented fragments into closed rings with the
-    leftmost-turn (first-clockwise-from-reverse) rule at junctions."""
-    ka = _canon_keys(np.concatenate([f1, f2]), snap)
+    leftmost-turn (first-clockwise-from-reverse) rule at junctions.
+    Coordinates arrive snap-rounded (exact grid multiples), so node
+    identity is the exact grid index — no neighbor-cell merging, which
+    would wrongly fuse ADJACENT grid points one pixel apart."""
+    pts = np.concatenate([f1, f2])
+    kx = np.round(pts[:, 0] / snap).astype(np.int64)
+    ky = np.round(pts[:, 1] / snap).astype(np.int64)
+    ka = list(zip(kx.tolist(), ky.tolist()))
     # dedup identical fragments (stacked shared boundaries)
     seen = set()
     frags = []

@@ -1288,3 +1288,283 @@ def q_segment_vector_ops(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["segment_vector_ops"] = q_segment_vector_ops
+
+
+def q_frechet_pairs(sf_dir: str) -> str:
+    """Discrete Frechet DP as a recursive anti-diagonal CTE (r3):
+    working set carries two diagonals (age 0 = newest, age 1 =
+    previous); each new cell (i,j) takes min over its three
+    predecessors via one grouped scan, then max with the local
+    distance — the exact frechet_distance.rs recurrence.  Rings are
+    the CLOSED exterior rings (duplicate endpoint), matching
+    kernels.more.frechet_distance input."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH RECURSIVE "
+        f"s AS (SELECT polygon_id, seg_idx, x1, y1 FROM read_parquet('{segs}') "
+        f"  WHERE ring_idx = 0), "
+        f"nv AS (SELECT polygon_id, count(*) AS k FROM s GROUP BY polygon_id), "
+        # closed ring: vertices 0..k (vertex k duplicates vertex 0)
+        f"v AS (SELECT polygon_id, seg_idx AS i, x1 AS x, y1 AS y FROM s "
+        f"  UNION ALL SELECT s.polygon_id, nv.k, s.x1, s.y1 FROM s "
+        f"  JOIN nv ON nv.polygon_id = s.polygon_id WHERE s.seg_idx = 0), "
+        f"pa AS (SELECT * FROM v WHERE CAST(substr(polygon_id, 6) AS BIGINT) % {HAUS_A_MOD} = 0), "
+        f"pb AS (SELECT * FROM v WHERE CAST(substr(polygon_id, 6) AS BIGINT) % {HAUS_A_MOD} = {HAUS_B_MOD}), "
+        f"d AS (SELECT pa.polygon_id AS a, pb.polygon_id AS b, pa.i AS i, pb.i AS j, "
+        f"  sqrt((pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y)) AS dist "
+        f"  FROM pa JOIN pb ON true), "
+        f"dp(a, b, i, j, ca, age) AS ("
+        f"  SELECT a, b, i, j, dist, 0 FROM d WHERE i = 0 AND j = 0 "
+        f"  UNION ALL ("
+        f"    SELECT n.a, n.b, n.i, n.j, greatest(d.dist, n.pmin), 0 "
+        f"    FROM (SELECT a, b, i + di AS i, j + dj AS j, min(ca) AS pmin "
+        f"          FROM dp, (VALUES (1, 0, 0), (0, 1, 0), (1, 1, 1)) AS o(di, dj, na) "
+        f"          WHERE age = na GROUP BY a, b, i + di, j + dj) n "
+        f"    JOIN d ON d.a = n.a AND d.b = n.b AND d.i = n.i AND d.j = n.j "
+        f"    UNION ALL "
+        f"    SELECT a, b, i, j, ca, 1 FROM dp WHERE age = 0)) "
+        f"SELECT dp.a, dp.b, round(dp.ca, 6) AS frechet FROM dp "
+        f"JOIN nv na ON na.polygon_id = dp.a JOIN nv nb ON nb.polygon_id = dp.b "
+        f"WHERE dp.age = 0 AND dp.i = na.k AND dp.j = nb.k"
+    )
+
+
+ORACLE_BUILDERS["frechet_pairs"] = q_frechet_pairs
+
+
+def q_doc_fingerprints(sf_dir: str) -> str:
+    """Winnowing in SQL (r3): k-gram md5-prefix hashes, rightmost-min
+    per w-window via a packed (hash, reversed-position) key and a
+    window MIN, DISTINCT positions == the consecutive-dedup rule
+    (picked positions are non-decreasing).  k=5, w=4 as in
+    georay.text.winnow_fingerprints."""
+    B = 4294967296
+    return (
+        f"WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+        f"ser AS (SELECT unnest(range(0, (SELECT coalesce(max(n), 1) FROM d0))) AS i), "
+        f"g AS (SELECT d.doc_id, s.i, "
+        f"  ('0x' || substr(md5(substr(d.text, s.i + 1, 5)), 1, 8))::BIGINT AS h "
+        f"  FROM d0 d JOIN ser s ON s.i <= d.n - 5 WHERE d.n >= 5), "
+        f"gn AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id), "
+        f"key AS (SELECT doc_id, i, h, "
+        f"  h::HUGEINT * {B} + ({B - 1} - i) AS k FROM g), "
+        f"win AS (SELECT doc_id, i, "
+        f"  min(k) OVER (PARTITION BY doc_id ORDER BY i "
+        f"    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk FROM key), "
+        f"big AS (SELECT doc_id, count(*)::BIGINT AS n_fingerprints, min(h) AS min_fp FROM "
+        f"  (SELECT DISTINCT w.doc_id, {B - 1} - (w.wk % {B})::BIGINT AS pos, "
+        f"     (w.wk // {B})::BIGINT AS h "
+        f"   FROM win w JOIN gn ON gn.doc_id = w.doc_id AND gn.ng > 4 "
+        f"   WHERE w.i <= gn.ng - 4) GROUP BY doc_id), "
+        f"one AS (SELECT k.doc_id, 1::BIGINT, (min(k.k) // {B})::BIGINT "
+        f"  FROM key k JOIN gn ON gn.doc_id = k.doc_id AND gn.ng <= 4 GROUP BY k.doc_id), "
+        f"tiny AS (SELECT doc_id, 1::BIGINT, ('0x' || substr(md5(text), 1, 8))::BIGINT "
+        f"  FROM d0 WHERE n > 0 AND n < 5), "
+        f"zero AS (SELECT doc_id, 0::BIGINT, 0::BIGINT FROM d0 WHERE n = 0) "
+        f"SELECT * FROM big UNION ALL SELECT * FROM one "
+        f"UNION ALL SELECT * FROM tiny UNION ALL SELECT * FROM zero"
+    )
+
+
+ORACLE_BUILDERS["doc_fingerprints"] = q_doc_fingerprints
+
+
+RDP_EPS = 0.05
+
+
+def q_simplify_rdp(sf_dir: str) -> str:
+    """RDP as a recursive interval CTE (r3): each round computes every
+    open interval's farthest vertex (row_number over d DESC, i ASC ==
+    np.argmax first-max tie rule) and splits where d > eps.  Kept
+    vertices = 2 endpoints + one per split, so n_after = 2 + splits.
+    The top interval of a CLOSED ring has seg == 0 -> distance to the
+    endpoint (kernels/simplify.py:36-39)."""
+    segs = datagen.segments_path(sf_dir)
+    e = RDP_EPS
+    return (
+        f"WITH RECURSIVE "
+        f"s AS (SELECT polygon_id, seg_idx, x1, y1 FROM read_parquet('{segs}') "
+        f"  WHERE ring_idx = 0), "
+        f"nv AS (SELECT polygon_id, count(*) AS k FROM s GROUP BY polygon_id), "
+        f"v AS (SELECT polygon_id, seg_idx AS i, x1 AS x, y1 AS y FROM s "
+        f"  UNION ALL SELECT s.polygon_id, nv.k, s.x1, s.y1 FROM s "
+        f"  JOIN nv ON nv.polygon_id = s.polygon_id WHERE s.seg_idx = 0), "
+        f"iv(pid, a, b) AS ("
+        f"  SELECT polygon_id, 0, k FROM nv "
+        f"  UNION ALL ("
+        f"  WITH cand AS ("
+        f"    SELECT w.pid, w.a, w.b, vi.i, "
+        f"      CASE WHEN va.x = vb.x AND va.y = vb.y "
+        f"        THEN sqrt((vi.x - va.x) * (vi.x - va.x) + (vi.y - va.y) * (vi.y - va.y)) "
+        f"        ELSE abs((vb.x - va.x) * (va.y - vi.y) - (va.x - vi.x) * (vb.y - va.y)) "
+        f"             / sqrt((vb.x - va.x) * (vb.x - va.x) + (vb.y - va.y) * (vb.y - va.y)) "
+        f"      END AS d "
+        f"    FROM iv w "
+        f"    JOIN v va ON va.polygon_id = w.pid AND va.i = w.a "
+        f"    JOIN v vb ON vb.polygon_id = w.pid AND vb.i = w.b "
+        f"    JOIN v vi ON vi.polygon_id = w.pid AND vi.i > w.a AND vi.i < w.b "
+        f"    WHERE w.b - w.a >= 2), "
+        f"  best AS (SELECT * FROM ("
+        f"    SELECT pid, a, b, i, d, "
+        f"      row_number() OVER (PARTITION BY pid, a, b ORDER BY d DESC, i ASC) AS rn "
+        f"    FROM cand) WHERE rn = 1 AND d > {e!r}) "
+        f"  SELECT pid, CASE WHEN o.side = 0 THEN a ELSE i END, "
+        f"         CASE WHEN o.side = 0 THEN i ELSE b END "
+        f"  FROM best, (VALUES (0), (1)) AS o(side))) "
+        f"SELECT nv.polygon_id, (nv.k + 1)::BIGINT AS n_before, "
+        f"  (2 + (count(*) - 1) // 2)::BIGINT AS n_after "
+        f"FROM iv JOIN nv ON nv.polygon_id = iv.pid "
+        f"GROUP BY nv.polygon_id, nv.k"
+    )
+
+
+ORACLE_BUILDERS["simplify_rdp"] = q_simplify_rdp
+
+
+def q_hav_closest_line(sf_dir: str) -> str:
+    """HaversineClosestPoint in SQL (r3): cross-track projection when
+    both course differences face inward, else nearest endpoint —
+    identical expression order to kernels.measures.haversine_closest_point
+    including the double degree<->radian round-trips, floor-mod
+    longitude normalization and the first-min tie rule."""
+    from .queries import HCP_LINE, RHUMB_DEST_MOD
+
+    R = 6_371_008.8
+    segs_vals = ", ".join(
+        f"({i}, {HCP_LINE[i][0]!r}, {HCP_LINE[i][1]!r}, {HCP_LINE[i+1][0]!r}, {HCP_LINE[i+1][1]!r})"
+        for i in range(len(HCP_LINE) - 1)
+    )
+
+    def brg(lon1, lat1, lon2, lat2):
+        # radians((degrees(atan2(s, c)) + 360) % 360) with the numpy
+        # positive-range fmod (arguments are positive, so % is safe)
+        s = f"cos(radians({lat2})) * sin(radians({lon2}) - radians({lon1}))"
+        c = (
+            f"cos(radians({lat1})) * sin(radians({lat2})) - "
+            f"sin(radians({lat1})) * cos(radians({lat2})) * cos(radians({lon2}) - radians({lon1}))"
+        )
+        return f"radians(fmod(degrees(atan2({s}, {c})) + 360.0, 360.0))"
+
+    hav = _hav_expr
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"q AS (SELECT image_id, lon, lat FROM pts "
+        f"  WHERE CAST(substr(image_id, 5) AS BIGINT) % {RHUMB_DEST_MOD} = 0), "
+        f"sg AS (SELECT * FROM (VALUES {segs_vals}) AS t(seg, ax, ay, bx, by)), "
+        f"c1 AS (SELECT q.image_id, q.lon, q.lat, sg.seg, sg.ax, sg.ay, sg.bx, sg.by, "
+        f"  {brg('sg.ax', 'sg.ay', 'q.lon', 'q.lat')} AS crs_ad, "
+        f"  {brg('sg.ax', 'sg.ay', 'sg.bx', 'sg.by')} AS crs_ab, "
+        f"  {brg('sg.bx', 'sg.by', 'sg.ax', 'sg.ay')} AS crs_ba, "
+        f"  {brg('sg.bx', 'sg.by', 'q.lon', 'q.lat')} AS crs_bd, "
+        f"  {hav('sg.ax', 'sg.ay', 'q.lon', 'q.lat')} AS d1, "
+        f"  {hav('sg.bx', 'sg.by', 'q.lon', 'q.lat')} AS d2 "
+        f"  FROM q CROSS JOIN sg), "
+        f"c2 AS (SELECT *, "
+        f"  abs(asin(greatest(least(sin(d1 / {R!r}) * sin(crs_ad - crs_ab), 1.0), -1.0))) AS xtd "
+        f"  FROM c1), "
+        f"c3 AS (SELECT *, "
+        f"  {R!r} * abs(acos(greatest(least(cos(d1 / {R!r}) / "
+        f"    (CASE WHEN cos(xtd) = 0 THEN 1.0 ELSE cos(xtd) END), 1.0), -1.0))) AS atd "
+        f"  FROM c2), "
+        f"c4 AS (SELECT *, "
+        f"  radians(degrees(crs_ab)) AS theta, atd / {R!r} AS rad, radians(ay) AS phi1 "
+        f"  FROM c3), "
+        f"c5 AS (SELECT *, "
+        f"  asin(sin(phi1) * cos(rad) + cos(phi1) * sin(rad) * cos(theta)) AS phi2 "
+        f"  FROM c4), "
+        f"c6 AS (SELECT *, "
+        f"  degrees(atan2(sin(theta) * sin(rad) * cos(phi1), "
+        f"                cos(rad) - sin(phi1) * sin(phi2)) + radians(ax)) AS lon2r "
+        f"  FROM c5), "
+        f"c7 AS (SELECT *, "
+        f"  (lon2r + 180.0) - floor((lon2r + 180.0) / 360.0) * 360.0 - 180.0 AS plon, "
+        f"  degrees(phi2) AS plat, "
+        f"  (cos(crs_ad - crs_ab) >= 0 AND cos(crs_bd - crs_ba) >= 0) AS inward "
+        f"  FROM c6), "
+        f"c8 AS (SELECT image_id, lon, lat, seg, "
+        f"  CASE WHEN inward THEN plon WHEN d1 < d2 THEN ax ELSE bx END AS cx, "
+        f"  CASE WHEN inward THEN plat WHEN d1 < d2 THEN ay ELSE by END AS cy "
+        f"  FROM c7), "
+        f"c9 AS (SELECT image_id, cx, cy, {hav('cx', 'cy', 'lon', 'lat')} AS dist, "
+        f"  row_number() OVER (PARTITION BY image_id ORDER BY {hav('cx', 'cy', 'lon', 'lat')} ASC, seg ASC) AS rn "
+        f"  FROM c8) "
+        f"SELECT image_id, round(cx, 6) AS cx, round(cy, 6) AS cy, "
+        f"round(dist, 3) AS dist_m FROM c9 WHERE rn = 1"
+    )
+
+
+ORACLE_BUILDERS["hav_closest_line"] = q_hav_closest_line
+
+
+def q_poly_hull(sf_dir: str) -> str:
+    """Convex hull in SQL (r3): directed edge (u, w) is a hull edge iff
+    every other vertex is strictly left of it, or collinear AND
+    strictly between u and w (strict hull — collinear boundary points
+    excluded, matching qhull.rs).  hull_n = number of hull edges;
+    hull area = shoelace sum over the edge cycle (order-free)."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH v AS (SELECT polygon_id, seg_idx AS i, x1 AS x, y1 AS y "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"e AS (SELECT u.polygon_id, u.i AS ui, w.i AS wi, "
+        f"  u.x AS ux, u.y AS uy, w.x AS wx, w.y AS wy "
+        f"  FROM v u JOIN v w ON w.polygon_id = u.polygon_id AND w.i <> u.i), "
+        f"hull_e AS (SELECT e.* FROM e WHERE NOT EXISTS ("
+        f"  SELECT 1 FROM v p WHERE p.polygon_id = e.polygon_id "
+        f"    AND p.i <> e.ui AND p.i <> e.wi "
+        f"    AND NOT ((e.wx - e.ux) * (p.y - e.uy) - (e.wy - e.uy) * (p.x - e.ux) > 0 "
+        f"      OR ((e.wx - e.ux) * (p.y - e.uy) - (e.wy - e.uy) * (p.x - e.ux) = 0 "
+        f"        AND (p.x - e.ux) * (e.wx - e.ux) + (p.y - e.uy) * (e.wy - e.uy) > 0 "
+        f"        AND (p.x - e.wx) * (e.ux - e.wx) + (p.y - e.wy) * (e.uy - e.wy) > 0)))) "
+        f"SELECT polygon_id, count(*)::BIGINT AS hull_n, "
+        f"round(sum(ux * wy - wx * uy) / 2.0, 6) AS hull_area "
+        f"FROM hull_e GROUP BY polygon_id"
+    )
+
+
+ORACLE_BUILDERS["poly_hull"] = q_poly_hull
+
+
+DBSCAN_EPS = 0.5
+DBSCAN_MIN_PTS = 5
+
+
+def q_dbscan_hot(sf_dir: str) -> str:
+    """DBSCAN in SQL (r3): eps-grid equi-join for neighbor pairs
+    (count includes self, core = count >= min_pts), recursive
+    min-core-id label propagation over core-core edges (pruned to
+    downward-moving labels), border points take the min final label of
+    their core neighbors, noise = ''."""
+    e = DBSCAN_EPS
+    return (
+        f"WITH RECURSIVE pts AS ({_pts_cte(sf_dir)}), "
+        f"g AS (SELECT image_id, lon, lat, "
+        f"  CAST(floor(lon / {e!r}) AS BIGINT) AS cx, "
+        f"  CAST(floor(lat / {e!r}) AS BIGINT) AS cy FROM pts), "
+        f"pairs AS (SELECT a.image_id AS ia, b.image_id AS ib "
+        f"  FROM g a JOIN g b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 "
+        f"    AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 "
+        f"    AND (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat) "
+        f"        <= {e * e!r}), "
+        f"core AS (SELECT ia AS id FROM pairs GROUP BY ia "
+        f"  HAVING count(*) >= {DBSCAN_MIN_PTS}), "
+        f"ce AS (SELECT p.ia, p.ib FROM pairs p "
+        f"  JOIN core c1 ON c1.id = p.ia JOIN core c2 ON c2.id = p.ib), "
+        f"reach(id, lbl) AS ("
+        f"  SELECT id, id FROM core "
+        f"  UNION "
+        f"  SELECT e.ib, r.lbl FROM reach r JOIN ce e ON e.ia = r.id "
+        f"  WHERE r.lbl < e.ib), "
+        f"lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id), "
+        f"border AS (SELECT p.ia AS id, min(l.lbl) AS lbl FROM pairs p "
+        f"  JOIN lab l ON l.id = p.ib AND p.ib <> p.ia "
+        f"  WHERE p.ia NOT IN (SELECT id FROM core) GROUP BY p.ia) "
+        f"SELECT pts.image_id, "
+        f"  coalesce(lab.lbl, border.lbl, '') AS cluster, "
+        f"  (lab.id IS NOT NULL) AS is_core "
+        f"FROM pts LEFT JOIN lab ON lab.id = pts.image_id "
+        f"LEFT JOIN border ON border.id = pts.image_id"
+    )
+
+
+ORACLE_BUILDERS["dbscan_hot"] = q_dbscan_hot

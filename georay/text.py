@@ -61,7 +61,10 @@ def subword_estimate(text: str) -> int:
 
 
 def _h32(data: bytes) -> int:
-    return int.from_bytes(hashlib.blake2b(data, digest_size=4).digest(), "big")
+    """First 32 bits of md5 — any uniform hash satisfies the winnowing
+    theorem; md5 specifically so the DuckDB oracle can recompute the
+    identical fingerprints in SQL (r3)."""
+    return int(hashlib.md5(data).hexdigest()[:8], 16)
 
 
 def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[tuple[int, int]]:

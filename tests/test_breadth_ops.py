@@ -123,7 +123,7 @@ def test_stitch_triangles_roundtrip():
     from georay import oracle
 
     want = abs(oracle.signed_area([ring]))
-    assert abs(ov.mp_area(polys) - want) < 1e-9
+    assert abs(ov.mp_area(polys) - want) < 1e-6
     assert len(polys) == 1
 
 
