@@ -1568,3 +1568,289 @@ def q_dbscan_hot(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["dbscan_hot"] = q_dbscan_hot
+
+
+def q_vincenty_to_hot(sf_dir: str) -> str:
+    """Vincenty inverse as a per-point recursive fixed-point CTE (r3):
+    state = (lam, lamP, n); the converged row's output quantities
+    derive from lamP — exactly the Python loop, which breaks AFTER
+    computing the iteration's trig from the OLD lambda
+    (kernels/measures.py:144-165).  Non-converged rows (n=100) surface
+    as NULL like the reference Err; sinSigma == 0 short-circuits to
+    0.0 (coincident points)."""
+    from .kernels.measures import (
+        EARTH_FLATTENING,
+        EQUATORIAL_EARTH_RADIUS,
+        POLAR_EARTH_RADIUS,
+    )
+
+    a, bb, f = EQUATORIAL_EARTH_RADIUS, POLAR_EARTH_RADIUS, EARTH_FLATTENING
+
+    def trig(lam: str) -> str:
+        """Columns sinSigma/cosSigma/sigma/sinAlpha/cosSqAlpha/
+        cos2SigmaM/C derived from a lambda column, as chained selects."""
+        return (
+            f"SELECT *, sin({lam}) AS sinL, cos({lam}) AS cosL FROM __IN__ "
+            f"), t2 AS (SELECT *, "
+            f"sqrt((cosU2 * sinL) * (cosU2 * sinL) + "
+            f"  (cosU1 * sinU2 - sinU1 * cosU2 * cosL) * (cosU1 * sinU2 - sinU1 * cosU2 * cosL)) AS sinSigma, "
+            f"sinU1 * sinU2 + cosU1 * cosU2 * cosL AS cosSigma FROM t1 "
+            f"), t3 AS (SELECT *, atan2(sinSigma, cosSigma) AS sigma, "
+            f"CASE WHEN sinSigma = 0 THEN 0.0 ELSE cosU1 * cosU2 * sinL / sinSigma END AS sinAlpha FROM t2 "
+            f"), t4 AS (SELECT *, 1.0 - sinAlpha * sinAlpha AS cosSqAlpha FROM t3 "
+            f"), t5 AS (SELECT *, "
+            f"CASE WHEN cosSqAlpha <> 0 THEN cosSigma - 2.0 * sinU1 * sinU2 / cosSqAlpha ELSE 0.0 END AS cos2SigmaM, "
+            f"{f!r} / 16.0 * cosSqAlpha * (4.0 + {f!r} * (4.0 - 3.0 * cosSqAlpha)) AS C FROM t4"
+        )
+
+    return (
+        f"WITH RECURSIVE pts AS ({_pts_cte(sf_dir)}), "
+        f"base AS (SELECT image_id, radians({HOT_LON!r} - lon) AS L, "
+        f"  sin(atan((1.0 - {f!r}) * tan(radians(lat)))) AS sinU1, "
+        f"  cos(atan((1.0 - {f!r}) * tan(radians(lat)))) AS cosU1, "
+        f"  sin(atan((1.0 - {f!r}) * tan(radians({HOT_LAT!r})))) AS sinU2, "
+        f"  cos(atan((1.0 - {f!r}) * tan(radians({HOT_LAT!r})))) AS cosU2 "
+        f"  FROM pts), "
+        f"it(image_id, L, sinU1, cosU1, sinU2, cosU2, lam, lamP, n, zero) AS ("
+        f"  SELECT image_id, L, sinU1, cosU1, sinU2, cosU2, L, NULL::DOUBLE, 0, false FROM base "
+        f"  UNION ALL ("
+        f"  WITH live AS (SELECT * FROM it "
+        f"    WHERE NOT zero AND n < 100 AND (n = 0 OR abs(lam - lamP) > 1e-12)), "
+        f"  t1 AS ({trig('lam').replace('__IN__', 'live')}) "
+        f"  SELECT image_id, L, sinU1, cosU1, sinU2, cosU2, "
+        f"    CASE WHEN sinSigma = 0 THEN lam ELSE "
+        f"    L + (1.0 - C) * {f!r} * sinAlpha * (sigma + C * sinSigma * "
+        f"      (cos2SigmaM + C * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM))) END, "
+        f"    lam, n + 1, sinSigma = 0 FROM t5)), "
+        f"fin AS (SELECT *, row_number() OVER (PARTITION BY image_id ORDER BY n) AS rn FROM it "
+        f"  WHERE zero OR (n > 0 AND abs(lam - lamP) <= 1e-12)), "
+        f"sel AS (SELECT * FROM fin WHERE rn = 1), "
+        f"t1 AS ({trig('lamP').replace('__IN__', 'sel')}), "
+        f"d1 AS (SELECT *, cosSqAlpha * ({a * a - bb * bb!r}) / ({bb * bb!r}) AS uSq FROM t5), "
+        f"d2 AS (SELECT *, "
+        f"  1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq))) AS bigA, "
+        f"  uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq))) AS bigB FROM d1), "
+        f"d3 AS (SELECT *, "
+        f"  bigB * sinSigma * (cos2SigmaM + bigB / 4.0 * (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) "
+        f"    - bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) "
+        f"    * (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM))) AS deltaSigma FROM d2) "
+        f"SELECT p.image_id, "
+        f"  CASE WHEN d3.zero THEN 0.0 "
+        f"       WHEN d3.image_id IS NULL THEN NULL "
+        f"       ELSE round({bb!r} * d3.bigA * (d3.sigma - d3.deltaSigma), 1) END AS vincenty_m "
+        f"FROM pts p LEFT JOIN d3 ON d3.image_id = p.image_id"
+    )
+
+
+ORACLE_BUILDERS["vincenty_to_hot"] = q_vincenty_to_hot
+
+
+KMEANS_K = 16
+KMEANS_MAX_ITER = 5
+
+
+def q_kmeans_assign(sf_dir: str) -> str:
+    """Lloyd iterations as a recursive CTE with per-round aggregates
+    (r3): seeds = first k stride-sampled ids (cluster index = seed
+    rank), each round reassigns by argmin (d2, cluster) and averages,
+    empty clusters keep their centroid, stop at max_iter or when the
+    max centroid shift drops below tolerance 1e-4 — mirroring
+    georay.cluster.kmeans."""
+    k, mi = KMEANS_K, KMEANS_MAX_ITER
+    return (
+        f"WITH RECURSIVE pts AS ({_pts_cte(sf_dir)}), "
+        f"n AS (SELECT count(*) AS n FROM pts), "
+        f"seeds AS (SELECT image_id, lon, lat FROM pts "
+        f"  WHERE CAST(substr(image_id, 5) AS BIGINT) % "
+        f"    (SELECT greatest(n // {k}, 1) FROM n) = 0 "
+        f"  ORDER BY image_id LIMIT {k}), "
+        f"cent(r, cluster, cx, cy, stop) AS ("
+        f"  SELECT 0, row_number() OVER (ORDER BY image_id) - 1, lon, lat, false FROM seeds "
+        f"  UNION ALL ("
+        f"  WITH cur AS (SELECT * FROM cent WHERE r < {mi} AND NOT stop), "
+        f"  asg AS (SELECT p.image_id, p.lon, p.lat, c.cluster, "
+        f"    row_number() OVER (PARTITION BY p.image_id ORDER BY "
+        f"      (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy), c.cluster) AS rn "
+        f"    FROM pts p CROSS JOIN cur c), "
+        f"  agg AS (SELECT cluster, sum(lon) AS sx, sum(lat) AS sy, count(*) AS cnt "
+        f"    FROM asg WHERE rn = 1 GROUP BY cluster), "
+        f"  nxt AS (SELECT c.r + 1 AS r, c.cluster, "
+        f"    CASE WHEN a.cnt > 0 THEN a.sx / a.cnt ELSE c.cx END AS cx, "
+        f"    CASE WHEN a.cnt > 0 THEN a.sy / a.cnt ELSE c.cy END AS cy, "
+        f"    c.cx AS ox, c.cy AS oy "
+        f"    FROM cur c LEFT JOIN agg a ON a.cluster = c.cluster), "
+        f"  sh AS (SELECT max(sqrt((cx - ox) * (cx - ox) + (cy - oy) * (cy - oy))) AS shift FROM nxt) "
+        f"  SELECT r, cluster, cx, cy, (SELECT shift FROM sh) < 1e-4 FROM nxt)), "
+        f"fin AS (SELECT * FROM cent WHERE r = (SELECT max(r) FROM cent)) "
+        f"SELECT image_id, cluster FROM ("
+        f"  SELECT p.image_id, c.cluster, "
+        f"    row_number() OVER (PARTITION BY p.image_id ORDER BY "
+        f"      (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy), c.cluster) AS rn "
+        f"  FROM pts p CROSS JOIN fin c) WHERE rn = 1"
+    )
+
+
+ORACLE_BUILDERS["kmeans_assign"] = q_kmeans_assign
+
+
+def q_lof_outliers(sf_dir: str) -> str:
+    """LOF in SQL (r3) over an exact euclidean 10-NN: a 4-degree-cell
+    3x3-halo candidate pass certifies points whose 10th distance fits
+    inside the halo margin; the sparse residue brute-forces against
+    the full table.  Then the standard kdist -> reachability -> lrd ->
+    LOF chain (outlier_detection.rs semantics; ties by (dist,
+    neighbor_id))."""
+    k = 10
+    c = 4.0
+    dist = (
+        "sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"g AS (SELECT image_id, lon, lat, "
+        f"  CAST(floor(lon / {c!r}) AS BIGINT) AS cx, "
+        f"  CAST(floor(lat / {c!r}) AS BIGINT) AS cy FROM pts), "
+        f"cand AS (SELECT a.image_id AS pid, b.image_id AS nid, {dist} AS d, "
+        f"  a.lon AS alon, a.lat AS alat, a.cx AS acx, a.cy AS acy "
+        f"  FROM g a JOIN g b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 "
+        f"    AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 AND b.image_id <> a.image_id), "
+        f"rk AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY d, nid) AS rn, "
+        f"  count(*) OVER (PARTITION BY pid) AS cnt FROM cand), "
+        f"top AS (SELECT * FROM rk WHERE rn <= {k}), "
+        f"cert AS (SELECT pid, max(d) AS d10, any_value(alon) AS alon, any_value(alat) AS alat, "
+        f"  any_value(acx) AS acx, any_value(acy) AS acy, any_value(cnt) AS cnt "
+        f"  FROM top GROUP BY pid), "
+        f"certified AS (SELECT pid FROM cert WHERE cnt >= {k} AND d10 <= least("
+        f"  alon - (acx - 1) * {c!r}, (acx + 2) * {c!r} - alon, "
+        f"  alat - (acy - 1) * {c!r}, (acy + 2) * {c!r} - alat)), "
+        f"knn_a AS (SELECT pid, nid, d FROM top WHERE pid IN (SELECT pid FROM certified)), "
+        f"rest AS (SELECT image_id, lon, lat FROM g "
+        f"  WHERE image_id NOT IN (SELECT pid FROM certified)), "
+        f"bf AS (SELECT a.image_id AS pid, b.image_id AS nid, {dist} AS d, "
+        f"  row_number() OVER (PARTITION BY a.image_id ORDER BY {dist}, b.image_id) AS rn "
+        f"  FROM rest a JOIN pts b ON b.image_id <> a.image_id), "
+        f"knn AS (SELECT pid, nid, d FROM bf WHERE rn <= {k} UNION ALL SELECT * FROM knn_a), "
+        f"kd AS (SELECT pid AS id, max(d) AS kdist FROM knn GROUP BY pid), "
+        f"reach AS (SELECT n.pid, n.nid, greatest(n.d, kd.kdist) AS reach "
+        f"  FROM knn n JOIN kd ON kd.id = n.nid), "
+        f"lrd AS (SELECT pid AS id, count(*) / sum(reach) AS lrd FROM reach GROUP BY pid), "
+        f"nm AS (SELECT n.pid AS id, sum(l.lrd) / count(*) AS nbr_mean "
+        f"  FROM knn n JOIN lrd l ON l.id = n.nid GROUP BY n.pid) "
+        f"SELECT nm.id AS image_id, round(nm.nbr_mean / lrd.lrd, 6) AS lof "
+        f"FROM nm JOIN lrd ON lrd.id = nm.id"
+    )
+
+
+ORACLE_BUILDERS["lof_outliers"] = q_lof_outliers
+
+
+MINHASH_T = 0.8
+
+
+def q_minhash_dedup(sf_dir: str) -> str:
+    """Near-dup groups via EXACT Jaccard over distinct byte-5-gram
+    sets + recursive connected components (r3).  The Ray side is
+    MinHash-LSH-accelerated, but at J >= 0.8 with 128 perms / 32 bands
+    the miss probability is <= 1e-7 per pair, and equality against the
+    exact pipeline is verified on the fixed corpora (pytest); so the
+    exact pipeline is a sound oracle for the driver's deterministic
+    inputs.  group = min doc_id of the component, keep = (doc == group)."""
+    t = MINHASH_T
+    return (
+        f"WITH RECURSIVE docs0 AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+        f"ser AS (SELECT unnest(range(0, (SELECT coalesce(max(n), 1) FROM docs0))) AS i), "
+        f"sh AS (SELECT DISTINCT d.doc_id, substr(d.text, s.i + 1, 5) AS gr "
+        f"  FROM docs0 d JOIN ser s ON s.i <= d.n - 5 WHERE d.n >= 5 "
+        f"  UNION SELECT doc_id, text FROM docs0 WHERE n < 5), "
+        f"ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        f"inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni "
+        f"  FROM sh a JOIN sh b ON b.gr = a.gr AND b.doc_id > a.doc_id "
+        f"  GROUP BY a.doc_id, b.doc_id), "
+        f"edges AS (SELECT da, db FROM inter "
+        f"  JOIN ssz sa ON sa.doc_id = da JOIN ssz sb ON sb.doc_id = db "
+        f"  WHERE ni::DOUBLE / (sa.sz + sb.sz - ni) >= {t!r}), "
+        f"bi AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges), "
+        f"reach(id, lbl) AS ("
+        f"  SELECT DISTINCT a, a FROM bi "
+        f"  UNION SELECT e.b, r.lbl FROM reach r JOIN bi e ON e.a = r.id WHERE r.lbl < e.b), "
+        f"lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) "
+        f"SELECT d.doc_id, coalesce(lab.lbl, d.doc_id) AS \"group\", "
+        f"(coalesce(lab.lbl, d.doc_id) = d.doc_id) AS keep "
+        f"FROM docs0 d LEFT JOIN lab ON lab.id = d.doc_id"
+    )
+
+
+ORACLE_BUILDERS["minhash_dedup"] = q_minhash_dedup
+
+
+def q_simhash_sig(sf_dir: str) -> str:
+    """SimHash in SQL (r3): whitespace tokens -> rolling-polynomial
+    token hash (B = FNV prime, length-salted, splitmix64-finalized —
+    texthash.py:_span_hash/_mix64, recomputed with HUGEINT mod-2^64
+    arithmetic and a BIGINT bridge for xor) -> per-bit majority ->
+    packed signature; groups = connected components over ALL pairs at
+    Hamming <= 3 (the 4x16 banding is pigeonhole-exact, so all-pairs
+    == the banded candidates)."""
+    B = 0x100000001B3
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    SALT = 0x9E3779B97F4A7C15
+    M = 1 << 64
+    H = 1 << 63
+
+    def xoru(u1: str, u2: str) -> str:
+        """xor of two HUGEINT uint64 values via the BIGINT bridge."""
+        b1 = f"(CASE WHEN ({u1}) >= {H} THEN ({u1}) - {M} ELSE ({u1}) END)::BIGINT"
+        b2 = f"(CASE WHEN ({u2}) >= {H} THEN ({u2}) - {M} ELSE ({u2}) END)::BIGINT"
+        x = f"xor({b1}, {b2})"
+        return f"(CASE WHEN {x} < 0 THEN {x}::HUGEINT + {M} ELSE {x}::HUGEINT END)"
+
+    return (
+        f"WITH RECURSIVE docs0 AS (SELECT doc_id, text FROM documents), "
+        f"tl0 AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+        f"  x -> x <> '') AS toks FROM docs0), "
+        f"ser AS (SELECT unnest(range(0, (SELECT coalesce(max(len(toks)), 1) FROM tl0))) AS i), "
+        f"tok AS (SELECT doc_id, s.i AS ti, toks[s.i + 1] AS tk, "
+        f"  length(toks[s.i + 1]) AS tl FROM tl0 JOIN ser s ON s.i < len(toks)), "
+        f"mx AS (SELECT coalesce(max(tl), 1) AS m FROM tok), "
+        f"powb(e, v) AS (SELECT 0, 1::HUGEINT "
+        f"  UNION ALL SELECT e + 1, (v * {B}) % {M} FROM powb WHERE e < (SELECT m FROM mx)), "
+        f"cser AS (SELECT unnest(range(0, (SELECT m FROM mx))) AS j), "
+        f"ch AS (SELECT t.doc_id, t.ti, t.tl, c.j, "
+        f"  ascii(substr(t.tk, c.j + 1, 1))::HUGEINT AS byte "
+        f"  FROM tok t JOIN cser c ON c.j < t.tl), "
+        f"core AS (SELECT ch.doc_id, ch.ti, any_value(ch.tl) AS tl, "
+        f"  sum(ch.byte * p.v) % {M} AS hcore "
+        f"  FROM ch JOIN powb p ON p.e = ch.tl - 1 - ch.j "
+        f"  GROUP BY ch.doc_id, ch.ti), "
+        f"z0 AS (SELECT doc_id, ti, "
+        f"  {xoru('hcore', f'(tl::HUGEINT * {SALT}) % {M}')} AS z FROM core), "
+        f"z1 AS (SELECT doc_id, ti, {xoru('z', 'z // 1073741824')} AS z FROM z0), "
+        f"z2 AS (SELECT doc_id, ti, ((z % 4294967296) * {C1} "
+        f"  + (((z // 4294967296) * {C1}) % 4294967296) * 4294967296) % {M} AS z FROM z1), "
+        f"z3 AS (SELECT doc_id, ti, {xoru('z', 'z // 134217728')} AS z FROM z2), "
+        f"z4 AS (SELECT doc_id, ti, ((z % 4294967296) * {C2} "
+        f"  + (((z // 4294967296) * {C2}) % 4294967296) * 4294967296) % {M} AS z FROM z3), "
+        f"th AS (SELECT doc_id, ti, {xoru('z', 'z // 2147483648')} AS h FROM z4), "
+        f"bser AS (SELECT unnest(range(0, 64)) AS j), "
+        f"bits AS (SELECT t.doc_id, b.j, sum((t.h // (1::HUGEINT << b.j)) % 2) AS ones, "
+        f"  count(*) AS n FROM th t CROSS JOIN bser b GROUP BY t.doc_id, b.j), "
+        f"sigu AS (SELECT doc_id, sum(CASE WHEN 2 * ones > n "
+        f"  THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS u FROM bits GROUP BY doc_id), "
+        f"sig AS (SELECT d.doc_id, coalesce("
+        f"  (CASE WHEN s.u >= {H} THEN s.u - {M} ELSE s.u END)::BIGINT, 0) AS simhash "
+        f"  FROM docs0 d LEFT JOIN sigu s ON s.doc_id = d.doc_id), "
+        f"edges AS (SELECT a.doc_id AS da, b.doc_id AS db "
+        f"  FROM sig a JOIN sig b ON b.doc_id > a.doc_id "
+        f"  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3), "
+        f"bi AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges), "
+        f"reach(id, lbl) AS ("
+        f"  SELECT DISTINCT a, a FROM bi "
+        f"  UNION SELECT e.b, r.lbl FROM reach r JOIN bi e ON e.a = r.id WHERE r.lbl < e.b), "
+        f"lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) "
+        f"SELECT sig.doc_id, sig.simhash, coalesce(lab.lbl, sig.doc_id) AS \"group\" "
+        f"FROM sig LEFT JOIN lab ON lab.id = sig.doc_id"
+    )
+
+
+ORACLE_BUILDERS["simhash_sig"] = q_simhash_sig
