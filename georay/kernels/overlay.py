@@ -22,11 +22,20 @@ piece   list[ring] — one polygon (shell + holes), membership by the
 region  list[piece] — membership = inside ANY piece (self-union
         semantics, which is what makes unary_union and buffer free)
 
-Tolerances: coordinates are snapped to a 1e-9 grid of the input extent
-for node identification; classification probes sit 1e-7 of the extent
-off each fragment midpoint, so slivers thinner than that contribute
-O(1e-7 * perimeter) area error — far inside the reference's own buffer
-conformance tolerance (xor-area ratio 1.4e-3, jts-test-runner/src/lib.rs:63).
+Tolerances (r3 — hot-pixel snap rounding): after noding, every
+fragment endpoint is quantized to a snap grid of 1e-9 x the input
+extent and fragments are rerouted through any hot pixel (occupied
+grid point) they pass within half a pixel of (Hobby 1999 / JTS
+SnapRoundingNoder — see ``_snap_round``).  Classification probes sit
+a THIRD of a pixel off each fragment midpoint and are evaluated
+against the snapped per-piece fragment soup itself, so the geometry
+probed is bit-identical to the geometry stitched: legitimate thin
+features survive down to ~snap width, and adversarial sub-snap
+slivers collapse exactly instead of misclassifying.  Output
+coordinates are grid-quantized, so derived areas carry O(snap x
+perimeter) ~ 1e-8-relative quantization — far inside the reference's
+buffer conformance tolerance (xor-area ratio 1.4e-3,
+jts-test-runner/src/lib.rs:63); tests compare analytic areas at 1e-6.
 """
 
 from __future__ import annotations

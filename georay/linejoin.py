@@ -379,3 +379,88 @@ def clip_lines_to_tiles(lines, tile_deg: float = 8.0):
         )
 
     return lines.map_batches(batch, batch_format="pyarrow")
+
+
+def line_poly_join_shuffle(lines, polygons, predicate: str = "intersects", res: int = 4):
+    """Two-LARGE-layer plan (the polyjoin.poly_poly_intersects_shuffle
+    shape): neither side broadcasts — lines and polygons replicate to
+    every grid cell their bbox overlaps, meet in ``groupby(cell)``,
+    each co-located candidate pair runs the same exact decision as the
+    broadcast plan, and ``bucket_distinct`` dedups pairs found in
+    several shared cells.
+
+    Supports 'intersects' and 'crosses' (both are ANY-quantified, so a
+    hit in any shared cell is global truth).  'within' is
+    ALL-quantified over vertices and needs the broadcast plan (or a
+    per-pair cell-agreement aggregate) — rejected here."""
+    if predicate not in ("intersects", "crosses"):
+        raise ValueError("shuffle plan supports intersects/crosses only")
+    import pyarrow.compute as pc
+
+    from .shuffleops import bucket_distinct
+    from .sweep import _cells_for_bbox
+
+    def rep(side: str, schema_cols):
+        def f(t: pa.Table) -> pa.Table:
+            minx = t.column("minx").to_numpy(zero_copy_only=False)
+            miny = t.column("miny").to_numpy(zero_copy_only=False)
+            maxx = t.column("maxx").to_numpy(zero_copy_only=False)
+            maxy = t.column("maxy").to_numpy(zero_copy_only=False)
+            cells_arr, rows = _cells_for_bbox(minx, miny, maxx, maxy, res)
+            out = t.take(pa.array(rows, pa.int64()))
+            return out.append_column("cell", pa.array(cells_arr)).append_column(
+                "side", pa.array([side] * len(cells_arr), pa.string())
+            )
+
+        return f
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        am = side == "l"
+        lt = g.filter(pa.array(am))
+        pt = g.filter(pa.array(~am))
+        if len(lt) == 0 or len(pt) == 0:
+            return pa.table(
+                {"line_id": pa.array([], pa.string()),
+                 "polygon_id": pa.array([], pa.string())}
+            )
+        ll = LineLayer.from_arrow(lt.select(["line_id", "path", "minx", "miny", "maxx", "maxy"]))
+        pl = PolygonLayer.from_arrow(pt.select(["polygon_id", "rings", "minx", "miny", "maxx", "maxy"]))
+        il, ip = _candidates(ll, pl)
+        if predicate == "intersects":
+            any_in, _, any_cross = _pair_bits(ll, pl, il, ip, "not_inside")
+            hit = any_in | any_cross
+        else:
+            _, _, any_cross = _pair_bits(ll, pl, il, ip, "all")
+            hit = any_cross
+        return pa.table(
+            {"line_id": pa.array(list(ll.ids[il[hit]]), pa.string()),
+             "polygon_id": pa.array(list(pl.poly_ids[ip[hit]]), pa.string())}
+        )
+
+    coord_t = pa.struct([("x", pa.float64()), ("y", pa.float64())])
+    path_t = pa.list_(coord_t)
+    rings_t = pa.list_(pa.list_(coord_t))
+    order = ["line_id", "path", "polygon_id", "rings",
+             "minx", "miny", "maxx", "maxy", "cell", "side"]
+
+    def pad_cols(t: pa.Table, missing: dict) -> pa.Table:
+        for name, typ in missing.items():
+            t = t.append_column(name, pa.nulls(len(t), typ))
+        return t.select(order)
+
+    lrep = lines.map_batches(rep("l", None), batch_format="pyarrow").map_batches(
+        lambda t: pad_cols(t, {"polygon_id": pa.string(), "rings": rings_t}),
+        batch_format="pyarrow",
+    )
+    prep = polygons if hasattr(polygons, "map_batches") else None
+    if prep is None:
+        import ray.data as rd
+
+        prep = rd.from_arrow(polygons)
+    prep = prep.map_batches(rep("p", None), batch_format="pyarrow").map_batches(
+        lambda t: pad_cols(t, {"line_id": pa.string(), "path": path_t}),
+        batch_format="pyarrow",
+    )
+    pairs = lrep.union(prep).groupby("cell").map_groups(group_pairs, batch_format="pyarrow")
+    return bucket_distinct(pairs, ["line_id", "polygon_id"])

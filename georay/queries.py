@@ -2362,3 +2362,17 @@ def segment_vector_ops(sf_dir: str):
 from .geom import _ranges as _ranges_q  # noqa: E402
 
 QUERIES["segment_vector_ops"] = segment_vector_ops
+
+
+def line_poly_intersects_shuffle(sf_dir: str):
+    """Two-large-layer cell-co-shuffle variant of line_poly_intersects
+    (Plan B: neither side broadcasts) — same oracle, must match the
+    broadcast plan bit-for-bit."""
+    from . import linejoin
+
+    paths = datagen.ensure_tables(sf_dir)
+    polys = pq.read_table(paths["polygons"])
+    return linejoin.line_poly_join_shuffle(_lines_ds(sf_dir), polys, "intersects")
+
+
+QUERIES["line_poly_intersects_shuffle"] = line_poly_intersects_shuffle

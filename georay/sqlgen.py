@@ -1854,3 +1854,6 @@ def q_simhash_sig(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["simhash_sig"] = q_simhash_sig
+
+
+ORACLE_BUILDERS["line_poly_intersects_shuffle"] = q_line_poly_intersects
