@@ -308,3 +308,35 @@ def test_embed_lsh_corpus_recall(ray_session, tiny_sf):
     assert lp <= ep  # precision 1.0 (exact verify inside buckets)
     if ep:
         assert len(lp) / len(ep) >= 0.5  # conservative recall floor
+
+
+def test_connected_components_both_plans_agree(ray_session, monkeypatch):
+    """The size-adaptive cc must give identical labels from the
+    driver-side vectorized path and the distributed bucketed loop
+    (GEORAY_CC_LOCAL_MAX=0 forces the loop) — on ints and strings."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay.cc import connected_components
+
+    rs = np.random.RandomState(3)
+    a = rs.randint(0, 400, 900).astype(np.int64)
+    b = rs.randint(0, 400, 900).astype(np.int64)
+
+    def run(edges_tab):
+        local = connected_components(rd.from_arrow(edges_tab)).to_pandas()
+        monkeypatch.setenv("GEORAY_CC_LOCAL_MAX", "0")
+        dist = connected_components(rd.from_arrow(edges_tab)).to_pandas()
+        monkeypatch.delenv("GEORAY_CC_LOCAL_MAX")
+        l = local.sort_values("node").reset_index(drop=True)
+        d = dist.sort_values("node").reset_index(drop=True)
+        assert l.equals(d), (len(l), len(d))
+        return l
+
+    run(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    # string ids (fixed width -> lexicographic == numeric)
+    sa = pa.array([f"doc-{x:06d}" for x in a])
+    sb = pa.array([f"doc-{x:06d}" for x in b])
+    run(pa.table({"a": sa, "b": sb}))
