@@ -919,11 +919,22 @@ QUERIES["kmeans_radius"] = kmeans_radius
 
 def knn_all(sf_dir: str):
     """Exact self-kNN for EVERY image (cell+halo plan with certified
-    guarantee + fallback; rows-only — the sampled variant knn_sample is
-    the SQL-checked one)."""
+    guarantee + fallback).  Oracled (r3): the SQL side runs its own
+    certified 3x3-halo plan with exact sphere point-to-meridian /
+    point-to-parallel margins and brute-forces the uncertified sliver.
+    dist_m rounds to 0.1 m so the driver's 9-sig-digit float hash is
+    stable across engines."""
     from . import knn as gknn
 
-    return gknn.knn_full(_points(sf_dir), k=5)
+    def round_dist(t: pa.Table) -> pa.Table:
+        d = t.column("dist_m").to_numpy(zero_copy_only=False)
+        return t.set_column(
+            t.schema.get_field_index("dist_m"), "dist_m", pa.array(np.round(d, 1))
+        )
+
+    return gknn.knn_full(_points(sf_dir), k=5).map_batches(
+        round_dist, batch_format="pyarrow"
+    )
 
 
 QUERIES.update(
@@ -1508,9 +1519,8 @@ def buffer_point_area(sf_dir: str):
     th = 2 * np.pi / n * np.arange(n) + np.pi
 
     def f(b: pa.Table) -> pa.Table:
-        ids = b.column("image_id").to_pylist()
-        idx = np.asarray([int(i[4:]) % BUF_PT_SAMPLE_MOD == 0 for i in ids])
-        sub = b.filter(pa.array(idx))
+        idx = _image_index(b.column("image_id"))
+        sub = b.filter(pa.array(idx % BUF_PT_SAMPLE_MOD == 0))
         lon = sub.column("lon").to_numpy(zero_copy_only=False)
         lat = sub.column("lat").to_numpy(zero_copy_only=False)
         r = 0.05 + (lat + 90.0) * 0.001
@@ -1698,9 +1708,8 @@ def rhumb_dest_pts(sf_dir: str):
     from .kernels import measures as M
 
     def f(b: pa.Table) -> pa.Table:
-        ids = b.column("image_id").to_pylist()
-        idx = np.asarray([int(i[4:]) % RHUMB_DEST_MOD == 0 for i in ids])
-        sub = b.filter(pa.array(idx))
+        idx = _image_index(b.column("image_id"))
+        sub = b.filter(pa.array(idx % RHUMB_DEST_MOD == 0))
         lon = sub.column("lon").to_numpy(zero_copy_only=False)
         lat = sub.column("lat").to_numpy(zero_copy_only=False)
         brg = (lat + 90.0) * 2.0 % 360.0
@@ -1841,9 +1850,8 @@ def hav_closest_line(sf_dir: str):
     ly = np.asarray([p[1] for p in HCP_LINE])
 
     def f(b: pa.Table) -> pa.Table:
-        ids = b.column("image_id").to_pylist()
-        idx = np.asarray([int(i[4:]) % RHUMB_DEST_MOD == 0 for i in ids])
-        sub = b.filter(pa.array(idx))
+        idx = _image_index(b.column("image_id"))
+        sub = b.filter(pa.array(idx % RHUMB_DEST_MOD == 0))
         lon = sub.column("lon").to_numpy(zero_copy_only=False)
         lat = sub.column("lat").to_numpy(zero_copy_only=False)
         cx, cy, d = M.haversine_closest_point(lon, lat, lx, ly)
@@ -1869,7 +1877,7 @@ def concave_hull_stats(sf_dir: str):
         _points(sf_dir)
         .map_batches(
             lambda t: t.filter(
-                pa.array(np.asarray([int(i[4:]) % 40 == 0 for i in t.column("image_id").to_pylist()]))
+                pa.array(_image_index(t.column("image_id")) % 40 == 0)
             ).select(["lon", "lat"]),
             batch_format="pyarrow",
         )

@@ -1857,3 +1857,56 @@ ORACLE_BUILDERS["simhash_sig"] = q_simhash_sig
 
 
 ORACLE_BUILDERS["line_poly_intersects_shuffle"] = q_line_poly_intersects
+
+
+def q_knn_all(sf_dir: str) -> str:
+    """Exact self-5NN in SQL (r3): 4-degree 3x3-halo candidates with a
+    certified margin — exact sphere distances to the halo's bounding
+    parallels (R * dphi) and meridians (R * asin(cos(phi) * sin(dlam)),
+    conservative: nearest point of the FULL meridian circle) — halo
+    cells touching a pole or the antimeridian are never certified;
+    the uncertified sliver brute-forces against the whole table.
+    Ties by (dist, neighbor_id) like ball_tree.rs."""
+    k = KNN_K
+    c = 4.0
+    hav = _hav_expr
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"g AS (SELECT image_id, lon, lat, "
+        f"  CAST(floor(lon / {c!r}) AS BIGINT) AS cx, "
+        f"  CAST(floor(lat / {c!r}) AS BIGINT) AS cy FROM pts), "
+        f"cand AS (SELECT a.image_id AS pid, b.image_id AS nid, "
+        f"  {hav('a.lon', 'a.lat', 'b.lon', 'b.lat')} AS d, "
+        f"  a.lon AS alon, a.lat AS alat, a.cx AS acx, a.cy AS acy "
+        f"  FROM g a JOIN g b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 "
+        f"    AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 AND b.image_id <> a.image_id), "
+        f"rk AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY d, nid) AS rn, "
+        f"  count(*) OVER (PARTITION BY pid) AS cnt FROM cand), "
+        f"top AS (SELECT * FROM rk WHERE rn <= {k}), "
+        f"cert0 AS (SELECT pid, max(d) AS dk, any_value(alon) AS alon, "
+        f"  any_value(alat) AS alat, any_value(acx) AS acx, any_value(acy) AS acy, "
+        f"  any_value(cnt) AS cnt FROM top GROUP BY pid), "
+        f"certified AS (SELECT pid FROM cert0 WHERE cnt >= {k} "
+        f"  AND (acy + 2) * {c!r} <= 90.0 AND (acy - 1) * {c!r} >= -90.0 "
+        f"  AND (acx + 2) * {c!r} <= 180.0 AND (acx - 1) * {c!r} >= -180.0 "
+        f"  AND dk <= least("
+        f"    {R!r} * radians(alat - (acy - 1) * {c!r}), "
+        f"    {R!r} * radians((acy + 2) * {c!r} - alat), "
+        f"    {R!r} * asin(cos(radians(alat)) * sin(radians(alon - (acx - 1) * {c!r}))), "
+        f"    {R!r} * asin(cos(radians(alat)) * sin(radians((acx + 2) * {c!r} - alon))))), "
+        f"knn_c AS (SELECT pid, nid, d, rn FROM top "
+        f"  WHERE pid IN (SELECT pid FROM certified)), "
+        f"rest AS (SELECT image_id, lon, lat FROM g "
+        f"  WHERE image_id NOT IN (SELECT pid FROM certified)), "
+        f"bf AS (SELECT a.image_id AS pid, b.image_id AS nid, "
+        f"  {hav('a.lon', 'a.lat', 'b.lon', 'b.lat')} AS d, "
+        f"  row_number() OVER (PARTITION BY a.image_id "
+        f"    ORDER BY {hav('a.lon', 'a.lat', 'b.lon', 'b.lat')}, b.image_id) AS rn "
+        f"  FROM rest a JOIN pts b ON b.image_id <> a.image_id) "
+        f"SELECT pid AS image_id, nid AS neighbor_id, rn AS rank, round(d, 1) AS dist_m "
+        f"FROM (SELECT pid, nid, d, rn FROM bf WHERE rn <= {k} "
+        f"      UNION ALL SELECT pid, nid, d, rn FROM knn_c)"
+    )
+
+
+ORACLE_BUILDERS["knn_all"] = q_knn_all
