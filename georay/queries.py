@@ -1208,7 +1208,11 @@ def tile_clip_areas(sf_dir: str):
                 c = kclip.clip_ring_to_rect(ring, *rect)
                 if len(c):
                     a = abs(_sarea([c]))
-                    if a > 0:
+                    # noise-safe emit cutoff (r3): the SQL oracle
+                    # computes the same area as a per-edge clamped
+                    # Green's integral, equal up to ~1e-15 fp noise —
+                    # '> 0' would flip on exact-boundary degenerates
+                    if a > 1e-12:
                         pid.append(str(layer.poly_ids[p]))
                         tid.append(int(t))
                         areas.append(round(a, 6))

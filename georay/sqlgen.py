@@ -1910,3 +1910,61 @@ def q_knn_all(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["knn_all"] = q_knn_all
+
+
+def q_tile_clip_areas(sf_dir: str) -> str:
+    """Polygon x tile clipped AREA via a per-edge clamped Green's
+    integral (r3): clamping the curve to the tile's x-slab preserves
+    winding for interior points (the straight-line homotopy never
+    crosses them), so
+
+        area(P ∩ box) = | Σ_edges ∫ (clamp(y, Y0, Y1) - Y0) d(clamp(x, X0, X1)) |
+
+    with the per-edge integral in closed form through the relu
+    antiderivative H(u) = Y0*u + relu(u-Y0)^2/2 - relu(u-Y1)^2/2 — no
+    Sutherland-Hodgman vertex list needed.  Equal to the engine's
+    S-H + shoelace up to fp noise; both sides drop |area| <= 1e-12."""
+    segs = datagen.segments_path(sf_dir)
+    polys = datagen.polygons_path(sf_dir)
+    n = 1 << TILE_RES
+    w = 360.0 / n
+    h = 180.0 / n
+    # closed-form per-piece integral pieces (SQL fragments)
+    H = (
+        lambda u: f"(y0t * ({u}) + pow(greatest(({u}) - y0t, 0.0), 2) / 2.0 "
+        f"- pow(greatest(({u}) - y1t, 0.0), 2) / 2.0)"
+    )
+    return (
+        f"WITH s AS (SELECT polygon_id, x1 AS xa, y1 AS ya, x2 AS xb, y2 AS yb "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"pb AS (SELECT polygon_id, minx, miny, maxx, maxy FROM read_parquet('{polys}')), "
+        f"g AS (SELECT unnest(range(0, {n})) AS i), "
+        f"pt AS (SELECT pb.polygon_id, gx.i AS ix, gy.i AS iy FROM pb "
+        f"  JOIN g gx ON gx.i BETWEEN "
+        f"    greatest(0, least({n - 1}, CAST(floor((pb.minx + 180.0) / 360.0 * {n}) AS BIGINT))) AND "
+        f"    greatest(0, least({n - 1}, CAST(floor((pb.maxx + 180.0) / 360.0 * {n}) AS BIGINT))) "
+        f"  JOIN g gy ON gy.i BETWEEN "
+        f"    greatest(0, least({n - 1}, CAST(floor((pb.miny + 90.0) / 180.0 * {n}) AS BIGINT))) AND "
+        f"    greatest(0, least({n - 1}, CAST(floor((pb.maxy + 90.0) / 180.0 * {n}) AS BIGINT)))), "
+        f"et AS (SELECT s.*, pt.ix, pt.iy, "
+        f"  pt.ix * {w!r} - 180.0 AS x0t, pt.ix * {w!r} - 180.0 + {w!r} AS x1t, "
+        f"  pt.iy * {h!r} - 90.0 AS y0t, pt.iy * {h!r} - 90.0 + {h!r} AS y1t "
+        f"  FROM s JOIN pt ON pt.polygon_id = s.polygon_id), "
+        f"c1 AS (SELECT *, xb - xa AS dx, yb - ya AS dy FROM et WHERE xb <> xa), "
+        f"c2 AS (SELECT *, "
+        f"  greatest(least((x0t - xa) / dx, (x1t - xa) / dx), 0.0) AS tlo, "
+        f"  least(greatest((x0t - xa) / dx, (x1t - xa) / dx), 1.0) AS thi "
+        f"  FROM c1), "
+        f"c3 AS (SELECT *, ya + tlo * dy AS ylo_v, ya + thi * dy AS yhi_v "
+        f"  FROM c2 WHERE thi > tlo), "
+        f"c4 AS (SELECT polygon_id, iy * {n} + ix AS tile_id, "
+        f"  dx * (CASE WHEN dy = 0 "
+        f"    THEN (least(greatest(ya, y0t), y1t) - y0t) * (thi - tlo) "
+        f"    ELSE ({H('yhi_v')} - {H('ylo_v')}) / dy - y0t * (thi - tlo) END) AS contrib "
+        f"  FROM c3) "
+        f"SELECT polygon_id, tile_id, round(abs(sum(contrib)), 6) AS clip_area "
+        f"FROM c4 GROUP BY polygon_id, tile_id HAVING abs(sum(contrib)) > 1e-12"
+    )
+
+
+ORACLE_BUILDERS["tile_clip_areas"] = q_tile_clip_areas
