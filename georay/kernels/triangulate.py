@@ -63,19 +63,106 @@ def _ccw(ax, ay, bx, by, cx, cy) -> float:
     return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
 
 
+# symbolic super-vertex directions (points at infinity; any three
+# pairwise-independent directions in CCW order work)
+_SUPD = ((-20.0, -1.0), (20.0, -1.0), (0.0, 20.0))
+
+
+def _orient_exact(ax, ay, bx, by, cx, cy) -> float:
+    """Robust scalar orient2d: float filter + rational fallback."""
+    l = (bx - ax) * (cy - ay)
+    r = (by - ay) * (cx - ax)
+    det = l - r
+    if abs(det) > 3.331e-16 * (abs(l) + abs(r)):
+        return det
+    fa = [Fraction(v) for v in (ax, ay, bx, by, cx, cy)]
+    d = (fa[2] - fa[0]) * (fa[5] - fa[1]) - (fa[3] - fa[1]) * (fa[4] - fa[0])
+    return 0.0 if d == 0 else (1.0 if d > 0 else -1.0)
+
+
+def _rot_sup_last(t: tuple, n: int) -> tuple:
+    """Cyclically rotate a triangle so super vertices sit at the end
+    (cyclic rotation preserves orientation and in-circle signs)."""
+    for _ in range(3):
+        sup0 = t[0] >= n
+        sup2 = t[2] >= n
+        ns = sum(x >= n for x in t)
+        if (ns == 1 and sup2) or (ns == 2 and not sup0) or ns in (0, 3):
+            return t
+        t = (t[1], t[2], t[0])
+    return t
+
+
+def _sym_ccw(t: tuple, allp: np.ndarray, n: int) -> float:
+    """Orientation of a triangle whose super vertices are AT INFINITY
+    in the _SUPD directions (limit of the finite test as R -> inf)."""
+    t = _rot_sup_last(t, n)
+    ns = sum(x >= n for x in t)
+    if ns == 0:
+        a, b, c = t
+        return _orient_exact(*allp[a], *allp[b], *allp[c])
+    if ns == 1:
+        a, b, s = t
+        dsx, dsy = _SUPD[s - n]
+        return (allp[b, 0] - allp[a, 0]) * dsy - (allp[b, 1] - allp[a, 1]) * dsx
+    if ns == 2:
+        _, si, sj = t
+        dix, diy = _SUPD[si - n]
+        djx, djy = _SUPD[sj - n]
+        return dix * djy - diy * djx
+    d0, d1, d2 = _SUPD
+    return (d1[0] - d0[0]) * (d2[1] - d0[1]) - (d1[1] - d0[1]) * (d2[0] - d0[0])
+
+
+def _sym_incircle(t: tuple, px: float, py: float, allp: np.ndarray, n: int) -> float:
+    """In-circumcircle test of finite point p against a CCW triangle
+    with 0-3 super vertices at infinity.  Limits of the incircle
+    determinant as the super radius R -> inf:
+
+    * one super (a, b, s): the circle degenerates to the half-plane
+      left of a->b  ->  orient(a, b, p) > 0.
+    * two supers (a, s_i, s_j): leading R^3 term of the determinant ->
+      (ax-px)(d_iy L_j - d_jy L_i) - (ay-py)(d_ix L_j - d_jx L_i)
+      with L = |d|^2.
+    * three supers: every finite point is inside.
+    """
+    t = _rot_sup_last(t, n)
+    ns = sum(x >= n for x in t)
+    if ns == 0:
+        a, b, c = t
+        return _incircle(*allp[a], *allp[b], *allp[c], px, py)
+    if ns == 1:
+        a, b, _ = t
+        return _orient_exact(*allp[a], *allp[b], px, py)
+    if ns == 2:
+        a, si, sj = t
+        dix, diy = _SUPD[si - n]
+        djx, djy = _SUPD[sj - n]
+        li = dix * dix + diy * diy
+        lj = djx * djx + djy * djy
+        ax, ay = allp[a]
+        return (ax - px) * (diy * lj - djy * li) - (ay - py) * (dix * lj - djx * li)
+    return 1.0
+
+
 def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
     """Bowyer-Watson Delaunay triangulation; returns index triples into
-    `points` (super-triangle triangles dropped)."""
+    `points`.
+
+    Super-triangle vertices are SYMBOLIC points at infinity (r3): the
+    orientation / in-circle predicates use the exact R -> inf limit
+    forms instead of far-but-finite coordinates, so no finite
+    circumcircle can ever "contain" a super vertex — the construction
+    that previously dropped sliver hull triangles (near-collinear hull
+    chains have circumradii larger than any finite super triangle,
+    which poisoned them into the discarded super-adjacent set and
+    violated hull coverage)."""
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     if n < 3:
         return []
     order = np.lexsort((pts[:, 1], pts[:, 0]))
-    # super-triangle far outside the data
-    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
-    m = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 100.0
-    sup = np.asarray([(cx - 20 * m, cy - m), (cx + 20 * m, cy - m), (cx, cy + 20 * m)])
-    allp = np.vstack([pts, sup])
+    allp = pts
     S0, S1, S2 = n, n + 1, n + 2
     tris: list[tuple[int, int, int]] = [(S0, S1, S2)]
     for pi in order:
@@ -84,9 +171,9 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
         for t in tris:
             a, b, c = t
             # ensure CCW for the in-circle orientation convention
-            if _ccw(*allp[a], *allp[b], *allp[c]) < 0:
+            if _sym_ccw((a, b, c), allp, n) < 0:
                 a, b = b, a
-            if _incircle(*allp[a], *allp[b], *allp[c], px, py) > 0:
+            if _sym_incircle((a, b, c), px, py, allp, n) > 0:
                 bad.append(t)
             else:
                 good.append(t)
@@ -99,8 +186,8 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
         boundary = [e for e, cnt in edge_count.items() if cnt == 1]
         tris = good
         for a, b in boundary:
-            # orient new triangle CCW
-            if _ccw(*allp[a], *allp[b], px, py) < 0:
+            # orient new triangle CCW (p is finite; a/b may be super)
+            if _sym_ccw((a, b, int(pi)), allp, n) < 0:
                 a, b = b, a
             tris.append((a, b, int(pi)))
     return [t for t in tris if max(t) < n]

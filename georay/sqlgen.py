@@ -1968,3 +1968,49 @@ def q_tile_clip_areas(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["tile_clip_areas"] = q_tile_clip_areas
+
+
+def q_delaunay_stats(sf_dir: str) -> str:
+    """Delaunay stats without triangulating (r3): for a point set in
+    general position every Delaunay triangulation has exactly
+    2n - 2 - h triangles (Euler's formula, h = strict hull vertices)
+    and covers the convex hull, so tri_area == hull area.  Hull edges
+    via the same strictly-left characterization as q_poly_hull, over
+    the DISTINCT exterior vertices (the engine uniques them too)."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH v AS (SELECT DISTINCT polygon_id, x1 AS x, y1 AS y "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"vn AS (SELECT polygon_id, row_number() OVER (PARTITION BY polygon_id "
+        f"  ORDER BY x, y) AS i, x, y FROM v), "
+        f"nv AS (SELECT polygon_id, count(*) AS n FROM vn GROUP BY polygon_id), "
+        f"e AS (SELECT u.polygon_id, u.i AS ui, w.i AS wi, "
+        f"  u.x AS ux, u.y AS uy, w.x AS wx, w.y AS wy "
+        f"  FROM vn u JOIN vn w ON w.polygon_id = u.polygon_id AND w.i <> u.i), "
+        f"hull_e AS (SELECT e.* FROM e WHERE NOT EXISTS ("
+        f"  SELECT 1 FROM vn p WHERE p.polygon_id = e.polygon_id "
+        f"    AND p.i <> e.ui AND p.i <> e.wi "
+        f"    AND NOT ((e.wx - e.ux) * (p.y - e.uy) - (e.wy - e.uy) * (p.x - e.ux) > 0 "
+        f"      OR ((e.wx - e.ux) * (p.y - e.uy) - (e.wy - e.uy) * (p.x - e.ux) = 0 "
+        f"        AND (p.x - e.ux) * (e.wx - e.ux) + (p.y - e.uy) * (e.wy - e.uy) > 0 "
+        f"        AND (p.x - e.wx) * (e.ux - e.wx) + (p.y - e.wy) * (e.uy - e.wy) > 0)))), "
+        f"h AS (SELECT polygon_id, count(*) AS h, "
+        f"  abs(sum(ux * wy - wx * uy) / 2.0) AS harea FROM hull_e GROUP BY polygon_id), "
+        # Euler counts every point on the hull BOUNDARY, including
+        # collinear mid-edge points the strict hull excludes
+        f"onedge AS (SELECT DISTINCT e.polygon_id, p.i FROM hull_e e "
+        f"  JOIN vn p ON p.polygon_id = e.polygon_id "
+        f"    AND p.i <> e.ui AND p.i <> e.wi "
+        f"    AND (e.wx - e.ux) * (p.y - e.uy) - (e.wy - e.uy) * (p.x - e.ux) = 0 "
+        f"    AND (p.x - e.ux) * (e.wx - e.ux) + (p.y - e.uy) * (e.wy - e.uy) > 0 "
+        f"    AND (p.x - e.wx) * (e.ux - e.wx) + (p.y - e.wy) * (e.uy - e.wy) > 0), "
+        f"oe AS (SELECT polygon_id, count(*) AS extra FROM onedge GROUP BY polygon_id) "
+        f"SELECT nv.polygon_id, "
+        f"(2 * nv.n - 2 - h.h - coalesce(oe.extra, 0))::BIGINT AS n_tri, "
+        f"round(h.harea, 6) AS tri_area "
+        f"FROM nv JOIN h ON h.polygon_id = nv.polygon_id "
+        f"LEFT JOIN oe ON oe.polygon_id = nv.polygon_id"
+    )
+
+
+ORACLE_BUILDERS["delaunay_stats"] = q_delaunay_stats
