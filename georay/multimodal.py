@@ -34,22 +34,28 @@ class DecodeStats:
 
     @staticmethod
     def _ahash(px: np.ndarray) -> int:
-        gray = px.astype(np.float64).mean(axis=2)
+        """8x8 mean-threshold aHash, INTEGER-exact (r3): bit(i,j) =
+        cell_mean > overall_mean evaluated as the cross-multiplied
+        integer comparison cell_sum * n_total > total_sum * n_cell —
+        no float summation order anywhere, so the SQL oracle computes
+        the identical bit pattern (floats would tie-break by ulp noise
+        on the dyadic-rational cell means these synthetic images
+        produce)."""
+        gray = px.astype(np.int64).sum(axis=2)  # 3x the gray value: scale-free
         h, w = gray.shape
-        # box-downsample to 8x8 via index binning (works for any size)
-        ys = (np.arange(8)[:, None] * h) // 8
-        ye = ((np.arange(8)[:, None] + 1) * h) // 8
-        xs = (np.arange(8)[None, :] * w) // 8
-        xe = ((np.arange(8)[None, :] + 1) * w) // 8
-        cells = np.empty((8, 8))
+        ys = (np.arange(8) * h) // 8
+        ye = ((np.arange(8) + 1) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        xe = ((np.arange(8) + 1) * w) // 8
+        total = int(gray.sum())
+        n_total = h * w
+        out = np.uint64(0)
         for i in range(8):
             for j in range(8):
-                cells[i, j] = gray[ys[i, 0] : ye[i, 0], xs[0, j] : xe[0, j]].mean()
-        bits = (cells > cells.mean()).ravel()
-        out = np.uint64(0)
-        for i, b in enumerate(bits):
-            if b:
-                out |= np.uint64(1) << np.uint64(i)
+                s = int(gray[ys[i] : ye[i], xs[j] : xe[j]].sum())
+                n_cell = (ye[i] - ys[i]) * (xe[j] - xs[j])
+                if s * n_total > total * n_cell:
+                    out |= np.uint64(1) << np.uint64(i * 8 + j)
         return int(out.astype(np.int64).view(np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -62,12 +68,16 @@ class DecodeStats:
             px = self.decode(blob, fmt)
             means[i] = px.reshape(-1, 3).mean(axis=0)
             hashes[i] = self._ahash(px)
+        # half-away-from-zero 4dp rounding (not banker's): channel means
+        # are dyadic rationals that land EXACTLY on .00005 midpoints, and
+        # SQL round() is half-away — banker's np.round would flip them
+        means = np.floor(means * 1e4 + 0.5) / 1e4
         return pa.table(
             {
                 "image_id": ids,
-                "mean_r": pa.array(np.round(means[:, 0], 4)),
-                "mean_g": pa.array(np.round(means[:, 1], 4)),
-                "mean_b": pa.array(np.round(means[:, 2], 4)),
+                "mean_r": pa.array(means[:, 0]),
+                "mean_g": pa.array(means[:, 1]),
+                "mean_b": pa.array(means[:, 2]),
                 "ahash": pa.array(hashes),
             }
         )

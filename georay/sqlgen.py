@@ -2014,3 +2014,66 @@ def q_delaunay_stats(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["delaunay_stats"] = q_delaunay_stats
+
+
+def q_image_stats(sf_dir: str) -> str:
+    """Image channel means + aHash WITHOUT decoding (r3): the pixel
+    bytes are counter-mode splitmix64 of the image index
+    (datagen._pixels_for), and both PNG and the fake-JPEG container
+    round-trip losslessly, so the oracle regenerates every byte with
+    the same bit-exact sql_splitmix64 emitter the geolocation oracle
+    uses and recomputes the stats directly — a genuinely independent
+    check of the whole encode -> store -> decode -> stats path."""
+    import numpy as np
+
+    from . import rng as _rng
+    from .datagen import TAG_PIXEL
+
+    base = int(_rng.splitmix64(np.uint64(TAG_PIXEL)))
+    images = datagen.images_path(sf_dir)
+    M = 18446744073709551616
+    u = f"(({base} + i * 4096 + k.k) % {M})"
+    word = _rng.sql_splitmix64(u)
+    return (
+        f"WITH im AS (SELECT image_id, CAST(substr(image_id, 5) AS BIGINT) AS i "
+        f"  FROM read_parquet('{images}')), "
+        f"d AS (SELECT *, "
+        f"  CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS w, "
+        f"  CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS h "
+        f"  FROM im), "
+        f"ks AS (SELECT unnest(range(0, 384)) AS k), "
+        f"wd AS (SELECT d.image_id, d.i % 2 AS lossy, d.w, d.h, k.k, {word} AS word "
+        f"  FROM d JOIN ks k ON k.k < (d.w * d.h * 3) // 8), "
+        # odd rows use the GRJF fake-JPEG container, whose step-4
+        # midpoint quantization ((v & 0xFC) | 0x02) survives decode
+        f"bt AS (SELECT image_id, w, h, k * 8 + o.b AS m, "
+        f"  (CASE WHEN lossy = 1 "
+        f"   THEN (((word // (1::HUGEINT << (8 * o.b))) % 256) // 4) * 4 + 2 "
+        f"   ELSE (word // (1::HUGEINT << (8 * o.b))) % 256 END)::DOUBLE AS v "
+        f"  FROM wd, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS o(b)), "
+        f"ch AS (SELECT image_id, m % 3 AS c, avg(v) AS mv FROM bt GROUP BY image_id, m % 3), "
+        # integer-exact aHash (matches multimodal.DecodeStats._ahash):
+        # cell bit = cell_sum * n_total > total_sum * n_cell, all exact
+        # integer sums — no float summation order on either side
+        f"cell AS (SELECT image_id, max(w) AS w, max(h) AS h, "
+        f"  (((m // 3) // w) * 8) // h AS cy, (((m // 3) % w) * 8) // w AS cx, "
+        f"  sum(v)::BIGINT AS s "
+        f"  FROM bt GROUP BY image_id, (((m // 3) // w) * 8) // h, (((m // 3) % w) * 8) // w), "
+        f"tot AS (SELECT image_id, sum(s) AS st FROM cell GROUP BY image_id), "
+        f"ah AS (SELECT c.image_id, "
+        f"  sum(CASE WHEN c.s * (c.w * c.h) > tot.st * ((c.w * c.h) // 64) "
+        f"      THEN (1::HUGEINT << (c.cy * 8 + c.cx)) ELSE 0::HUGEINT END) AS u "
+        f"  FROM cell c JOIN tot ON tot.image_id = c.image_id GROUP BY c.image_id) "
+        f"SELECT im.image_id, "
+        f"round(max(CASE WHEN ch.c = 0 THEN ch.mv END), 4) AS mean_r, "
+        f"round(max(CASE WHEN ch.c = 1 THEN ch.mv END), 4) AS mean_g, "
+        f"round(max(CASE WHEN ch.c = 2 THEN ch.mv END), 4) AS mean_b, "
+        f"max((CASE WHEN ah.u >= 9223372036854775808::HUGEINT "
+        f"  THEN ah.u - {M} ELSE ah.u END)::BIGINT) AS ahash "
+        f"FROM im JOIN ch ON ch.image_id = im.image_id "
+        f"JOIN ah ON ah.image_id = im.image_id "
+        f"GROUP BY im.image_id"
+    )
+
+
+ORACLE_BUILDERS["image_stats"] = q_image_stats

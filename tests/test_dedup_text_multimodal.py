@@ -261,7 +261,9 @@ def test_decode_stats_and_resize(ray_session, tiny_sf):
     # cross-check one row against regenerated pixels
     row = stats[stats["image_id"] == "img-000000000000"].iloc[0]
     px = datagen._pixels_for(0, 16, 24)
-    assert row["mean_r"] == round(float(px[:, :, 0].mean()), 4)
+    import math
+
+    assert row["mean_r"] == math.floor(float(px[:, :, 0].mean()) * 1e4 + 0.5) / 1e4
     # resize halves dimensions and emits valid PNGs
     out = multimodal.resize(images, factor=2, concurrency=(1, 2)).to_pandas()
     r0 = out[out["image_id"] == "img-000000000000"].iloc[0]
