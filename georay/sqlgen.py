@@ -2051,14 +2051,22 @@ def q_image_stats(sf_dir: str) -> str:
         f"   THEN (((word // (1::HUGEINT << (8 * o.b))) % 256) // 4) * 4 + 2 "
         f"   ELSE (word // (1::HUGEINT << (8 * o.b))) % 256 END)::DOUBLE AS v "
         f"  FROM wd, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS o(b)), "
-        f"ch AS (SELECT image_id, m % 3 AS c, avg(v) AS mv FROM bt GROUP BY image_id, m % 3), "
+        # ONE pass over the exploded bytes: partial integer sums per
+        # (image, cell, channel); channel means and the aHash cell sums
+        # are tiny rollups of it (the byte table is ~33M rows at sf0.01
+        # — aggregating it twice doubled oracle latency)
+        f"g1 AS (SELECT image_id, max(w) AS w, max(h) AS h, "
+        f"  (((m // 3) // w) * 8) // h AS cy, (((m // 3) % w) * 8) // w AS cx, "
+        f"  m % 3 AS c, sum(v)::BIGINT AS s, count(*) AS n "
+        f"  FROM bt GROUP BY image_id, (((m // 3) // w) * 8) // h, "
+        f"  (((m // 3) % w) * 8) // w, m % 3), "
+        f"ch AS (SELECT image_id, c, sum(s)::DOUBLE / sum(n) AS mv "
+        f"  FROM g1 GROUP BY image_id, c), "
         # integer-exact aHash (matches multimodal.DecodeStats._ahash):
         # cell bit = cell_sum * n_total > total_sum * n_cell, all exact
         # integer sums — no float summation order on either side
-        f"cell AS (SELECT image_id, max(w) AS w, max(h) AS h, "
-        f"  (((m // 3) // w) * 8) // h AS cy, (((m // 3) % w) * 8) // w AS cx, "
-        f"  sum(v)::BIGINT AS s "
-        f"  FROM bt GROUP BY image_id, (((m // 3) // w) * 8) // h, (((m // 3) % w) * 8) // w), "
+        f"cell AS (SELECT image_id, max(w) AS w, max(h) AS h, cy, cx, "
+        f"  sum(s)::BIGINT AS s FROM g1 GROUP BY image_id, cy, cx), "
         f"tot AS (SELECT image_id, sum(s) AS st FROM cell GROUP BY image_id), "
         f"ah AS (SELECT c.image_id, "
         f"  sum(CASE WHEN c.s * (c.w * c.h) > tot.st * ((c.w * c.h) // 64) "
