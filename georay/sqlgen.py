@@ -2085,3 +2085,55 @@ def q_image_stats(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["image_stats"] = q_image_stats
+
+
+def q_voronoi_sample(sf_dir: str) -> str:
+    """Voronoi cells in SQL (r3) by direct half-plane intersection:
+    cell(p) = envelope ∩_q {2(q-p)·x <= |q|²-|p|²}.  Candidate
+    vertices are pairwise boundary-line intersections kept iff they
+    satisfy every other constraint (eps 1e-7 — sites are in general
+    position); the convex cell's area comes from an angle-sorted
+    shoelace around the site.  Vertex count == active-constraint count
+    == the engine's Sutherland-Hodgman ring length (rings verified
+    duplicate/collinear-free)."""
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"sites AS (SELECT image_id, lon, lat FROM pts "
+        f"  WHERE CAST(substr(image_id, 5) AS BIGINT) % 400 = 0), "
+        f"cons AS ("
+        f"  SELECT i.image_id AS sid, 'b' || j.image_id AS cid, "
+        f"    2.0 * (j.lon - i.lon) AS a, 2.0 * (j.lat - i.lat) AS b, "
+        f"    j.lon * j.lon + j.lat * j.lat - i.lon * i.lon - i.lat * i.lat AS c "
+        f"  FROM sites i JOIN sites j ON j.image_id <> i.image_id "
+        f"  UNION ALL SELECT image_id, e.cid, e.a, e.b, e.c FROM sites, "
+        f"    (VALUES ('e0', -1.0, 0.0, 180.0), ('e1', 1.0, 0.0, 180.0), "
+        f"            ('e2', 0.0, -1.0, 90.0), ('e3', 0.0, 1.0, 90.0)) AS e(cid, a, b, c)), "
+        f"verts AS (SELECT c1.sid, "
+        f"  (c1.c * c2.b - c2.c * c1.b) / (c1.a * c2.b - c2.a * c1.b) AS x, "
+        f"  (c1.a * c2.c - c2.a * c1.c) / (c1.a * c2.b - c2.a * c1.b) AS y "
+        f"  FROM cons c1 JOIN cons c2 ON c2.sid = c1.sid AND c2.cid > c1.cid "
+        f"  WHERE c1.a * c2.b - c2.a * c1.b <> 0), "
+        f"feas AS (SELECT v.sid, v.x, v.y FROM verts v WHERE NOT EXISTS ("
+        f"  SELECT 1 FROM cons k WHERE k.sid = v.sid "
+        f"    AND k.a * v.x + k.b * v.y > k.c + 1e-7)), "
+        f"ring AS (SELECT f.sid, f.x, f.y, "
+        f"  row_number() OVER (PARTITION BY f.sid "
+        f"    ORDER BY atan2(f.y - s.lat, f.x - s.lon)) AS rn, "
+        f"  count(*) OVER (PARTITION BY f.sid) AS nv "
+        f"  FROM (SELECT DISTINCT sid, x, y FROM feas) f "
+        f"  JOIN sites s ON s.image_id = f.sid), "
+        f"shoe AS (SELECT sid, max(nv) AS nv, sum(x * ny - nx * y) / 2.0 AS sa FROM ("
+        f"  SELECT sid, x, y, nv, "
+        f"    coalesce(lead(x) OVER w, first_value(x) OVER w2) AS nx, "
+        f"    coalesce(lead(y) OVER w, first_value(y) OVER w2) AS ny "
+        f"  FROM ring WINDOW w AS (PARTITION BY sid ORDER BY rn), "
+        f"  w2 AS (PARTITION BY sid ORDER BY rn "
+        f"    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) "
+        f"  GROUP BY sid) "
+        f"SELECT s.image_id, round(abs(coalesce(shoe.sa, 0.0)), 6) AS cell_area, "
+        f"coalesce(shoe.nv, 0)::BIGINT AS cell_n_vertices "
+        f"FROM sites s LEFT JOIN shoe ON shoe.sid = s.image_id"
+    )
+
+
+ORACLE_BUILDERS["voronoi_sample"] = q_voronoi_sample
