@@ -151,10 +151,17 @@ class _Ellipsoid:
             nxt = aa - step
             outside = ~((lo[act] < nxt) & (nxt < hi[act]))
             nxt = np.where(outside, 0.5 * (lo[act] + hi[act]), nxt)
+            # a stalled Newton step (flat dlambda/dalpha — e.g. near
+            # equal-latitude edges) must NOT exit with a loose root:
+            # force a bisection midpoint instead and only stop once the
+            # bracket itself collapses (r3 — a stall-exit left |h| up
+            # to ~3e-13 and shifted area integrals by ~1e-6 relative)
             stall = np.abs(nxt - aa) < 1e-15
+            nxt = np.where(stall, 0.5 * (lo[act] + hi[act]), nxt)
+            narrow = (hi[act] - lo[act]) < 1e-15
             upd = ~done
             a1[act[upd]] = nxt[upd]
-            act = act[~(done | stall)]
+            act = act[~(done | narrow)]
         return a1
 
     # -- full inverse: distance + forward azimuths at both endpoints -------
@@ -410,7 +417,18 @@ class _AreaEllipsoid(_Ellipsoid):
         phi = np.arctan2(sbeta, (1 - f) * cbeta)
         omega_p = sa0[:, None] / (cs * cs + (sa0 * sa0)[:, None] * ss * ss)
         i3 = (2 - f) / (1 + (1 - f) * np.sqrt(1 + k2[:, None] * ss * ss))
-        integ = self.F(phi) * (omega_p - f * sa0[:, None] * i3)
+        # reference level F(phi_0) (first vertex), mirrored into each
+        # edge's canonical frame (F is odd, the frame flips phi by
+        # latsign): the subtraction telescopes to C * (signed sum of
+        # lam_t) == 0 over a closed non-pole-enclosing ring, but it
+        # collapses per-edge magnitudes ~1000x — without it each edge
+        # carries ~F(phi)*dlambda with 50:1 cancellation across the
+        # ring, and the alpha-sensitivity of ill-conditioned
+        # (equal-latitude) edges leaks ~1e-6 relative noise into the
+        # total (r3)
+        c_ref = self.F(np.radians(lat[0]))
+        c_edge = (latsign[g] * c_ref)[:, None]
+        integ = (self.F(phi) - c_edge) * (omega_p - f * sa0[:, None] * i3)
         Ic = half * (integ @ _WEIGHTS)
         # edge direction sign: lonsign flips west-going edges and latsign
         # re-mirrors the hemisphere (F is odd in phi).  The two swap

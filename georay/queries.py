@@ -2013,10 +2013,14 @@ def geodesic_poly_area(sf_dir: str):
             ring = layer.coords[layer.ring_offsets[r0] : layer.ring_offsets[r0 + 1]]
             ids.append(layer.poly_ids[p])
             areas.append(geodesic_area_unsigned(ring[:, 0], ring[:, 1]))
+        # km^2 at 4dp (100 m^2 granularity): the edge-sum is fp-order
+        # sensitive at the ~1e-2 m^2 level across engines, so a 0.1 m^2
+        # step on ~1e11 m^2 areas would flip rounding boundaries (r3,
+        # enables the SQL oracle)
         return pa.table(
             {
                 "polygon_id": pa.array(ids, pa.string()),
-                "geodesic_area_m2": pa.array(np.round(np.asarray(areas), 1)),
+                "geodesic_area_km2": pa.array(np.round(np.asarray(areas) / 1e6, 4)),
             }
         )
 

@@ -2137,3 +2137,282 @@ def q_voronoi_sample(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["voronoi_sample"] = q_voronoi_sample
+
+
+def q_geodesic_to_hot(sf_dir: str) -> str:
+    """Karney inverse in SQL (r3): the canonical-frame equation
+    h(alpha1) = lambda12(alpha1) - lambda_target is monotone on
+    (0, pi), so 60 recursive-CTE bisection rounds find the SAME root
+    the engine's safeguarded Newton converges to; each round evaluates
+    lambda12 through the identical 32-node Gauss-Legendre I3 integral
+    (nodes/weights interpolated from kernels/geodesic.py).  Distance
+    s12 = b * I1 and the forward azimuth reverse the same
+    swap/lonsign/latsign canonicalization.  Random points vs the fixed
+    hot point never hit the coincident/equatorial/meridional branches
+    (the lon grid cannot produce lambda == 0 exactly)."""
+    import numpy as np
+
+    from .kernels.geodesic import _NODES, _WEIGHTS, WGS84_A, WGS84_F
+
+    f = WGS84_F
+    b = WGS84_A * (1 - f)
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    glw = ", ".join(f"({x!r}, {w!r})" for x, w in zip(_NODES, _WEIGHTS))
+
+    def tri(alpha: str) -> str:
+        """Chained selects computing sa0/ca0/k2/sigma1/omega1/salp2/
+        calp2/sigma2/omega2 from an alpha column over __IN__."""
+        return (
+            f"SELECT *, sin({alpha}) AS sal, cos({alpha}) AS cal FROM __IN__"
+            f"), y2 AS (SELECT *, sal * cb1 AS sa0, "
+            f"  sqrt(cal * cal + (sal * sb1) * (sal * sb1)) AS ca0 FROM y1"
+            f"), y3 AS (SELECT *, {ep2!r} * ca0 * ca0 AS k2, "
+            f"  atan2(sb1, cal * cb1) AS sigma1, "
+            f"  atan2(sa0 * sb1, cal * cb1) AS omega1, "
+            f"  least(greatest(sa0 / cb2, -1.0), 1.0) AS salp2 FROM y2"
+            f"), y4 AS (SELECT *, sqrt(greatest(0.0, 1.0 - salp2 * salp2)) AS calp2 FROM y3"
+            f"), y5 AS (SELECT *, atan2(sb2, calp2 * cb2) AS sigma2, "
+            f"  atan2(sa0 * sb2, calp2 * cb2) AS omega2 FROM y4"
+        )
+
+    i3 = (
+        "SELECT t.image_id, "
+        "  0.5 * (t.sigma2 - t.sigma1) * sum(g.w * (2.0 - {f}) / "
+        "    (1.0 + (1.0 - {f}) * sqrt(1.0 + t.k2 * "
+        "     pow(sin(0.5 * (t.sigma1 + t.sigma2) + 0.5 * (t.sigma2 - t.sigma1) * g.x), 2)))) AS i3 "
+        "  FROM __T__ t CROSS JOIN glw g GROUP BY t.image_id, t.sigma1, t.sigma2, t.k2"
+    ).replace("{f}", repr(f))
+    return (
+        f"WITH RECURSIVE pts AS ({_pts_cte(sf_dir)}), "
+        f"glw(x, w) AS (SELECT * FROM (VALUES {glw})), "
+        f"base AS (SELECT image_id, lon, lat, "
+        f"  ({HOT_LON!r} - lon + 180.0) - floor(({HOT_LON!r} - lon + 180.0) / 360.0) * 360.0 - 180.0 AS lon12 "
+        f"  FROM pts WHERE CAST(substr(image_id, 5) AS BIGINT) % 20 = 0), "
+        f"cn0 AS (SELECT image_id, "
+        f"  (CASE WHEN lon12 < 0 THEN -1.0 ELSE 1.0 END) * "
+        f"  (CASE WHEN abs(lat) < abs({HOT_LAT!r}) THEN -1.0 ELSE 1.0 END) AS lonsign, "
+        f"  CASE WHEN abs(lat) < abs({HOT_LAT!r}) THEN -1.0 ELSE 1.0 END AS swapp, "
+        f"  CASE WHEN abs(lat) < abs({HOT_LAT!r}) THEN {HOT_LAT!r} ELSE lat END AS lt1r, "
+        f"  CASE WHEN abs(lat) < abs({HOT_LAT!r}) THEN lat ELSE {HOT_LAT!r} END AS lt2r, "
+        f"  radians(abs(lon12)) AS lam_t FROM base), "
+        f"cn AS (SELECT image_id, lonsign, swapp, lam_t, "
+        f"  CASE WHEN (CASE WHEN lt1r > 0 THEN -1.0 ELSE 1.0 END) * lt1r > 0 THEN 1 ELSE 1 END AS _dummy, "
+        f"  CASE WHEN lt1r > 0 THEN -1.0 ELSE 1.0 END AS latsign, "
+        f"  lt1r * (CASE WHEN lt1r > 0 THEN -1.0 ELSE 1.0 END) AS lt1, "
+        f"  lt2r * (CASE WHEN lt1r > 0 THEN -1.0 ELSE 1.0 END) AS lt2 FROM cn0), "
+        f"tb AS (SELECT image_id, lonsign, swapp, latsign, lam_t, "
+        f"  atan2((1.0 - {f!r}) * sin(radians(lt1)), cos(radians(lt1))) AS beta1, "
+        f"  atan2((1.0 - {f!r}) * sin(radians(lt2)), cos(radians(lt2))) AS beta2 FROM cn), "
+        f"tc AS (SELECT *, sin(beta1) AS sb1, cos(beta1) AS cb1, "
+        f"  sin(beta2) AS sb2, cos(beta2) AS cb2 FROM tb), "
+        f"it(image_id, sb1, cb1, sb2, cb2, lam_t, swapp, lonsign, latsign, lo, hi, r) AS ("
+        f"  SELECT image_id, sb1, cb1, sb2, cb2, lam_t, swapp, lonsign, latsign, "
+        f"    1e-12, pi() - 1e-12, 0 FROM tc "
+        f"  UNION ALL ("
+        f"  WITH cur AS (SELECT *, (lo + hi) / 2.0 AS mid FROM it WHERE r < 60), "
+        f"  y1 AS ({tri('mid').replace('__IN__', 'cur')}), "
+        f"  iv AS ({i3.replace('__T__', 'y5')}), "
+        f"  hh AS (SELECT y5.*, "
+        f"    (y5.omega2 - y5.omega1) - {f!r} * y5.sa0 * iv.i3 - y5.lam_t AS h "
+        f"    FROM y5 JOIN iv ON iv.image_id = y5.image_id) "
+        f"  SELECT image_id, sb1, cb1, sb2, cb2, lam_t, swapp, lonsign, latsign, "
+        f"    CASE WHEN h < 0 THEN mid ELSE lo END, "
+        f"    CASE WHEN h < 0 THEN hi ELSE mid END, r + 1 FROM hh)), "
+        f"fin0 AS (SELECT *, (lo + hi) / 2.0 AS alpha FROM it WHERE r = 60), "
+        f"y1 AS ({tri('alpha').replace('__IN__', 'fin0')}), "
+        f"i1v AS (SELECT t.image_id, "
+        f"  0.5 * (t.sigma2 - t.sigma1) * sum(g.w * sqrt(1.0 + t.k2 * "
+        f"    pow(sin(0.5 * (t.sigma1 + t.sigma2) + 0.5 * (t.sigma2 - t.sigma1) * g.x), 2))) AS i1 "
+        f"  FROM y5 t CROSS JOIN glw g GROUP BY t.image_id, t.sigma1, t.sigma2, t.k2), "
+        f"az AS (SELECT y5.image_id, y5.swapp, y5.lonsign, y5.latsign, "
+        f"  CASE WHEN y5.swapp < 0 THEN y5.salp2 ELSE y5.sal END * y5.swapp * y5.lonsign AS s1f, "
+        f"  CASE WHEN y5.swapp < 0 THEN y5.calp2 ELSE y5.cal END * y5.swapp * y5.latsign AS c1f "
+        f"  FROM y5) "
+        f"SELECT az.image_id, "
+        f"round({b!r} * i1v.i1, 3) AS geodesic_m, "
+        f"round(degrees(atan2(az.s1f, az.c1f)) - "
+        f"  floor(degrees(atan2(az.s1f, az.c1f)) / 360.0) * 360.0, 6) AS geodesic_azi "
+        f"FROM az JOIN i1v ON i1v.image_id = az.image_id"
+    )
+
+
+ORACLE_BUILDERS["geodesic_to_hot"] = q_geodesic_to_hot
+
+
+def q_geodesic_dest_pts(sf_dir: str) -> str:
+    """Karney DIRECT problem in SQL (r3): g(sigma2) = I1(sigma1,
+    sigma2) - s12/b has g' = sqrt(1 + k2 sin^2) >= 1, so sigma2 is
+    bracketed by [sigma1 + tgt/sqrt(1+k2), sigma1 + tgt] and 50
+    recursive bisections converge to the engine's Newton root; the
+    destination then follows in closed form (same GL-32 I3 for the
+    longitude integral)."""
+    import numpy as np
+
+    from .kernels.geodesic import _NODES, _WEIGHTS, WGS84_A, WGS84_F
+
+    f = WGS84_F
+    b = WGS84_A * (1 - f)
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    glw = ", ".join(f"({x!r}, {w!r})" for x, w in zip(_NODES, _WEIGHTS))
+    return (
+        f"WITH RECURSIVE pts AS ({_pts_cte(sf_dir)}), "
+        f"glw(x, w) AS (SELECT * FROM (VALUES {glw})), "
+        f"base AS (SELECT image_id, lon, lat, "
+        f"  fmod((lat + 90.0) * 2.0, 360.0) AS brg, "
+        f"  50000.0 + (lon + 180.0) * 500.0 AS dist "
+        f"  FROM pts WHERE CAST(substr(image_id, 5) AS BIGINT) % 10 = 0), "
+        f"t1 AS (SELECT *, "
+        f"  atan2((1.0 - {f!r}) * sin(radians(lat)), cos(radians(lat))) AS beta1, "
+        f"  sin(radians(brg)) AS salp1, cos(radians(brg)) AS calp1, "
+        f"  dist / {b!r} AS tgt FROM base), "
+        f"t2 AS (SELECT *, sin(beta1) AS sb1, cos(beta1) AS cb1 FROM t1), "
+        f"t3 AS (SELECT *, salp1 * cb1 AS sa0, "
+        f"  sqrt(calp1 * calp1 + (salp1 * sb1) * (salp1 * sb1)) AS ca0 FROM t2), "
+        f"t4 AS (SELECT *, {ep2!r} * ca0 * ca0 AS k2, "
+        f"  atan2(sb1, calp1 * cb1) AS sigma1, "
+        f"  atan2(sa0 * sb1, calp1 * cb1) AS omega1 FROM t3), "
+        f"it(image_id, lon, sa0, ca0, k2, sigma1, omega1, tgt, lo, hi, r) AS ("
+        f"  SELECT image_id, lon, sa0, ca0, k2, sigma1, omega1, tgt, "
+        f"    sigma1 + tgt / sqrt(1.0 + k2), sigma1 + tgt, 0 FROM t4 "
+        f"  UNION ALL ("
+        f"  WITH cur AS (SELECT *, (lo + hi) / 2.0 AS mid FROM it WHERE r < 50), "
+        f"  gv AS (SELECT c.image_id, "
+        f"    0.5 * (c.mid - c.sigma1) * sum(g.w * sqrt(1.0 + c.k2 * "
+        f"      pow(sin(0.5 * (c.sigma1 + c.mid) + 0.5 * (c.mid - c.sigma1) * g.x), 2))) "
+        f"    - max(c.tgt) AS gval "
+        f"    FROM cur c CROSS JOIN glw g GROUP BY c.image_id, c.sigma1, c.mid, c.k2) "
+        f"  SELECT c.image_id, c.lon, c.sa0, c.ca0, c.k2, c.sigma1, c.omega1, c.tgt, "
+        f"    CASE WHEN gv.gval < 0 THEN c.mid ELSE c.lo END, "
+        f"    CASE WHEN gv.gval < 0 THEN c.hi ELSE c.mid END, c.r + 1 "
+        f"  FROM cur c JOIN gv ON gv.image_id = c.image_id)), "
+        f"fin AS (SELECT *, (lo + hi) / 2.0 AS sigma2 FROM it WHERE r = 50), "
+        f"d1 AS (SELECT *, sin(sigma2) AS ss2, cos(sigma2) AS cs2 FROM fin), "
+        f"d2 AS (SELECT *, ca0 * ss2 AS sb2, "
+        f"  sqrt(cs2 * cs2 + (sa0 * ss2) * (sa0 * ss2)) AS cb2, "
+        f"  atan2(sa0 * ss2, cs2) AS omega2 FROM d1), "
+        f"i3v AS (SELECT t.image_id, "
+        f"  0.5 * (t.sigma2 - t.sigma1) * sum(g.w * (2.0 - {f!r}) / "
+        f"    (1.0 + (1.0 - {f!r}) * sqrt(1.0 + t.k2 * "
+        f"     pow(sin(0.5 * (t.sigma1 + t.sigma2) + 0.5 * (t.sigma2 - t.sigma1) * g.x), 2)))) AS i3 "
+        f"  FROM d2 t CROSS JOIN glw g GROUP BY t.image_id, t.sigma1, t.sigma2, t.k2), "
+        f"lam AS (SELECT d2.*, (d2.omega2 - d2.omega1) - {f!r} * d2.sa0 * i3v.i3 AS lam12 "
+        f"  FROM d2 JOIN i3v ON i3v.image_id = d2.image_id) "
+        f"SELECT image_id, "
+        f"round((lon + degrees(lam12) + 180.0) - "
+        f"  floor((lon + degrees(lam12) + 180.0) / 360.0) * 360.0 - 180.0, 6) AS dest_lon, "
+        f"round(degrees(atan2(sb2, (1.0 - {f!r}) * cb2)), 6) AS dest_lat "
+        f"FROM lam"
+    )
+
+
+ORACLE_BUILDERS["geodesic_dest_pts"] = q_geodesic_dest_pts
+
+
+def q_geodesic_poly_area(sf_dir: str) -> str:
+    """Ellipsoidal ring area in SQL (r3): per EDGE, the same
+    canonicalization + bisection alpha solve as q_geodesic_to_hot,
+    then the Green's-theorem integrand F(phi)*(omega' - f*sa0*i3)
+    through the 32-node GL rule; signed edge contributions sum per
+    polygon (lonsign*latsign), |total| in km^2 at 4dp.  atanh via
+    0.5*ln((1+x)/(1-x))."""
+    import numpy as np
+
+    from .kernels.geodesic import _NODES, _WEIGHTS, WGS84_A, WGS84_F
+
+    f = WGS84_F
+    a = WGS84_A
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    e1 = float(np.sqrt(e2))
+    fconst = a * a * (1 - e2) / 2.0
+    glw = ", ".join(f"({x!r}, {w!r})" for x, w in zip(_NODES, _WEIGHTS))
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH RECURSIVE glw(x, w) AS (SELECT * FROM (VALUES {glw})), "
+        f"e0 AS (SELECT polygon_id, seg_idx, x1 AS lo1, y1 AS la1, x2 AS lo2, y2 AS la2 "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"c0 AS (SELECT *, "
+        f"  (lo2 - lo1 + 180.0) - floor((lo2 - lo1 + 180.0) / 360.0) * 360.0 - 180.0 AS lon12 "
+        f"  FROM e0), "
+        f"c1 AS (SELECT polygon_id, seg_idx, "
+        f"  (CASE WHEN lon12 < 0 THEN -1.0 ELSE 1.0 END) AS lonsign, "
+        f"  radians(abs(lon12)) AS lam_t, "
+        f"  CASE WHEN abs(la1) < abs(la2) THEN la2 ELSE la1 END AS lt1r, "
+        f"  CASE WHEN abs(la1) < abs(la2) THEN la1 ELSE la2 END AS lt2r FROM c0), "
+        f"c2 AS (SELECT polygon_id, seg_idx, lonsign, lam_t, "
+        f"  CASE WHEN lt1r > 0 THEN -1.0 ELSE 1.0 END AS latsign, "
+        f"  lt1r * (CASE WHEN lt1r > 0 THEN -1.0 ELSE 1.0 END) AS lt1, "
+        f"  lt2r * (CASE WHEN lt1r > 0 THEN -1.0 ELSE 1.0 END) AS lt2 FROM c1), "
+        f"c3 AS (SELECT *, "
+        f"  atan2((1.0 - {f!r}) * sin(radians(lt1)), cos(radians(lt1))) AS beta1, "
+        f"  atan2((1.0 - {f!r}) * sin(radians(lt2)), cos(radians(lt2))) AS beta2 FROM c2), "
+        f"c4 AS (SELECT *, sin(beta1) AS sb1, cos(beta1) AS cb1, "
+        f"  sin(beta2) AS sb2, cos(beta2) AS cb2 FROM c3 "
+        f"  WHERE lam_t >= 1e-15 AND NOT (abs(beta1) < 1e-15 AND abs(beta2) < 1e-15)), "
+        f"it(polygon_id, seg_idx, lonsign, latsign, sb1, cb1, sb2, cb2, lam_t, lo, hi, r) AS ("
+        f"  SELECT polygon_id, seg_idx, lonsign, latsign, sb1, cb1, sb2, cb2, lam_t, "
+        f"    1e-12, pi() - 1e-12, 0 FROM c4 "
+        f"  UNION ALL ("
+        f"  WITH cur AS (SELECT *, (lo + hi) / 2.0 AS mid FROM it WHERE r < 60), "
+        f"  y1 AS (SELECT *, sin(mid) AS sal, cos(mid) AS cal FROM cur), "
+        f"  y2 AS (SELECT *, sal * cb1 AS sa0, "
+        f"    sqrt(cal * cal + (sal * sb1) * (sal * sb1)) AS ca0 FROM y1), "
+        f"  y3 AS (SELECT *, {ep2!r} * ca0 * ca0 AS k2, "
+        f"    atan2(sb1, cal * cb1) AS sigma1, atan2(sa0 * sb1, cal * cb1) AS omega1, "
+        f"    least(greatest(sa0 / cb2, -1.0), 1.0) AS salp2 FROM y2), "
+        f"  y4 AS (SELECT *, sqrt(greatest(0.0, 1.0 - salp2 * salp2)) AS calp2 FROM y3), "
+        f"  y5 AS (SELECT *, atan2(sb2, calp2 * cb2) AS sigma2, "
+        f"    atan2(sa0 * sb2, calp2 * cb2) AS omega2 FROM y4), "
+        f"  iv AS (SELECT t.polygon_id, t.seg_idx, "
+        f"    0.5 * (t.sigma2 - t.sigma1) * sum(g.w * (2.0 - {f!r}) / "
+        f"      (1.0 + (1.0 - {f!r}) * sqrt(1.0 + t.k2 * "
+        f"       pow(sin(0.5 * (t.sigma1 + t.sigma2) + 0.5 * (t.sigma2 - t.sigma1) * g.x), 2)))) AS i3 "
+        f"    FROM y5 t CROSS JOIN glw g "
+        f"    GROUP BY t.polygon_id, t.seg_idx, t.sigma1, t.sigma2, t.k2) "
+        f"  SELECT y5.polygon_id, y5.seg_idx, y5.lonsign, y5.latsign, "
+        f"    y5.sb1, y5.cb1, y5.sb2, y5.cb2, y5.lam_t, "
+        f"    CASE WHEN (y5.omega2 - y5.omega1) - {f!r} * y5.sa0 * iv.i3 - y5.lam_t < 0 "
+        f"      THEN y5.mid ELSE y5.lo END, "
+        f"    CASE WHEN (y5.omega2 - y5.omega1) - {f!r} * y5.sa0 * iv.i3 - y5.lam_t < 0 "
+        f"      THEN y5.hi ELSE y5.mid END, y5.r + 1 "
+        f"  FROM y5 JOIN iv ON iv.polygon_id = y5.polygon_id AND iv.seg_idx = y5.seg_idx)), "
+        f"f0 AS (SELECT *, (lo + hi) / 2.0 AS alpha FROM it WHERE r = 60), "
+        f"z1 AS (SELECT *, sin(alpha) AS sal, cos(alpha) AS cal FROM f0), "
+        f"z2 AS (SELECT *, sal * cb1 AS sa0, "
+        f"  sqrt(cal * cal + (sal * sb1) * (sal * sb1)) AS ca0 FROM z1), "
+        f"z3 AS (SELECT *, {ep2!r} * ca0 * ca0 AS k2, "
+        f"  atan2(sb1, cal * cb1) AS sigma1, "
+        f"  least(greatest(sa0 / cb2, -1.0), 1.0) AS salp2 FROM z2), "
+        f"z4 AS (SELECT *, atan2(sb2, sqrt(greatest(0.0, 1.0 - salp2 * salp2)) * cb2) AS sigma2 "
+        f"  FROM z3), "
+        f"nodes AS (SELECT z4.polygon_id, z4.seg_idx, z4.lonsign, z4.latsign, "
+        f"  z4.sa0, z4.ca0, z4.k2, 0.5 * (z4.sigma2 - z4.sigma1) AS half, "
+        f"  sin(0.5 * (z4.sigma1 + z4.sigma2) + 0.5 * (z4.sigma2 - z4.sigma1) * g.x) AS ss, "
+        f"  cos(0.5 * (z4.sigma1 + z4.sigma2) + 0.5 * (z4.sigma2 - z4.sigma1) * g.x) AS cs, "
+        f"  g.w AS w FROM z4 CROSS JOIN glw g), "
+        f"nd2 AS (SELECT *, "
+        f"  atan2(ca0 * ss, (1.0 - {f!r}) * sqrt(cs * cs + (sa0 * ss) * (sa0 * ss))) AS phi, "
+        f"  sa0 / (cs * cs + sa0 * sa0 * ss * ss) AS omega_p, "
+        f"  (2.0 - {f!r}) / (1.0 + (1.0 - {f!r}) * sqrt(1.0 + k2 * ss * ss)) AS i3n FROM nodes), "
+        # per-ring reference level F(phi_0), mirrored by latsign — the
+        # same conditioning fix as the engine (kernels/geodesic.py)
+        f"cref AS (SELECT polygon_id, "
+        f"  {fconst!r} * (sin(radians(y1)) / (1.0 - {e2!r} * sin(radians(y1)) * sin(radians(y1))) "
+        f"    + 0.5 * ln((1.0 + {e1!r} * sin(radians(y1))) / (1.0 - {e1!r} * sin(radians(y1)))) / {e1!r}) AS c "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0 AND seg_idx = 0), "
+        f"edge AS (SELECT n.polygon_id, n.seg_idx, "
+        f"  max(n.lonsign * n.latsign) * max(n.half) * sum(n.w * "
+        f"    (({fconst!r} * (sin(n.phi) / (1.0 - {e2!r} * sin(n.phi) * sin(n.phi)) "
+        f"      + 0.5 * ln((1.0 + {e1!r} * sin(n.phi)) / (1.0 - {e1!r} * sin(n.phi))) / {e1!r})) "
+        f"     - n.latsign * cref.c) "
+        f"    * (n.omega_p - {f!r} * n.sa0 * n.i3n)) AS ic "
+        f"  FROM nd2 n JOIN cref ON cref.polygon_id = n.polygon_id "
+        f"  GROUP BY n.polygon_id, n.seg_idx) "
+        f"SELECT polygon_id, round(abs(sum(ic)) / 1e6, 4) AS geodesic_area_km2 "
+        f"FROM edge GROUP BY polygon_id"
+    )
+
+
+ORACLE_BUILDERS["geodesic_poly_area"] = q_geodesic_poly_area
