@@ -2416,3 +2416,68 @@ def q_geodesic_poly_area(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["geodesic_poly_area"] = q_geodesic_poly_area
+
+
+def q_line_clip_pieces(sf_dir: str) -> str:
+    """Exact LineString/Polygon ClipOp in SQL (r3): per candidate
+    (line, polygon) pair, split every line segment at its strict
+    crossings with ANY ring edge (identical t = d3/(d3-d4) formula to
+    linejoin.clip_line_to_polygon), classify piece midpoints by
+    crossing parity over the polygon's full segment table, then count
+    maximal same-side RUNS with a LAG window (pieces merge across
+    segment joints exactly like the engine's cur_inside/cur_outside
+    accumulators).  Pairs emitted iff at least one inside piece."""
+    lines = datagen.lines_path(sf_dir)
+    lsegs = datagen.line_segments_path(sf_dir)
+    polys = datagen.polygons_path(sf_dir)
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH l AS (SELECT line_id, minx, miny, maxx, maxy FROM read_parquet('{lines}')), "
+        f"p AS (SELECT polygon_id, minx, miny, maxx, maxy FROM read_parquet('{polys}')), "
+        f"cand AS (SELECT l.line_id, p.polygon_id FROM l JOIN p "
+        f"  ON l.minx <= p.maxx AND l.maxx >= p.minx "
+        f"  AND l.miny <= p.maxy AND l.maxy >= p.miny), "
+        f"ls AS (SELECT * FROM read_parquet('{lsegs}')), "
+        f"es AS (SELECT * FROM read_parquet('{segs}')), "
+        f"xs AS (SELECT c.line_id, c.polygon_id, a.seg_idx, "
+        f"  (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d3, "
+        f"  (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d4 "
+        f"  FROM cand c "
+        f"  JOIN ls a ON a.line_id = c.line_id "
+        f"  JOIN es b ON b.polygon_id = c.polygon_id "
+        f"  WHERE sign((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1)) * "
+        f"        sign((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0 "
+        f"    AND sign((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1)) * "
+        f"        sign((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0), "
+        f"cuts AS (SELECT DISTINCT line_id, polygon_id, seg_idx, "
+        f"  d3 / (CASE WHEN d3 - d4 = 0 THEN 1.0 ELSE d3 - d4 END) AS t FROM xs "
+        f"  UNION SELECT line_id, polygon_id, seg_idx, 0.0 "
+        f"    FROM cand JOIN ls USING (line_id) "
+        f"  UNION SELECT line_id, polygon_id, seg_idx, 1.0 "
+        f"    FROM cand JOIN ls USING (line_id)), "
+        f"pieces AS (SELECT c.line_id, c.polygon_id, c.seg_idx, c.t AS a, "
+        f"  lead(c.t) OVER (PARTITION BY c.line_id, c.polygon_id, c.seg_idx ORDER BY c.t) AS b "
+        f"  FROM cuts c), "
+        f"pc AS (SELECT pz.*, s.x1 + 0.5 * (a + b) * (s.x2 - s.x1) AS mx, "
+        f"  s.y1 + 0.5 * (a + b) * (s.y2 - s.y1) AS my, "
+        f"  sqrt((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)) * (b - a) AS plen "
+        f"  FROM pieces pz JOIN ls s ON s.line_id = pz.line_id AND s.seg_idx = pz.seg_idx "
+        f"  WHERE pz.b IS NOT NULL AND pz.b > pz.a), "
+        f"cls AS (SELECT pc.line_id, pc.polygon_id, pc.seg_idx, pc.a, pc.plen, "
+        f"  (SELECT count(*) FROM es s WHERE s.polygon_id = pc.polygon_id "
+        f"    AND ((s.y1 <= pc.my AND s.y2 > pc.my) OR (s.y2 <= pc.my AND s.y1 > pc.my)) "
+        f"    AND pc.mx < s.x1 + (pc.my - s.y1) * (s.x2 - s.x1) / (s.y2 - s.y1)) % 2 = 1 AS inside "
+        f"  FROM pc), "
+        f"runs AS (SELECT *, CASE WHEN inside = lag(inside) OVER w THEN 0 ELSE 1 END AS brk "
+        f"  FROM cls WINDOW w AS (PARTITION BY line_id, polygon_id ORDER BY seg_idx, a)), "
+        f"agg AS (SELECT line_id, polygon_id, "
+        f"  sum(CASE WHEN inside AND coalesce(brk, 1) = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pieces_in, "
+        f"  sum(CASE WHEN NOT inside AND coalesce(brk, 1) = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pieces_out, "
+        f"  round(sum(CASE WHEN inside THEN plen ELSE 0.0 END), 6) AS len_in, "
+        f"  round(sum(CASE WHEN NOT inside THEN plen ELSE 0.0 END), 6) AS len_out "
+        f"  FROM runs GROUP BY line_id, polygon_id) "
+        f"SELECT * FROM agg WHERE n_pieces_in >= 1"
+    )
+
+
+ORACLE_BUILDERS["line_clip_pieces"] = q_line_clip_pieces
