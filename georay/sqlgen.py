@@ -2481,3 +2481,137 @@ def q_line_clip_pieces(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["line_clip_pieces"] = q_line_clip_pieces
+
+
+def q_kmeans_radius(sf_dir: str) -> str:
+    """KMeans + max_radius subdivision in SQL (r3): the Lloyd phase is
+    the recursive CTE of q_kmeans_assign; the up-to-10 split rounds
+    are UNROLLED as generated CTE chains (a round with no oversized
+    cluster degenerates to a no-op, which mirrors the engine's early
+    break).  Each round: per-cluster farthest point (ties by
+    (d, lon, lat) — the engine's lexicographic max), 5 inner 2-means
+    iterations over the oversized clusters with the same global
+    tolerance stop, then label/center updates with new ids assigned in
+    sorted-cluster order starting at the running center count."""
+    k, mi = KMEANS_K, KMEANS_MAX_ITER
+    rmax = 12.0
+    tol = 1e-4
+    parts = [
+        f"WITH RECURSIVE pts AS MATERIALIZED ({_pts_cte(sf_dir)}), ",
+        f"n AS (SELECT count(*) AS n FROM pts), ",
+        f"seeds AS (SELECT image_id, lon, lat FROM pts "
+        f"  WHERE CAST(substr(image_id, 5) AS BIGINT) % "
+        f"    (SELECT greatest(n // {k}, 1) FROM n) = 0 "
+        f"  ORDER BY image_id LIMIT {k}), ",
+        f"cent(r, cluster, cx, cy, stop) AS ("
+        f"  SELECT 0, row_number() OVER (ORDER BY image_id) - 1, lon, lat, false FROM seeds "
+        f"  UNION ALL ("
+        f"  WITH cur AS (SELECT * FROM cent WHERE r < {mi} AND NOT stop), "
+        f"  asg AS (SELECT p.image_id, p.lon, p.lat, c.cluster, "
+        f"    row_number() OVER (PARTITION BY p.image_id ORDER BY "
+        f"      (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy), c.cluster) AS rn "
+        f"    FROM pts p CROSS JOIN cur c), "
+        f"  agg AS (SELECT cluster, sum(lon) AS sx, sum(lat) AS sy, count(*) AS cnt "
+        f"    FROM asg WHERE rn = 1 GROUP BY cluster), "
+        f"  nxt AS (SELECT c.r + 1 AS r, c.cluster, "
+        f"    CASE WHEN a.cnt > 0 THEN a.sx / a.cnt ELSE c.cx END AS cx, "
+        f"    CASE WHEN a.cnt > 0 THEN a.sy / a.cnt ELSE c.cy END AS cy, "
+        f"    c.cx AS ox, c.cy AS oy "
+        f"    FROM cur c LEFT JOIN agg a ON a.cluster = c.cluster), "
+        f"  sh AS (SELECT max(sqrt((cx - ox) * (cx - ox) + (cy - oy) * (cy - oy))) AS shift FROM nxt) "
+        f"  SELECT r, cluster, cx, cy, (SELECT shift FROM sh) < {tol!r} FROM nxt)), ",
+        # frozen parents + initial labels/centers
+        f"cb AS (SELECT cluster, cx, cy FROM cent WHERE r = (SELECT max(r) FROM cent)), ",
+        f"lbl_0 AS MATERIALIZED (SELECT image_id, lon, lat, cluster FROM ("
+        f"  SELECT p.image_id, p.lon, p.lat, c.cluster, "
+        f"    row_number() OVER (PARTITION BY p.image_id ORDER BY "
+        f"      (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy), c.cluster) AS rn "
+        f"  FROM pts p CROSS JOIN cb c) WHERE rn = 1), ",
+        f"cen_0 AS MATERIALIZED (SELECT cluster, cx, cy FROM cb), ",
+    ]
+    for r in range(10):
+        # radius pass: farthest member per cluster, ties (d, lon, lat)
+        parts.append(
+            f"rad_{r} AS MATERIALIZED (SELECT cluster, maxd, flon, flat FROM ("
+            f"  SELECT l.cluster, "
+            f"    sqrt((l.lon - c.cx) * (l.lon - c.cx) + (l.lat - c.cy) * (l.lat - c.cy)) AS maxd, "
+            f"    l.lon AS flon, l.lat AS flat, "
+            f"    row_number() OVER (PARTITION BY l.cluster ORDER BY "
+            f"      sqrt((l.lon - c.cx) * (l.lon - c.cx) + (l.lat - c.cy) * (l.lat - c.cy)) DESC, "
+            f"      l.lon DESC, l.lat DESC) AS rn "
+            f"  FROM lbl_{r} l JOIN cen_{r} c ON c.cluster = l.cluster) WHERE rn = 1), "
+        )
+        parts.append(
+            f"bad_{r} AS MATERIALIZED (SELECT rad_{r}.cluster, c.cx AS c0x, c.cy AS c0y, "
+            f"  rad_{r}.flon AS c1x, rad_{r}.flat AS c1y, "
+            f"  row_number() OVER (ORDER BY rad_{r}.cluster) - 1 AS j "
+            f"  FROM rad_{r} JOIN cen_{r} c ON c.cluster = rad_{r}.cluster "
+            f"  WHERE rad_{r}.maxd > {rmax!r}), "
+        )
+        # 5 inner 2-means iterations with global tolerance stop
+        parts.append(f"ch_{r}_0 AS MATERIALIZED (SELECT cluster, c0x, c0y, c1x, c1y, false AS stop FROM bad_{r}), ")
+        for t in range(5):
+            parts.append(
+                f"up_{r}_{t} AS MATERIALIZED (SELECT b.cluster, "
+                f"  sum(CASE WHEN (l.lon - b.c1x) * (l.lon - b.c1x) + (l.lat - b.c1y) * (l.lat - b.c1y) "
+                f"       < (l.lon - b.c0x) * (l.lon - b.c0x) + (l.lat - b.c0y) * (l.lat - b.c0y) "
+                f"      THEN 0.0 ELSE l.lon END) AS sx0, "
+                f"  sum(CASE WHEN (l.lon - b.c1x) * (l.lon - b.c1x) + (l.lat - b.c1y) * (l.lat - b.c1y) "
+                f"       < (l.lon - b.c0x) * (l.lon - b.c0x) + (l.lat - b.c0y) * (l.lat - b.c0y) "
+                f"      THEN 0.0 ELSE l.lat END) AS sy0, "
+                f"  sum(CASE WHEN (l.lon - b.c1x) * (l.lon - b.c1x) + (l.lat - b.c1y) * (l.lat - b.c1y) "
+                f"       < (l.lon - b.c0x) * (l.lon - b.c0x) + (l.lat - b.c0y) * (l.lat - b.c0y) "
+                f"      THEN 0 ELSE 1 END) AS n0, "
+                f"  sum(CASE WHEN (l.lon - b.c1x) * (l.lon - b.c1x) + (l.lat - b.c1y) * (l.lat - b.c1y) "
+                f"       < (l.lon - b.c0x) * (l.lon - b.c0x) + (l.lat - b.c0y) * (l.lat - b.c0y) "
+                f"      THEN l.lon ELSE 0.0 END) AS sx1, "
+                f"  sum(CASE WHEN (l.lon - b.c1x) * (l.lon - b.c1x) + (l.lat - b.c1y) * (l.lat - b.c1y) "
+                f"       < (l.lon - b.c0x) * (l.lon - b.c0x) + (l.lat - b.c0y) * (l.lat - b.c0y) "
+                f"      THEN l.lat ELSE 0.0 END) AS sy1, "
+                f"  sum(CASE WHEN (l.lon - b.c1x) * (l.lon - b.c1x) + (l.lat - b.c1y) * (l.lat - b.c1y) "
+                f"       < (l.lon - b.c0x) * (l.lon - b.c0x) + (l.lat - b.c0y) * (l.lat - b.c0y) "
+                f"      THEN 1 ELSE 0 END) AS n1 "
+                f"  FROM ch_{r}_{t} b JOIN lbl_{r} l ON l.cluster = b.cluster GROUP BY b.cluster), "
+            )
+            parts.append(
+                f"nx_{r}_{t} AS MATERIALIZED (SELECT c.cluster, "
+                f"  CASE WHEN c.stop OR u.n0 = 0 THEN c.c0x ELSE u.sx0 / u.n0 END AS c0x, "
+                f"  CASE WHEN c.stop OR u.n0 = 0 THEN c.c0y ELSE u.sy0 / u.n0 END AS c0y, "
+                f"  CASE WHEN c.stop OR u.n1 = 0 THEN c.c1x ELSE u.sx1 / u.n1 END AS c1x, "
+                f"  CASE WHEN c.stop OR u.n1 = 0 THEN c.c1y ELSE u.sy1 / u.n1 END AS c1y, "
+                f"  c.c0x AS o0x, c.c0y AS o0y, c.c1x AS o1x, c.c1y AS o1y, c.stop AS ostop "
+                f"  FROM ch_{r}_{t} c LEFT JOIN up_{r}_{t} u ON u.cluster = c.cluster), "
+            )
+            parts.append(
+                f"ch_{r}_{t + 1} AS MATERIALIZED (SELECT cluster, c0x, c0y, c1x, c1y, "
+                f"  ostop OR (SELECT coalesce(max(greatest("
+                f"    sqrt((c0x - o0x) * (c0x - o0x) + (c0y - o0y) * (c0y - o0y)), "
+                f"    sqrt((c1x - o1x) * (c1x - o1x) + (c1y - o1y) * (c1y - o1y)))), 0.0) "
+                f"    FROM nx_{r}_{t}) < {tol!r} AS stop "
+                f"  FROM nx_{r}_{t}), "
+            )
+        parts.append(
+            f"spl_{r} AS MATERIALIZED (SELECT c.cluster, c.c0x, c.c0y, c.c1x, c.c1y, "
+            f"  (SELECT count(*) FROM cen_{r}) + b.j AS new_id "
+            f"  FROM ch_{r}_5 c JOIN bad_{r} b ON b.cluster = c.cluster), "
+        )
+        parts.append(
+            f"lbl_{r + 1} AS MATERIALIZED (SELECT l.image_id, l.lon, l.lat, "
+            f"  CASE WHEN s.cluster IS NULL THEN l.cluster "
+            f"    WHEN (l.lon - s.c1x) * (l.lon - s.c1x) + (l.lat - s.c1y) * (l.lat - s.c1y) "
+            f"       < (l.lon - s.c0x) * (l.lon - s.c0x) + (l.lat - s.c0y) * (l.lat - s.c0y) "
+            f"    THEN s.new_id ELSE l.cluster END AS cluster "
+            f"  FROM lbl_{r} l LEFT JOIN spl_{r} s ON s.cluster = l.cluster), "
+        )
+        parts.append(
+            f"cen_{r + 1} AS MATERIALIZED (SELECT c.cluster, "
+            f"  coalesce(s.c0x, c.cx) AS cx, coalesce(s.c0y, c.cy) AS cy "
+            f"  FROM cen_{r} c LEFT JOIN spl_{r} s ON s.cluster = c.cluster "
+            f"  UNION ALL SELECT new_id, c1x, c1y FROM spl_{r}), "
+        )
+    sql = "".join(parts)
+    sql = sql.rstrip().rstrip(",")
+    return sql + " SELECT image_id, cluster FROM lbl_10"
+
+
+ORACLE_BUILDERS["kmeans_radius"] = q_kmeans_radius
