@@ -2392,3 +2392,17 @@ def line_poly_intersects_shuffle(sf_dir: str):
 
 
 QUERIES["line_poly_intersects_shuffle"] = line_poly_intersects_shuffle
+
+
+def union_area_sweep(sf_dir: str):
+    """EXACT area of the union of the polygon layer via the
+    distributed vertical-strip sweep (georay.sweeparea) — no overlay,
+    no snap grid, so it is SQL-oracle-able where dissolve_area (the
+    constructed union) is not; pytest additionally bounds
+    |sweep - dissolve| by the overlay's snap quantization."""
+    from . import sweeparea
+
+    return sweeparea.union_area_sweep(_polygons_ds(sf_dir))
+
+
+QUERIES["union_area_sweep"] = union_area_sweep

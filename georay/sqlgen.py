@@ -2615,3 +2615,51 @@ def q_kmeans_radius(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["kmeans_radius"] = q_kmeans_radius
+
+
+def q_union_area_sweep(sf_dir: str) -> str:
+    """Global vertical-strip sweep in SQL (r3): breakpoints = all
+    vertex x's + pairwise proper-crossing x's; per strip, events are
+    segment y's at the strip midpoint, occurrence parity per
+    (strip, polygon) gives +1/-1 toggles, a windowed running sum
+    counts covering polygons, and gaps with count > 0 accumulate.
+    Extra/missing ulp-level breakpoints cannot change the integral, so
+    this matches the engine's cell-decomposed sweep to fp noise."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH s AS (SELECT polygon_id, x1, y1, x2, y2, "
+        f"  least(x1, x2) AS xlo, greatest(x1, x2) AS xhi, "
+        f"  least(y1, y2) AS ylo, greatest(y1, y2) AS yhi "
+        f"  FROM read_parquet('{segs}')), "
+        f"bx AS (SELECT x1 AS x FROM s UNION SELECT x2 FROM s "
+        f"  UNION SELECT a.x1 + (a.d3 / (a.d3 - a.d4)) * (a.x2 - a.x1) FROM ("
+        f"    SELECT a.x1, a.x2, "
+        f"      (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d3, "
+        f"      (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d4 "
+        f"    FROM s a JOIN s b ON a.xlo <= b.xhi AND a.xhi >= b.xlo "
+        f"      AND a.ylo <= b.yhi AND a.yhi >= b.ylo "
+        f"    WHERE sign((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1)) * "
+        f"          sign((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0 "
+        f"      AND sign((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1)) * "
+        f"          sign((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0) a "
+        f"  WHERE a.d3 - a.d4 <> 0), "
+        f"strips AS (SELECT x AS xl, lead(x) OVER (ORDER BY x) AS xr, "
+        f"  row_number() OVER (ORDER BY x) AS sid FROM (SELECT DISTINCT x FROM bx)), "
+        f"st2 AS (SELECT sid, xl, xr, (xl + xr) / 2.0 AS mid FROM strips WHERE xr IS NOT NULL), "
+        f"ev AS (SELECT t.sid, t.xl, t.xr, s.polygon_id, "
+        f"  s.y1 + (t.mid - s.x1) * (s.y2 - s.y1) / (s.x2 - s.x1) AS y "
+        f"  FROM st2 t JOIN s ON s.xlo <= t.mid AND s.xhi > t.mid AND s.x1 <> s.x2), "
+        f"tog AS (SELECT *, CASE WHEN row_number() OVER "
+        f"  (PARTITION BY sid, polygon_id ORDER BY y) % 2 = 1 THEN 1 ELSE -1 END AS delta "
+        f"  FROM ev), "
+        f"cov AS (SELECT sid, xl, xr, y, "
+        f"  sum(delta) OVER (PARTITION BY sid ORDER BY y, polygon_id, delta "
+        f"    ROWS UNBOUNDED PRECEDING) AS cnt, "
+        f"  lead(y) OVER (PARTITION BY sid ORDER BY y, polygon_id, delta) AS ny "
+        f"  FROM tog) "
+        f"SELECT round(coalesce(sum(CASE WHEN cnt > 0 AND ny IS NOT NULL "
+        f"  THEN (xr - xl) * (ny - y) ELSE 0 END), 0.0), 6) AS union_area FROM cov"
+    )
+
+
+ORACLE_BUILDERS["union_area_sweep"] = q_union_area_sweep

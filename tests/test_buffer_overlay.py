@@ -467,3 +467,28 @@ def test_overlay_collinear_stacked_edges_snapped():
     un = ov.overlay(a, b, "union")
     assert ov.mp_area(un) == pytest.approx(12.0, abs=1e-6)
     assert len(un) == 1
+
+
+def test_union_sweep_bounds_dissolve(ray_session, tiny_sf):
+    """The exact sweep union area and the overlay-constructed dissolve
+    area must agree within the overlay's snap quantization — an
+    independent end-to-end check on the whole overlay engine."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from georay import dissolve as gdis, sweeparea
+    from georay.kernels import overlay as govl
+
+    sf_dir, paths = tiny_sf
+    polys = rd.read_parquet(paths["polygons"])
+    exact = sweeparea.union_area_sweep(polys).to_pandas()["union_area"].iloc[0]
+    out = gdis.dissolve(rd.read_parquet(paths["polygons"])).to_pandas()
+    total = 0.0
+    for rings in out["rings"]:
+        shell = np.asarray([(c["x"], c["y"]) for c in rings[0]])
+        total += abs(govl._signed_area(shell))
+        for h in rings[1:]:
+            total -= abs(govl._signed_area(np.asarray([(c["x"], c["y"]) for c in h])))
+    # snap quantization bound: 1e-9 * extent(360) * total boundary length
+    assert exact > 0
+    assert abs(exact - total) < 1e-4 * max(1.0, exact)

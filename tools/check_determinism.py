@@ -25,6 +25,8 @@ QUERIES = [
     "knn_all",
     "pip_count_by_polygon",
     "sessionize",
+    "kmeans_radius",
+    "image_stats",
 ]
 
 _WORKER = '''
