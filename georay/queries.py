@@ -2406,3 +2406,22 @@ def union_area_sweep(sf_dir: str):
 
 
 QUERIES["union_area_sweep"] = union_area_sweep
+
+
+def map_coords_shift(sf_dir: str):
+    """Dataset-level MapCoords (functions.map_coords — the §2.10 UDF
+    surface): shift every polygon coordinate by (+3.5, -1.25), refresh
+    bboxes from the mapped coords, output the new bbox per polygon.
+    SQL oracle: the original bbox plus the same constants."""
+    from . import functions as F
+
+    shifted = F.map_coords(
+        _polygons_ds(sf_dir), lambda xs, ys: (xs + 3.5, ys - 1.25)
+    )
+    return shifted.map_batches(
+        lambda t: t.select(["polygon_id", "minx", "miny", "maxx", "maxy"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["map_coords_shift"] = map_coords_shift

@@ -2663,3 +2663,14 @@ def q_union_area_sweep(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["union_area_sweep"] = q_union_area_sweep
+
+
+def q_map_coords_shift(sf_dir: str) -> str:
+    polys = datagen.polygons_path(sf_dir)
+    return (
+        f"SELECT polygon_id, minx + 3.5 AS minx, miny - 1.25 AS miny, "
+        f"maxx + 3.5 AS maxx, maxy - 1.25 AS maxy FROM read_parquet('{polys}')"
+    )
+
+
+ORACLE_BUILDERS["map_coords_shift"] = q_map_coords_shift

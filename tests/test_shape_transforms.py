@@ -228,3 +228,39 @@ def test_concave_hull_degenerate_falls_back():
     tri = np.array([(0.0, 0.0), (4.0, 0.0), (2.0, 3.0)])
     ring = concave_hull_knn(tri, k=3)
     assert len(ring) == 4
+
+
+def test_kernel_registry_and_map_coords(ray_session, tiny_sf):
+    """§2.10 extension surface: register a batch kernel by name, apply
+    it as a stage; map_coords applies a flat-array UDF to a ragged
+    geometry column and refreshes bboxes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from georay import functions as F
+
+    @F.register_kernel("test-double-x")
+    def _double(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = t.column("minx").to_numpy(zero_copy_only=False)
+        return t.set_column(t.column_names.index("minx"), "minx", pa.array(v * 2))
+
+    sf_dir, paths = tiny_sf
+    ds = rd.read_parquet(paths["polygons"])
+    out = F.apply_kernel(ds, "test-double-x").to_pandas()
+    orig = pq.read_table(paths["polygons"]).to_pandas()
+    merged = out.merge(orig, on="polygon_id", suffixes=("_k", "_o"))
+    assert (merged["minx_k"] == merged["minx_o"] * 2).all()
+
+    # map_coords: rotate 180deg about origin -> bbox mirrors
+    rot = F.map_coords(rd.read_parquet(paths["polygons"]), lambda x, y: (-x, -y))
+    got = rot.to_pandas().merge(orig, on="polygon_id", suffixes=("_r", "_o"))
+    assert (got["minx_r"] == -got["maxx_o"]).all()
+    assert (got["maxy_r"] == -got["miny_o"]).all()
+    # duplicate registration rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        F.register_kernel("test-double-x")(lambda t: t)
