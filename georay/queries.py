@@ -677,8 +677,8 @@ def lineitem_pricing(sf_dir: str):
 
 def simplify_rdp(sf_dir: str):
     """RDP simplification over the polygon exteriors (simplify.rs:21-135)
-    — rows-only driver check (recursion isn't SQL-expressible); exact
-    conformance is pytest-gated against the scalar oracle."""
+    — DuckDB-oracled (r3: recursive interval-splitting CTE); exact
+    conformance is also pytest-gated against the scalar oracle."""
     from .kernels import simplify as ksimplify
 
     def f(b: pa.Table) -> pa.Table:
@@ -702,7 +702,8 @@ def simplify_rdp(sf_dir: str):
 
 def poly_hull(sf_dir: str):
     """Per-polygon convex hull vertex count + area (convex_hull/qhull.rs)
-    — rows-only driver check; hull semantics are pytest-gated."""
+    — DuckDB-oracled (r3: strictly-left hull-edge characterization in
+    SQL); hull semantics are also pytest-gated."""
     from . import oracle as _oracle
     from .kernels import hull as khull
 
@@ -816,9 +817,10 @@ def embed_neardup_lsh_pairs(sf_dir: str):
 
 
 def minhash_dedup(sf_dir: str):
-    """MinHash+LSH near-dup groups (rows-only: banded LSH + exact-Jaccard
-    verify aren't SQL-expressible; conformance is pytest-gated against
-    brute-force all-pairs Jaccard)."""
+    """MinHash+LSH near-dup groups.  DuckDB-oracled (r3): at J >= 0.8
+    the 128-perm/32-band LSH misses a true pair with p <= 1e-7, so the
+    oracle's exact-Jaccard + connected-components pipeline matches;
+    conformance is also pytest-gated against brute-force Jaccard."""
     from . import dedup as gdedup
 
     out = (
@@ -836,7 +838,9 @@ def minhash_dedup(sf_dir: str):
 
 
 def simhash_sig(sf_dir: str):
-    """SimHash signatures + near-dup groups (rows-only)."""
+    """SimHash signatures + near-dup groups.  DuckDB-oracled (r3): the
+    exact 64-bit signatures recompute in SQL via HUGEINT mod-2^64
+    rolling-hash + splitmix arithmetic."""
     from . import dedup as gdedup
 
     out = gdedup.simhash_dedup(_testdata(sf_dir, "documents")).to_pandas().sort_values("doc_id")
@@ -850,7 +854,8 @@ def simhash_sig(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str):
-    """Winnowing fingerprint counts per document (rows-only)."""
+    """Winnowing fingerprint counts per document.  DuckDB-oracled (r3:
+    window-min over packed (hash, reversed-position) keys)."""
     from . import text as gtext
 
     def f(b: pa.Table) -> pa.Table:
@@ -869,9 +874,11 @@ def doc_fingerprints(sf_dir: str):
 
 
 def image_stats(sf_dir: str):
-    """Decode + channel means + aHash over the image table (rows-only:
-    PNG decode is not SQL-expressible; pixel-level conformance is
-    pytest-gated against the deterministic generator)."""
+    """Decode + channel means + aHash over the image table.
+    DuckDB-oracled (r3): the oracle regenerates every pixel from the
+    counter-mode splitmix64 stream in SQL and recomputes the stats
+    through the encode->decode path; pixel-level conformance is also
+    pytest-gated."""
     from . import multimodal
 
     paths = datagen.ensure_tables(sf_dir)
@@ -881,7 +888,8 @@ def image_stats(sf_dir: str):
 
 def dbscan_hot(sf_dir: str):
     """DBSCAN over the image points (hot region forms the main cluster;
-    rows-only — pytest-gated against brute force)."""
+    DuckDB-oracled r3 via grid-join + recursive min-label components;
+    also pytest-gated against brute force)."""
     from . import cluster
 
     out = cluster.dbscan(_points(sf_dir), eps=0.5, min_pts=5).to_pandas().sort_values("image_id")
@@ -895,7 +903,8 @@ def dbscan_hot(sf_dir: str):
 
 
 def kmeans_assign(sf_dir: str):
-    """k-means cluster assignment (rows-only; deterministic seeded init)."""
+    """k-means cluster assignment (DuckDB-oracled r3: recursive Lloyd
+    rounds with aggregates; deterministic seeded init)."""
     from . import cluster
 
     _, assign = cluster.kmeans(_points(sf_dir), k=16, max_iter=5)
@@ -906,8 +915,8 @@ def kmeans_radius(sf_dir: str):
     """k-means with the max_radius subdivision constraint
     (kmeans/mod.rs:244-250 + apply_max_radius_constraint): oversized
     clusters split until every cluster fits in 12 degrees — may yield
-    more than k clusters.  Rows-only; determinism + radius-bound are
-    pytest-gated (test_kmeans_tolerance_and_max_radius)."""
+    more than k clusters.  DuckDB-oracled (r3: unrolled materialized
+    CTE split rounds); determinism + radius-bound are pytest-gated."""
     from . import cluster
 
     _, assign = cluster.kmeans(_points(sf_dir), k=16, max_iter=5, max_radius=12.0)
@@ -1030,7 +1039,7 @@ def hausdorff_pairs(sf_dir: str):
 
 def frechet_pairs(sf_dir: str):
     """Discrete Frechet distance between exterior rings for the same pair
-    sample (rows-only: the DP coupling isn't SQL-expressible)."""
+    sample (DuckDB-oracled r3: anti-diagonal recursive-CTE DP)."""
     from .kernels import more as kmore
     from .sqlgen import HAUS_A_MOD, HAUS_B_MOD
 
@@ -1186,7 +1195,9 @@ def interior_points(sf_dir: str):
 
 def tile_clip_areas(sf_dir: str):
     """Raster<->vector tile clipping (Sutherland-Hodgman rect clip per
-    tile; rows-only — per-tile area conservation is pytest-gated)."""
+    tile; DuckDB-oracled r3 via the per-edge clamped Green's integral
+    — no Sutherland-Hodgman vertex list needed in SQL; per-tile area
+    conservation is also pytest-gated)."""
     from . import tiles as gtiles
     from .kernels import clip as kclip
     from .oracle import signed_area as _sarea
@@ -1263,8 +1274,8 @@ def cross_track(sf_dir: str):
 
 
 def vincenty_to_hot(sf_dir: str):
-    """VincentyDistance (vincenty_distance.rs; rows-only — the iterative
-    inverse isn't SQL-expressible; the NYC-London golden is pytest-gated).
+    """VincentyDistance (vincenty_distance.rs; DuckDB-oracled r3 via a
+    recursive fixed-point CTE; the NYC-London golden is pytest-gated).
     Non-convergent (antipodal) rows surface as NULL like the reference's
     Err variant."""
 
@@ -1283,8 +1294,9 @@ def vincenty_to_hot(sf_dir: str):
 
 
 def lof_outliers(sf_dir: str):
-    """Local Outlier Factor scores (outlier_detection.rs; rows-only —
-    pytest-gated against a scalar LOF)."""
+    """Local Outlier Factor scores (outlier_detection.rs; DuckDB-oracled
+    r3 via a certified grid-kNN SQL plan; pytest-gated against a
+    scalar LOF)."""
     from . import cluster
 
     out = cluster.lof_scores(_points(sf_dir), k=10).to_pandas().sort_values("image_id")
@@ -1307,8 +1319,9 @@ QUERIES.update(
 
 def delaunay_stats(sf_dir: str):
     """TriangulateDelaunay (triangulate_delaunay.rs role) per polygon
-    exterior vertex set (rows-only; empty-circumcircle + hull-cover
-    properties are pytest-gated)."""
+    exterior vertex set (DuckDB-oracled r3 via Euler's formula:
+    t = 2n - 2 - boundary; empty-circumcircle + hull-cover properties
+    are pytest-gated)."""
     from .kernels import triangulate as ktri
 
     def f(b: pa.Table) -> pa.Table:
@@ -1341,7 +1354,8 @@ def delaunay_stats(sf_dir: str):
 
 def voronoi_sample(sf_dir: str):
     """Voronoi cells (voronoi.rs role, clip envelope) of a deterministic
-    sample of image points (rows-only; envelope-tiling pytest-gated)."""
+    sample of image points (DuckDB-oracled r3 by direct half-plane
+    intersection; envelope-tiling pytest-gated)."""
     from .kernels import triangulate as ktri
 
     pts_df = (
@@ -1846,8 +1860,8 @@ HCP_LINE = ((-120.0, -30.0), (0.0, 10.0), (120.0, -20.0))
 
 def hav_closest_line(sf_dir: str):
     """HaversineClosestPoint of every sampled point to a fixed 2-segment
-    polyline (haversine_closest_point.rs; rows-only — pytest gates the
-    kernel against the reference's branch semantics)."""
+    polyline (haversine_closest_point.rs; DuckDB-oracled r3 — the full
+    trig chain replays in SQL; pytest gates the branch semantics)."""
     from .kernels import measures as M
 
     lx = np.asarray([p[0] for p in HCP_LINE])
@@ -1973,9 +1987,10 @@ QUERIES["poly_intersect_pairs_shuffle"] = poly_intersect_pairs_shuffle
 def geodesic_to_hot(sf_dir: str):
     """Karney-framework ellipsoidal geodesic distance from sampled
     points to the hot point (kernels/geodesic.py; geodesic.rs surface).
-    Rows-only: the safeguarded-Newton inverse is not SQL-expressible;
-    pytest pins the reference's three-ellipsoid doc goldens and sub-mm
-    Vincenty agreement."""
+    DuckDB-oracled (r3): the canonical-frame equation is monotone in
+    alpha1, so a recursive-CTE bisection with the same GL-32 integrals
+    reaches the identical root — distance AND azimuth hash-match;
+    pytest additionally pins the three-ellipsoid doc goldens."""
     from .kernels.geodesic import geodesic_inverse
     from .sqlgen import HOT_LAT, HOT_LON
 
@@ -2001,8 +2016,9 @@ QUERIES["geodesic_to_hot"] = geodesic_to_hot
 
 def geodesic_poly_area(sf_dir: str):
     """Ellipsoidal polygon area (geodesic_area.rs semantics via Green's
-    theorem + Karney-framework edges; rows-only — pytest pins the
-    reference's London doc golden)."""
+    theorem + Karney-framework edges; DuckDB-oracled r3 — per-edge
+    bisection alpha solves + the same Green's integrand in SQL; pytest
+    pins the reference's London doc golden)."""
     from .kernels.geodesic import geodesic_area_unsigned
 
     def f(b: pa.Table) -> pa.Table:
@@ -2042,9 +2058,9 @@ HAV_DENSIFY_MAX_LEN = 20_000.0  # meters
 def geodesic_dest_pts(sf_dir: str):
     """Karney DIRECT problem per sampled point (geodesic.rs:193
     Destination): bearing / distance derived deterministically from the
-    point's own coordinates.  Rows-only: the sigma2 Newton solve is not
-    SQL-expressible; pytest pins the reference's four doc goldens and
-    the inverse->direct roundtrip to 1e-12 degrees."""
+    point's own coordinates.  DuckDB-oracled (r3): sigma2 is bracketed
+    by [sigma1 + tgt/sqrt(1+k2), sigma1 + tgt] and bisected; pytest
+    pins the four doc goldens and the inverse->direct roundtrip."""
     from .kernels.geodesic import geodesic_destination
 
     def f(b: pa.Table) -> pa.Table:
@@ -2178,8 +2194,8 @@ def line_clip_pieces(sf_dir: str):
     """Exact LineString / Polygon ClipOp (bool_ops ClipRule): per
     intersecting candidate pair, piece counts + inside/outside lengths
     (parametric splitting at ring-edge crossings, midpoint
-    classification).  Conservation (len_in + len_out == line length)
-    is pytest-gated; rows-only for the driver."""
+    classification).  DuckDB-oracled (r3: crossing splits + parity
+    midpoints + LAG run-length); conservation is also pytest-gated."""
     from . import linejoin
 
     paths = datagen.ensure_tables(sf_dir)
