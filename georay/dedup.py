@@ -502,7 +502,13 @@ def lsh_params_for(
     need = np.log(1.0 - target_recall)
     best = (max_tables, 4)
     for bits in range(max_bits, 3, -1):
-        t = int(np.ceil(need / np.log(1.0 - p**bits)))
+        pk = p**bits
+        if pk >= 1.0:
+            # threshold ~ 1.0: every bit always collides — one table of
+            # max length suffices (ADVICE r3: log(0) blowup returned 0
+            # tables and silently emitted no pairs)
+            return (1, bits)
+        t = max(1, int(np.ceil(need / np.log(1.0 - pk))))
         if t <= max_tables:
             best = (t, bits)
             break

@@ -49,17 +49,30 @@ def recover_stranded(root: str) -> list[str]:
     ADVICE r2 lineage finding).  Restores the newest complete aside when
     the final path is absent; removes leftover asides otherwise."""
     restored = []
-    for name in sorted(os.listdir(root)):
+    # group asides per key so repeated crashes restore the NEWEST
+    # complete aside (ADVICE r3: lexicographic scan restored the first)
+    by_key: dict[str, list[str]] = {}
+    for name in os.listdir(root):
         if ".old-" not in name or not name.startswith("part="):
             continue
-        aside = os.path.join(root, name)
-        final = os.path.join(root, name.split(".old-")[0])
-        if (not os.path.exists(final)
-                and os.path.exists(os.path.join(aside, "_lineage.json"))):
-            os.replace(aside, final)
-            restored.append(final)
-        elif os.path.exists(final):
-            shutil.rmtree(aside, ignore_errors=True)
+        by_key.setdefault(name.split(".old-")[0], []).append(name)
+    for key, names in by_key.items():
+        final = os.path.join(root, key)
+        if not os.path.exists(final):
+            complete = [
+                n for n in names
+                if os.path.exists(os.path.join(root, n, "_lineage.json"))
+            ]
+            if complete:
+                newest = max(
+                    complete, key=lambda n: os.stat(os.path.join(root, n)).st_mtime
+                )
+                os.replace(os.path.join(root, newest), final)
+                names = [n for n in names if n != newest]
+                restored.append(final)
+        if os.path.exists(final):
+            for n in names:
+                shutil.rmtree(os.path.join(root, n), ignore_errors=True)
     return restored
 
 

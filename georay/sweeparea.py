@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from . import geom
+from . import geom, texthash
 
 
 def _cell_sweep_area(
@@ -83,6 +83,18 @@ def _cell_sweep_area(
         if proper.any():
             t = d3[proper] / (d3[proper] - d4[proper])
             xs_parts.append(x1[ii[proper]] + t * (x2[ii[proper]] - x1[ii[proper]]))
+    # gaps below are clamped to the cell's y-range, which kinks the
+    # per-strip coverage function wherever a segment crosses y=cy0 or
+    # y=cy1 — those x's MUST be breakpoints or the midpoint rule is no
+    # longer exact (ADVICE r3 high: clamp-kink inside a strip)
+    dy = y2 - y1
+    for yb in (cy0, cy1):
+        crosses = (y1 - yb) * (y2 - yb) < 0.0
+        if crosses.any():
+            xs_parts.append(
+                x1[crosses]
+                + (yb - y1[crosses]) * (x2[crosses] - x1[crosses]) / dy[crosses]
+            )
     xs = np.concatenate(xs_parts)
     xs = np.unique(xs[(xs >= cx0) & (xs <= cx1)])
     if len(xs) < 2:
@@ -143,6 +155,11 @@ def union_area_sweep(polys_ds, cell_deg: float = 45.0):
     def rep(t: pa.Table) -> pa.Table:
         layer = geom.PolygonLayer.from_arrow(t)
         sx1, sy1, sx2, sy2, seg_poly = layer.segments()
+        # GLOBALLY unique polygon keys: 64-bit string hash of the id
+        # (ADVICE r3: suffix parsing limited ids to '-<int>' schemes)
+        pkeys = texthash.hash_strings(
+            pa.array([str(i) for i in layer.poly_ids])
+        ).astype(np.int64)
         rows = {"x1": [], "y1": [], "x2": [], "y2": [], "poly": [], "cell": []}
         # polygon -> ring -> segment ownership: segments() returns per-
         # segment arrays + the owning ring; map ring -> polygon
@@ -153,9 +170,7 @@ def union_area_sweep(polys_ds, cell_deg: float = 45.0):
             iy1 = int(np.clip((layer.bbox[p, 3] + 90.0) // cell_deg, 0, ny - 1))
             rlo, rhi = layer.poly_ring_offsets[p], layer.poly_ring_offsets[p + 1]
             m = (seg_poly >= rlo) & (seg_poly < rhi)
-            # GLOBALLY unique polygon key (batch-local indices from two
-            # batches must not alias inside a shared cell)
-            pkey = int(str(layer.poly_ids[p]).rsplit("-", 1)[-1])
+            pkey = int(pkeys[p])
             for ix in range(ix0, ix1 + 1):
                 for iy in range(iy0, iy1 + 1):
                     rows["x1"].append(sx1[m])

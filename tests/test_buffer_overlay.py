@@ -492,3 +492,39 @@ def test_union_sweep_bounds_dissolve(ray_session, tiny_sf):
     # snap quantization bound: 1e-9 * extent(360) * total boundary length
     assert exact > 0
     assert abs(exact - total) < 1e-4 * max(1.0, exact)
+
+
+def test_cell_sweep_clamp_kink_exact():
+    """ADVICE r3 high: a segment crossing the cell's horizontal boundary
+    kinks the clamped coverage mid-strip; the crossing x's must be
+    breakpoints.  Triangle crossing y=0 + a small square that adds
+    vertex breakpoints in only one of the two cells."""
+    from georay.sweeparea import _cell_sweep_area
+
+    def segs(coords, pid):
+        c = np.array(coords + [coords[0]], float)
+        return c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1], np.full(len(c) - 1, pid)
+
+    tri = segs([(0, -4), (8, -4), (4, 6)], 0)
+    sq_hi = segs([(1, 8), (3, 8), (3, 9), (1, 9)], 1)
+    x1, y1, x2, y2, poly = (
+        np.concatenate([tri[i], sq_hi[i]]) for i in range(5)
+    )
+    a = _cell_sweep_area(x1, y1, x2, y2, poly.astype(np.int64), 0.0, 0.0, 10.0, 10.0)
+    # triangle part above y=0 is (1.6,0),(6.4,0),(4,6): 14.4; square: 2
+    assert a == pytest.approx(16.4, abs=1e-9)
+
+    # lower cell with an overlapping square straddling the triangle edge
+    sq_lo = segs([(1, -3), (3, -3), (3, -1), (1, -1)], 1)
+    x1, y1, x2, y2, poly = (
+        np.concatenate([tri[i], sq_lo[i]]) for i in range(5)
+    )
+    a_lo = _cell_sweep_area(x1, y1, x2, y2, poly.astype(np.int64), 0.0, -10.0, 10.0, 0.0)
+    a_hi = _cell_sweep_area(x1, y1, x2, y2, poly.astype(np.int64), 0.0, 0.0, 10.0, 10.0)
+    # analytic: triangle below y=0 is a trapezoid area 40-14.4=25.6; the
+    # square [1,3]x[-3,-1] sticks out of the triangle left of its left
+    # edge x(y)=(y+4)/2.5 -> outside area = int_{-3}^{-1} max(0,(y+4)/2.5-1) dy
+    # = int 0.4y+0.6 dy from -3(x=0.4)..-1(x=1.2): left edge enters square at
+    # y where (y+4)/2.5=1 -> y=-1.5; outside = int_{-1.5}^{-1}((y+4)/2.5-1)dy = 0.05
+    assert a_lo == pytest.approx(25.65, abs=1e-9)
+    assert a_hi == pytest.approx(14.4, abs=1e-9)

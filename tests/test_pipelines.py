@@ -168,3 +168,44 @@ def test_poly_poly_intersects_vs_oracle(sf):
                 want.add((str(layer.poly_ids[ia]), str(layer.poly_ids[ib])))
     assert got_pairs == want
     assert len(want) > 0  # the hot region forces real overlaps
+
+
+def test_recover_stranded_picks_newest_aside(tmp_path):
+    """ADVICE r3: several crash asides for one key -> restore the one
+    with the newest mtime, delete the rest."""
+    import json as _json
+    import time as _time
+
+    from georay import lineage
+
+    root = str(tmp_path / "out")
+    os.makedirs(root)
+
+    def mk_aside(suffix, marker, age):
+        d = os.path.join(root, f"part=k7.old-{suffix}")
+        os.makedirs(d)
+        with open(os.path.join(d, "_lineage.json"), "w") as f:
+            _json.dump({"partition": "k7", "rows": marker}, f)
+        t = _time.time() - age
+        os.utime(d, (t, t))
+        return d
+
+    # lexicographically FIRST aside is the OLDEST (regression shape)
+    mk_aside("100-5", 1, age=100)
+    mk_aside("999-1", 2, age=10)  # newest by mtime, lexicographically later
+    restored = lineage.recover_stranded(root)
+    final = os.path.join(root, "part=k7")
+    assert restored == [final]
+    with open(os.path.join(final, "_lineage.json")) as f:
+        assert _json.load(f)["rows"] == 2
+    assert [n for n in os.listdir(root) if ".old-" in n] == []
+
+
+def test_lsh_params_threshold_one():
+    """ADVICE r3: threshold ~= 1.0 must not degenerate to zero tables."""
+    from georay.dedup import lsh_params_for
+
+    t, b = lsh_params_for(1.0)
+    assert t >= 1 and b >= 4
+    t, b = lsh_params_for(0.9999)
+    assert t >= 1
