@@ -80,6 +80,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # components — the bucketed-vectorized shuffle tail (r3 rewrite
         # of the per-key Python map_groups stages; VERDICT r2 #1)
         ("minhash_dedup", queries.minhash_dedup),
+        # temporal family — r4 bucket-vectorized rewrite (temporal.py):
+        # P bucket invocations replace one Python call per user
+        ("sessionize", queries.sessionize),
+        ("sliding_window", queries.sliding_window),
+        ("asof_join", queries.asof_join),
     ]
     for name, fn in subset:
         t0 = time.time()
@@ -111,6 +116,37 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         times[f"knn_full_{n_knn // 1000000}m"] = round(dt, 3)
         times["knn_full_rows_per_sec"] = round(n_knn / dt)
         assert n_rows == n_knn * 5, (n_rows, n_knn)
+
+    # temporal at scale (r4): the sf events table has too few users to
+    # stress the per-key path; 2M events x 200k users exposes it (the
+    # old per-user map_groups runs this in ~67 s; bucketed ~1 s)
+    n_tmp = int(os.environ.get("GEORAY_TEMPORAL_POINTS", "2000000"))
+    if n_tmp:
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from georay import temporal
+        from georay.sqlgen import SESSION_GAP_US, SLIDE_WINDOW_US
+
+        rs = np.random.RandomState(7)
+        tbl = pa.table({
+            "event_id": pa.array(np.arange(n_tmp, dtype=np.int64)),
+            "user_id": pa.array(rs.randint(0, n_tmp // 10, n_tmp).astype(np.int64)),
+            "ts": pa.array(
+                np.int64(1704067200_000_000)
+                + rs.randint(0, 30 * 86400 * 1_000_000, n_tmp).astype(np.int64)
+            ).cast(pa.timestamp("us")),
+            "value": pa.array(np.round(rs.uniform(0, 500, n_tmp), 2)),
+        })
+        ds = rd.from_arrow(tbl).repartition(32).materialize()
+        t0 = time.time()
+        n1 = temporal.sessionize_ds(ds, SESSION_GAP_US).count()
+        n2 = temporal.sliding_window_ds(ds, SLIDE_WINDOW_US).count()
+        dt = time.time() - t0
+        assert n1 == n_tmp and n2 == n_tmp
+        times[f"temporal_{n_tmp // 1000000}m"] = round(dt, 3)
+        times["temporal_rows_per_sec"] = round(2 * n_tmp / dt)
     return times
 
 

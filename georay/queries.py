@@ -558,71 +558,30 @@ def poly_validity(sf_dir: str):
 
 
 def asof_join(sf_dir: str):
-    """As-of join (events x orders): per-user merge_asof inside
-    map_groups over the user-partitioned event log (the reference has no
-    temporal joins; this is the Ray-native as-of pattern with the small
-    side broadcast)."""
-    import pandas as pd
+    """As-of join (events x orders), bucket-vectorized: both sides
+    co-shuffle by hash(user) % P, one searchsorted over segment-lifted
+    timestamps resolves every event's predecessor order (temporal.py —
+    no per-user Python, no whole-orders broadcast)."""
+    from . import temporal
 
-    orders = (
-        _testdata(sf_dir, "orders")
-        .to_pandas()
-        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
-        .max()
-        .sort_values(["o_custkey", "o_orderdate"])
-        .reset_index(drop=True)
+    ev = _testdata(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
-    oref = ray.put(orders)
-
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        odf = ray.get(oref)
-        uid = int(g["user_id"].iloc[0])
-        right = odf[odf["o_custkey"] == uid]
-        g = g.sort_values(["ts", "event_id"])
-        if right.empty:
-            return pd.DataFrame({"event_id": [], "o_orderkey": []}).astype(
-                {"event_id": "int64", "o_orderkey": "int64"}
-            )
-        out = pd.merge_asof(
-            g[["event_id", "ts"]],
-            right[["o_orderdate", "o_orderkey"]],
-            left_on="ts",
-            right_on="o_orderdate",
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        out = out.dropna(subset=["o_orderkey"])
-        return pd.DataFrame(
-            {"event_id": out["event_id"].astype("int64"), "o_orderkey": out["o_orderkey"].astype("int64")}
-        )
-
-    ev = _testdata(sf_dir, "events")
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return temporal.asof_join_ds(ev, orders)
 
 
 def sessionize(sf_dir: str):
     """Session windows (30-min gap) per user over the event log —
-    groupby(key).map_groups windowing over the sorted group (streaming-
-    shaped op; ordering assumption: per-user groups fit in memory)."""
-    import pandas as pd
-
+    bucket-vectorized (temporal.py): hash(user) buckets, one lexsort per
+    bucket, boundary-flag + reduceat session ids across ALL users at
+    once (no per-user map_groups)."""
+    from . import temporal
     from .sqlgen import SESSION_GAP_US
 
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        t = g["ts"].astype("int64")
-        brk = (t.diff().fillna(0) > SESSION_GAP_US).astype("int64")
-        sess = brk.cumsum()
-        first = g.groupby(sess)["event_id"].transform("min")
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"].astype("int64"),
-                "user_id": g["user_id"].astype("int64"),
-                "session_id": first.astype("int64"),
-            }
-        )
-
-    return _testdata(sf_dir, "events").groupby("user_id").map_groups(per_user, batch_format="pandas")
+    ev = _testdata(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    return temporal.sessionize_ds(ev, SESSION_GAP_US)
 
 
 def lineitem_pricing(sf_dir: str):
@@ -1459,31 +1418,17 @@ QUERIES["bool_pair_areas"] = bool_pair_areas
 
 
 def sliding_window(sf_dir: str):
-    """Trailing 1-hour sliding window per user (streaming-shaped op:
-    sorted per-key group + two searchsorted passes — the RANGE-frame
-    window of the SQL oracle)."""
-    import pandas as pd
-
+    """Trailing 1-hour RANGE-frame window per user — bucket-vectorized
+    (temporal.py): hash(user) buckets, segment-lifted global
+    searchsorted bounds + per-user prefix sums across ALL users at once
+    (no per-user map_groups)."""
+    from . import temporal
     from .sqlgen import SLIDE_WINDOW_US
 
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        t = g["ts"].astype("int64").to_numpy()
-        v = g["value"].to_numpy()
-        csum = np.concatenate([[0.0], np.cumsum(v)])
-        # NOTE: RANGE frames span equal-timestamp peers on both ends
-        lo = np.searchsorted(t, t - SLIDE_WINDOW_US, side="left")
-        hi = np.searchsorted(t, t, side="right")
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"].astype("int64"),
-                "user_id": g["user_id"].astype("int64"),
-                "n_in_window": (hi - lo).astype("int64"),
-                "sum_in_window": np.round(csum[hi] - csum[lo], 6),
-            }
-        )
-
-    return _testdata(sf_dir, "events").groupby("user_id").map_groups(per_user, batch_format="pandas")
+    ev = _testdata(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    return temporal.sliding_window_ds(ev, SLIDE_WINDOW_US)
 
 
 QUERIES["sliding_window"] = sliding_window

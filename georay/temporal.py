@@ -1,0 +1,234 @@
+"""Bucket-vectorized temporal operators: sessionize, sliding window,
+as-of join.
+
+The r1-r3 versions ran ``groupby(user_id).map_groups(per_user_fn)`` —
+one Python+pandas invocation per user, i.e. 10^9 Python calls at 10^9
+users (VERDICT r3 "What's wrong #1", the last per-key-Python family).
+These rewrites use the :mod:`shuffleops` shape instead:
+
+  1. shuffle by ``hash(user_id) % P`` (P a few hundred, so Ray invokes
+     Python P times, not once per user);
+  2. inside each bucket, ONE lexsort by (user, ts, tiebreak) puts every
+     user's events contiguous and time-ordered;
+  3. sessions / windows / as-of matches are then computed for ALL users
+     of the bucket at once with boundary-flag + cumsum + reduceat +
+     searchsorted numpy kernels — no per-user Python.
+
+Cross-user searchsorted trick (sliding window, as-of): per-user segment
+ids ``seg`` lift timestamps into disjoint int64 ranges
+``seg * span + (ts - ts_min)`` with ``span > ts_range + window``, so a
+single global ``np.searchsorted`` respects user boundaries.  The lift
+is overflow-checked; a bucket would need ~10^6 users x a century of
+microseconds to overflow, at which point raise and ask for a larger P.
+
+Partitioning assumption (custom-operator rule): one user's events never
+split across buckets (hash partitioning guarantees it), and one BUCKET
+fits in a worker's heap — P scales with input size like shuffleops.
+
+Determinism: every kernel consumes the bucket in (user, ts, id) sorted
+order, so results are bit-identical across num_cpus / partitionings
+(checked by tools/check_determinism.py for sessionize).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .shuffleops import DEFAULT_P, bucket_ids
+
+_TS = pa.timestamp("us")
+
+
+def _segments(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(seg_id per row, segment start indices) for a sorted key array."""
+    new = np.r_[True, u[1:] != u[:-1]]
+    sidx = np.nonzero(new)[0]
+    return np.cumsum(new) - 1, sidx
+
+
+def _lift(seg: np.ndarray, t: np.ndarray, pad: int) -> np.ndarray:
+    """Lift per-segment-sorted timestamps into one globally sorted int64
+    axis: seg * span + (t - t_min), span > range + pad."""
+    if len(t) == 0:
+        return t.astype(np.int64)
+    tn = t - t.min()
+    span = int(tn.max()) + int(pad) + 2
+    nseg = int(seg[-1]) + 1 if len(seg) else 1
+    if nseg * span >= 2**62:
+        raise ValueError(
+            "temporal bucket overflow: too many users x ts-range per "
+            "bucket — increase p"
+        )
+    return seg * span + tn
+
+
+def sessionize_ds(events, gap_us: int, p: int = DEFAULT_P,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id"):
+    """Session windows (``gap_us`` inactivity gap) per user.  Output:
+    (event_id, user_id, session_id) with session_id = min event_id of
+    the session (the SQL-oracle convention, sqlgen.q_sessionize)."""
+
+    def prepare(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, user_col, ts_col])
+        return t.append_column("__bucket", pa.array(bucket_ids(t.column(user_col), p)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        e = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = g.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(e) == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("event_id", "user_id", "session_id")})
+        o = np.lexsort((e, t, u))
+        e, u, t = e[o], u[o], t[o]
+        # a session breaks at a user boundary or a gap > gap_us
+        new = np.r_[True, (u[1:] != u[:-1]) | (t[1:] - t[:-1] > gap_us)]
+        sidx = np.nonzero(new)[0]
+        grp = np.cumsum(new) - 1
+        first = np.minimum.reduceat(e, sidx)
+        return pa.table({
+            "event_id": pa.array(e),
+            "user_id": pa.array(u),
+            "session_id": pa.array(first[grp]),
+        })
+
+    return (
+        events.map_batches(prepare, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def sliding_window_ds(events, window_us: int, p: int = DEFAULT_P,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id", value_col: str = "value"):
+    """Trailing RANGE-frame window per user: count + sum of the user's
+    events in ``(ts - window_us, ts]`` spanning equal-ts peers (the SQL
+    RANGE frame, sqlgen.q_sliding_window)."""
+
+    def prepare(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, user_col, ts_col, value_col])
+        return t.append_column("__bucket", pa.array(bucket_ids(t.column(user_col), p)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        e = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = g.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(e) == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "n_in_window": pa.array([], pa.int64()),
+                "sum_in_window": pa.array([], pa.float64()),
+            })
+        o = np.lexsort((e, t, u))
+        e, u, t, v = e[o], u[o], t[o], v[o]
+        seg, sidx = _segments(u)
+        ta = _lift(seg, t, window_us)
+        lo = np.searchsorted(ta, ta - window_us, side="left")
+        hi = np.searchsorted(ta, ta, side="right")
+        # per-user prefix sums: global cumsum minus the cumsum at each
+        # user's segment start (values are O(100), buckets O(10^5) rows
+        # -> fp error << the 1e-6 rounding below)
+        cum = np.concatenate([[0.0], np.cumsum(v)])
+        off = cum[sidx][seg]
+        s = np.round((cum[hi] - off) - (cum[lo] - off), 6)
+        return pa.table({
+            "event_id": pa.array(e),
+            "user_id": pa.array(u),
+            "n_in_window": pa.array((hi - lo).astype(np.int64)),
+            "sum_in_window": pa.array(s),
+        })
+
+    return (
+        events.map_batches(prepare, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def asof_join_ds(events, right, p: int = DEFAULT_P,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id",
+                 right_key: str = "o_custkey", right_ts: str = "o_orderdate",
+                 right_val: str = "o_orderkey"):
+    """Backward as-of join: for every event, the right row of the same
+    user with the greatest ``right_ts <= ts`` (exact matches allowed).
+    The right side is deduped to max(right_val) per (key, ts) so ties
+    are deterministic (mirrors sqlgen.q_asof_join).
+
+    BOTH sides co-shuffle into the same hash(user) buckets — no
+    driver-side materialization and no whole-table broadcast (VERDICT
+    r3: the 'small' side is O(customers) and grows with the corpus).
+    Inside a bucket, one searchsorted over segment-lifted timestamps
+    resolves every event's predecessor order at once.
+    """
+
+    def prep_left(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "__side": pa.array(np.ones(len(b), dtype=bool)),
+            "__uid": b.column(user_col).combine_chunks().cast(pa.int64()),
+            "__ts": b.column(ts_col).combine_chunks().cast(_TS),
+            "__a": b.column(id_col).combine_chunks().cast(pa.int64()),
+        })
+        return t.append_column("__bucket", pa.array(bucket_ids(t.column("__uid"), p)))
+
+    def prep_right(b: pa.Table) -> pa.Table:
+        # partial (key, ts) -> max(val) pre-collapse before the shuffle
+        # (associative, so the per-bucket re-reduce below is exact)
+        r = (
+            b.select([right_key, right_ts, right_val])
+            .group_by([right_key, right_ts])
+            .aggregate([(right_val, "max")])
+        )
+        t = pa.table({
+            "__side": pa.array(np.zeros(len(r), dtype=bool)),
+            "__uid": r.column(right_key).combine_chunks().cast(pa.int64()),
+            "__ts": r.column(right_ts).combine_chunks().cast(_TS),
+            "__a": r.column(f"{right_val}_max").combine_chunks().cast(pa.int64()),
+        })
+        return t.append_column("__bucket", pa.array(bucket_ids(t.column("__uid"), p)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        uid = g.column("__uid").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("__ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = g.column("__a").to_numpy(zero_copy_only=False).astype(np.int64)
+        eu, et, eid = uid[side], ts[side], val[side]
+        ou, ot, ov = uid[~side], ts[~side], val[~side]
+        if len(eu) == 0 or len(ou) == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+            })
+        # finish the (key, ts) -> max(val) reduce across input batches
+        ro = np.lexsort((ov, ot, ou))
+        ou, ot, ov = ou[ro], ot[ro], ov[ro]
+        last = np.r_[(ou[1:] != ou[:-1]) | (ot[1:] != ot[:-1]), True]
+        ou, ot, ov = ou[last], ot[last], ov[last]
+        # shared user->segment mapping lifts both sides onto one axis
+        users = np.unique(np.concatenate([eu, ou]))
+        tmin = min(et.min(), ot.min())
+        span = int(max(et.max(), ot.max()) - tmin) + 2
+        if len(users) * span >= 2**62:
+            raise ValueError("asof bucket overflow — increase p")
+        ea = np.searchsorted(users, eu) * span + (et - tmin)
+        oa = np.searchsorted(users, ou) * span + (ot - tmin)
+        idx = np.searchsorted(oa, ea, side="right") - 1
+        ok = idx >= 0
+        ok[ok] &= ou[idx[ok]] == eu[ok]  # predecessor must be the same user
+        return pa.table({
+            "event_id": pa.array(eid[ok]),
+            "o_orderkey": pa.array(ov[idx[ok]]),
+        })
+
+    return (
+        events.map_batches(prep_left, batch_format="pyarrow")
+        .union(right.map_batches(prep_right, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

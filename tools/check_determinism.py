@@ -25,6 +25,8 @@ QUERIES = [
     "knn_all",
     "pip_count_by_polygon",
     "sessionize",
+    "asof_join",
+    "sliding_window",
     "kmeans_radius",
     "image_stats",
 ]
