@@ -269,9 +269,13 @@ def _testdata(sf_dir: str, name: str):
 def dedup_exact(sf_dir: str):
     """Exact dedup: content-hash partition + per-group min-id survivor."""
 
+    from . import text as gtext
+
     def add_hash(b: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in b.column("text").to_pylist()]
-        return pa.table({"content_hash": pa.array(hs), "doc_id": b.column("doc_id")})
+        return pa.table({
+            "content_hash": gtext.content_md5(b.column("text")),
+            "doc_id": b.column("doc_id"),
+        })
 
     from ray.data.aggregate import Count, Min
 
@@ -291,15 +295,18 @@ _WS = re.compile(r"\s+")
 
 
 def token_stats(sf_dir: str):
+    """Char + whitespace-token counts — two Arrow C++ kernels per batch
+    (utf8_length + one RE2 counting pass; r4 vectorization of the
+    per-doc split loop)."""
+    from . import text as gtext
+
     def f(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        n_chars = np.asarray([len(t) for t in texts], dtype=np.int64)
-        n_tokens = np.asarray(
-            [0 if not t.strip() else len(_WS.split(t.strip())) for t in texts], dtype=np.int64
-        )
-        return pa.table(
-            {"doc_id": b.column("doc_id"), "n_chars": pa.array(n_chars), "n_tokens": pa.array(n_tokens)}
-        )
+        txt = b.column("text")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+            "n_tokens": pc.cast(gtext.token_count_batch(txt), pa.int64()),
+        })
 
     return _testdata(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
 
@@ -317,23 +324,18 @@ def _round_half_away(x: float, digits: int) -> float:
 
 
 def quality_score(sf_dir: str):
+    """Punctuation density + mean token length — three RE2 counting
+    passes per batch (r4 vectorization of the per-doc regex loop;
+    scalar semantics preserved, see text.quality_batch)."""
+    from . import text as gtext
+
     def f(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        pr, mtl = [], []
-        for t in texts:
-            n = max(len(t), 1)
-            pr.append(_round_half_away(len(_PUNCT.sub("", t)) / n, 4))
-            st = t.strip()
-            if not st:
-                mtl.append(0.0)
-            else:
-                toks = _WS.split(st)
-                mtl.append(_round_half_away(len(_WS.sub("", st)) / len(toks), 2))
+        pr, mtl = gtext.quality_batch(b.column("text"))
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),
-                "punct_ratio": pa.array(np.asarray(pr)),
-                "mean_tok_len": pa.array(np.asarray(mtl)),
+                "punct_ratio": pa.array(pr),
+                "mean_tok_len": pa.array(mtl),
             }
         )
 
@@ -706,12 +708,17 @@ QUERIES.update(
 # ---------------------------------------------------------------------------
 
 def lang_guess(sf_dir: str):
-    """Heuristic language-ID (stopword-ratio argmax; georay.text)."""
+    """Heuristic language-ID (stopword-hit argmax; r4: vectorized token
+    hashing + per-language isin — no per-document Python, see
+    text.lang_guess_batch)."""
     from . import text as gtext
 
     def f(b: pa.Table) -> pa.Table:
-        guesses = [gtext.guess_lang(t) for t in b.column("text").to_pylist()]
-        return pa.table({"doc_id": b.column("doc_id"), "lang_guess": pa.array(guesses)})
+        guesses = gtext.lang_guess_batch(b.column("text"))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang_guess": pa.array(guesses, pa.string()),
+        })
 
     return _testdata(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
 
@@ -814,18 +821,18 @@ def simhash_sig(sf_dir: str):
 
 def doc_fingerprints(sf_dir: str):
     """Winnowing fingerprint counts per document.  DuckDB-oracled (r3:
-    window-min over packed (hash, reversed-position) keys)."""
+    window-min over packed (hash, reversed-position) keys).  r4: fully
+    vectorized — lane-parallel md5 k-gram hashes + sliding-window-min
+    (text.winnow_stats_batch), no per-document Python."""
     from . import text as gtext
 
     def f(b: pa.Table) -> pa.Table:
-        fps = [gtext.winnow_fingerprints(t) for t in b.column("text").to_pylist()]
+        n_fp, min_fp = gtext.winnow_stats_batch(b.column("text"))
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),
-                "n_fingerprints": pa.array([len(x) for x in fps], pa.int64()),
-                "min_fp": pa.array(
-                    [min((h for _, h in x), default=0) for x in fps], pa.int64()
-                ),
+                "n_fingerprints": pa.array(n_fp),
+                "min_fp": pa.array(min_fp),
             }
         )
 

@@ -60,26 +60,79 @@ def _flat_utf8(arr) -> tuple[np.ndarray, np.ndarray]:
     return offs, data
 
 
-def _prefix_tables(data: np.ndarray, upto: int):
-    """pw, S prefix arrays over data[:upto] (uint64 wraparound)."""
+_POW_CAP = 1 << 22  # base power-table length (32 MB per table)
+_POW_CACHES: dict = {}
+
+
+def _power_table(base: np.uint64, n: int) -> np.ndarray:
+    """[base^0 .. base^(n-1)] mod 2^64.  The tables depend only on n —
+    r4: the old per-call ``cumprod`` was a SEQUENTIAL pass over the
+    whole flat buffer length on every batch (the dominant cost of
+    token/shingle hashing).  Now a capped base table plus a stride
+    table are cached per process, and long outputs are two gathers and
+    one vectorized multiply."""
+    if n > 4096 * _POW_CAP:
+        raise ValueError("flat buffer too large for one hashing batch")
+    key = int(base)
+    old = np.seterr(over="ignore")
+    try:
+        cached = _POW_CACHES.get(key)
+        if cached is None or len(cached[0]) < min(n, _POW_CAP):
+            lo = np.empty(min(max(n, 1024), _POW_CAP), np.uint64)
+            lo[0] = np.uint64(1)
+            if len(lo) > 1:
+                lo[1:] = np.cumprod(np.full(len(lo) - 1, base, np.uint64))
+            stride = lo[-1] * base  # base^len(lo)
+            hi = np.empty(4096, np.uint64)
+            hi[0] = np.uint64(1)
+            hi[1:] = np.cumprod(np.full(4095, stride, np.uint64))
+            cached = (lo, hi)
+            _POW_CACHES[key] = cached
+        lo, hi = cached
+        if n <= len(lo):
+            return lo[:n]
+        idx = np.arange(n, dtype=np.int64)
+        return hi[idx >> 22] * lo[idx & (_POW_CAP - 1)]
+    finally:
+        np.seterr(**old)
+
+
+def _pow_at(base: np.uint64, idx: np.ndarray) -> np.ndarray:
+    """base^idx evaluated only AT the given indices (two gathers + one
+    multiply) — span hashing needs powers at span ENDPOINTS, never the
+    full table (r4: the old full-length table was 2 extra passes over
+    the whole flat buffer)."""
+    cached = _POW_CACHES.get(int(base))
+    if cached is None or len(cached[0]) < _POW_CAP:
+        _power_table(base, _POW_CAP)
+        cached = _POW_CACHES[int(base)]
+    lo, hi = cached
+    old = np.seterr(over="ignore")
+    try:
+        return hi[idx >> 22] * lo[idx & (_POW_CAP - 1)]
+    finally:
+        np.seterr(**old)
+
+
+def _prefix_sums(data: np.ndarray, upto: int) -> np.ndarray:
+    """S[i] = sum_{j<i} data[j] * B^-j (uint64 wraparound) — the one
+    unavoidably full-length table (data-dependent cumsum)."""
     old = np.seterr(over="ignore")
     try:
         n = int(upto)
-        pw = np.empty(n + 1, np.uint64)
-        pw[0] = np.uint64(1)
-        if n:
-            pw[1:] = np.cumprod(np.full(n, _B, np.uint64))
-        ipw = np.empty(n, np.uint64)
-        if n:
-            ipw[0] = np.uint64(1)
-            if n > 1:
-                ipw[1:] = np.cumprod(np.full(n - 1, _BINV, np.uint64))
-        S = np.zeros(n + 1, np.uint64)  # S[i] = prefix over data[:i]
+        ipw = _power_table(_BINV, n)
+        S = np.zeros(n + 1, np.uint64)
         if n:
             S[1:] = np.cumsum(data[:n].astype(np.uint64) * ipw, dtype=np.uint64)
-        return pw, S
+        return S
     finally:
         np.seterr(**old)
+
+
+def _prefix_tables(data: np.ndarray, upto: int):
+    """pw, S prefix arrays over data[:upto] (uint64 wraparound).
+    Back-compat shim — new code uses _prefix_sums + _span_hash_pts."""
+    return _power_table(_B, int(upto) + 1), _prefix_sums(data, upto)
 
 
 def _span_hash(ws: np.ndarray, we: np.ndarray, pw: np.ndarray, S: np.ndarray) -> np.ndarray:
@@ -94,6 +147,75 @@ def _span_hash(ws: np.ndarray, we: np.ndarray, pw: np.ndarray, S: np.ndarray) ->
         np.seterr(**old)
 
 
+def _span_hash_pts(ws: np.ndarray, we: np.ndarray, S: np.ndarray) -> np.ndarray:
+    """_span_hash with B-powers evaluated only at the span endpoints
+    (no full pw table)."""
+    old = np.seterr(over="ignore")
+    try:
+        wl = (we - ws).astype(np.uint64)
+        core = _pow_at(_B, np.maximum(we - 1, 0).astype(np.int64)) * (S[we] - S[ws])
+        return _mix64(core ^ (wl * _LEN_SALT))
+    finally:
+        np.seterr(**old)
+
+
+def _horner_fixed(ws: np.ndarray, k: int, data: np.ndarray) -> np.ndarray:
+    """Span-hash CORE for n spans of identical length k, Horner form
+    (sum byte[j] * B^(k-1-j) == the _span_hash polynomial): k byte
+    gathers + in-place uint64 ops, NO prefix tables (r4 — the tables
+    were several full-buffer passes per batch)."""
+    n = len(ws)
+    h = np.zeros(n, np.uint64)
+    old = np.seterr(over="ignore")
+    try:
+        for j in range(k):
+            h *= _B
+            h += data[ws + j]
+        return h
+    finally:
+        np.seterr(**old)
+
+
+def _horner_var(ws: np.ndarray, lens: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Span-hash core for variable-length spans: sort by length
+    descending once, then spans still active at char j form a PREFIX —
+    every Horner step is contiguous slice arithmetic (no masks)."""
+    n = len(ws)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    maxl = int(lens.max())
+    if maxl and int(lens.min()) == maxl:
+        return _horner_fixed(ws, maxl, data)
+    order = np.argsort(-lens.astype(np.int64), kind="stable")
+    wss = ws[order]
+    csum = np.cumsum(np.bincount(lens.astype(np.int64), minlength=maxl + 1))
+    h = np.zeros(n, np.uint64)
+    old = np.seterr(over="ignore")
+    try:
+        for j in range(maxl):
+            m = n - int(csum[j])  # spans with length > j
+            if m == 0:
+                break
+            hj = h[:m]
+            hj *= _B
+            hj += data[wss[:m] + j]
+        out = np.empty(n, np.uint64)
+        out[order] = h
+        return out
+    finally:
+        np.seterr(**old)
+
+
+def span_hashes(ws: np.ndarray, lens: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Finalized span hashes (== _span_hash values) via Horner —
+    table-free."""
+    old = np.seterr(over="ignore")
+    try:
+        return _mix64(_horner_var(ws, lens, data) ^ (lens.astype(np.uint64) * _LEN_SALT))
+    finally:
+        np.seterr(**old)
+
+
 def shingle_hash_multisets(arr, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     """Per-document byte-k-gram hashes WITH duplicates (one per window).
     Minwise signatures are duplicate-invariant, so this is the fast path
@@ -102,15 +224,13 @@ def shingle_hash_multisets(arr, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     n_docs = len(offs) - 1
     if n_docs == 0:
         return np.zeros(1, np.int64), np.zeros(0, np.uint64)
-    pw, S = _prefix_tables(data, int(offs[-1]))
     lens = offs[1:] - offs[:-1]
     wc = np.where(lens >= k, lens - k + 1, 1)  # short doc -> 1 whole-doc gram
     total = int(wc.sum())
     within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(wc) - wc, wc)
     ws = np.repeat(offs[:-1], wc) + within
     wl = np.where(np.repeat(lens, wc) >= k, k, np.repeat(lens, wc))
-    we = ws + wl
-    h = _span_hash(ws, we, pw, S)
+    h = span_hashes(ws, wl, data)
     out_offs = np.zeros(n_docs + 1, np.int64)
     np.cumsum(wc, out=out_offs[1:])
     return out_offs, h
@@ -227,26 +347,64 @@ def hash_strings(arr) -> np.ndarray:
     offs, data = _flat_utf8(arr)
     if len(offs) - 1 == 0:
         return np.zeros(0, np.uint64)
-    pw, S = _prefix_tables(data, int(offs[-1]))
-    return _span_hash(offs[:-1], offs[1:], pw, S)
+    return span_hashes(offs[:-1], offs[1:] - offs[:-1], data)
+
+
+_WS_BYTES = np.zeros(256, bool)
+for _b in (9, 10, 11, 12, 13, 32):
+    _WS_BYTES[_b] = True
 
 
 def token_hashes(arr) -> tuple[np.ndarray, np.ndarray]:
     """Per-document whitespace-token hashes (one hash per OCCURRENCE,
-    not distinct).  Returns (token_offsets int64 (n+1), flat uint64)."""
+    not distinct).  Returns (token_offsets int64 (n+1), flat uint64).
+
+    ASCII fast path (r4): token spans are found directly in the flat
+    document byte buffer (whitespace-byte transitions), so no per-token
+    string array is ever materialized; hashes are span hashes over the
+    doc buffer — identical values, the polynomial hash only sees the
+    span's own bytes.  Non-ASCII batches fall back to Arrow's unicode
+    splitter."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    offs, data = _flat_utf8(arr)
+    n_docs = len(offs) - 1
+    if n_docs == 0:
+        return np.zeros(1, np.int64), np.zeros(0, np.uint64)
+    if len(data) == 0 or int(data.max()) < 128:
+        nonws = ~_WS_BYTES[data]
+        # doc boundaries also terminate tokens: treat each doc start as
+        # "preceded by whitespace"
+        prev_nonws = np.zeros(len(data), bool)
+        prev_nonws[1:] = nonws[:-1]
+        prev_nonws[offs[:-1][offs[:-1] < len(data)]] = False
+        starts = np.nonzero(nonws & ~prev_nonws)[0]
+        next_nonws = np.zeros(len(data), bool)
+        next_nonws[:-1] = nonws[1:]
+        next_nonws[(offs[1:] - 1)[(offs[1:] - 1) >= 0]] = False
+        ends = np.nonzero(nonws & ~next_nonws)[0] + 1
+        doc_of_tok = np.searchsorted(offs, starts, side="right") - 1
+        tok_counts = np.bincount(doc_of_tok, minlength=n_docs)
+        doc_offs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(tok_counts, out=doc_offs[1:])
+        if len(starts) == 0:
+            return doc_offs, np.zeros(0, np.uint64)
+        return doc_offs, span_hashes(starts, ends - starts, data)
     toks = pc.utf8_split_whitespace(arr)
     flat_tokens = toks.flatten()
-    # list offsets -> tokens per doc
-    tok_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_offs = np.zeros(len(arr) + 1, np.int64)
-    np.cumsum(tok_counts, out=doc_offs[1:])
-    offs, data = _flat_utf8(flat_tokens)
-    if len(offs) - 1 == 0:
+    # Arrow's splitter emits EMPTY tokens at leading/trailing
+    # whitespace; Python split() (and the SQL oracles' list_filter) do
+    # not — drop them so both paths agree (r4)
+    raw_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    toffs, tdata = _flat_utf8(flat_tokens)
+    tok_lens = toffs[1:] - toffs[:-1]
+    keep = tok_lens > 0
+    doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), raw_counts)[keep]
+    doc_offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(np.bincount(doc_of_tok, minlength=n_docs), out=doc_offs[1:])
+    if not keep.any():
         return doc_offs, np.zeros(0, np.uint64)
-    pw, S = _prefix_tables(data, int(offs[-1]))
-    h = _span_hash(offs[:-1], offs[1:], pw, S)
+    h = span_hashes(toffs[:-1][keep], tok_lens[keep], tdata)
     return doc_offs, h
 
 
