@@ -107,10 +107,16 @@ def _pair_bits(
 
     if need_cross == "none":
         return any_in, all_in, any_cross
+    # r4 (VERDICT r3 #3): crossing refinement batches across ALL
+    # surviving pairs via the exploded segment-product kernel — no
+    # per-pair Python even when bbox overlap is dense
+    from . import crossings
+
     todo = np.arange(m) if need_cross == "all" else np.nonzero(~any_in)[0]
-    for t in todo:
-        if _line_poly_cross(ll, int(il[t]), pl, int(ip[t])):
-            any_cross[t] = True
+    if len(todo):
+        any_cross[todo] = crossings.pairs_any_cross(
+            crossings.line_soup(ll), crossings.poly_soup(pl), il[todo], ip[todo]
+        )
     return any_in, all_in, any_cross
 
 

@@ -107,9 +107,15 @@ def pairs_intersect(
     rem = np.nonzero(~res)[0]
     if len(rem):
         res[rem[_pairs_vertex_in(layer_b, ib[rem], layer_a, ia[rem])]] = True
-    for j in np.nonzero(~res)[0]:
-        if _edges_cross(layer_a, int(ia[j]), layer_b, int(ib[j])):
-            res[j] = True
+    # r4 (VERDICT r3 #3): edge-crossing refinement batches across all
+    # remaining pairs (exploded segment products keyed by pair id)
+    from . import crossings
+
+    rem = np.nonzero(~res)[0]
+    if len(rem):
+        sa = crossings.poly_soup(layer_a)
+        sb = crossings.poly_soup(layer_b)
+        res[rem] = crossings.pairs_any_cross(sa, sb, ia[rem], ib[rem])
     return res
 
 
