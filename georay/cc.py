@@ -140,8 +140,17 @@ def connected_components(edges, max_rounds: int | None = None, typ=None,
     # finishes in milliseconds with IDENTICAL output (min node id per
     # component).  At 100 TB the edge list of a near-dup graph exceeds
     # this and the bucketed loop below engages.
+    # gate on BYTES, not rows (ADVICE r3 #6): string-id edge lists run
+    # ~3x heavier than int64 ones, so a row count under-gates them.
+    # size_bytes() is exact here — edges_dir is materialized.
+    max_rows = os.environ.get("GEORAY_CC_LOCAL_MAX")
+    max_bytes = int(os.environ.get("GEORAY_CC_LOCAL_MAX_BYTES", str(640 << 20)))
     m_dir = edges_dir.count()
-    if m_dir <= int(os.environ.get("GEORAY_CC_LOCAL_MAX", "20000000")):
+    local_ok = (
+        m_dir <= int(max_rows) if max_rows is not None
+        else edges_dir.size_bytes() <= max_bytes
+    )
+    if local_ok:
         tab = edges_dir.to_pandas()
         src_v = tab["src"].to_numpy()
         dst_v = tab["dst"].to_numpy()

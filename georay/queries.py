@@ -2091,6 +2091,80 @@ def densify_hav_counts(sf_dir: str):
 QUERIES["densify_hav_counts"] = densify_hav_counts
 
 
+def densify_geo_counts(sf_dir: str):
+    """Geodesic-metric densify vertex budget per exterior ring (r4 —
+    metric-generic densify.rs over the Karney inverse; VERDICT r3
+    missing #4).  SQL-oracled via the generalized per-segment Karney
+    bisection (sqlgen.q_densify_geo_counts); polygons sampled mod 5 to
+    keep the recursive oracle tractable."""
+    from .kernels.measures import densify_geodesic_counts
+    from .sqlgen import GEO_DENSIFY_MAX_LEN, GEO_DENSIFY_POLY_MOD
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        keep = np.array(
+            [int(str(i).rsplit("-", 1)[-1]) % GEO_DENSIFY_POLY_MOD == 0
+             for i in layer.poly_ids]
+        )
+        x1, y1, x2, y2, seg_ring = layer.segments()
+        ext = ~layer.ring_is_hole[seg_ring] & keep[layer.ring_poly[seg_ring]]
+        from .kernels.geodesic import geodesic_distance
+
+        seg = geodesic_distance(x1[ext], y1[ext], x2[ext], y2[ext])
+        ins = np.maximum(np.ceil(seg / GEO_DENSIFY_MAX_LEN) - 1, 0).astype(np.int64)
+        out = np.zeros(layer.num_polys, dtype=np.int64)
+        np.add.at(out, layer.ring_poly[seg_ring[ext]], 1 + ins)
+        sel = pa.array(keep)
+        return pa.table(
+            {"polygon_id": b.column("polygon_id").filter(sel),
+             "n_geo_densified_edges": pa.array(out[keep])}
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["densify_geo_counts"] = densify_geo_counts
+
+
+def segmentize_hav_pieces(sf_dir: str):
+    """LineStringSegmentizeHaversine (linestring_segment.rs:223) over a
+    deterministic line sample: per piece, its re-summed haversine
+    length (equal pieces by construction — the oracle recomputes
+    total/n from the raw coords in SQL) and its vertex count (original
+    vertices strictly inside the piece + 2)."""
+    from .kernels.measures import haversine_distance, segmentize_haversine
+    from .sqlgen import SEGMENTIZE_LINE_MOD, SEGMENTIZE_N
+
+    def f(b: pa.Table) -> pa.Table:
+        from .linejoin import LineLayer
+
+        ll = LineLayer.from_arrow(b)
+        lids, idxs, nvs, lens = [], [], [], []
+        for i in range(ll.num_lines):
+            lid = str(ll.ids[i])
+            if int(lid.rsplit("-", 1)[-1]) % SEGMENTIZE_LINE_MOD != 0:
+                continue
+            pieces = segmentize_haversine(ll.line_coords(i), SEGMENTIZE_N)
+            for j, p in enumerate(pieces):
+                lids.append(lid)
+                idxs.append(j)
+                nvs.append(len(p))
+                lens.append(_round_half_away(float(
+                    haversine_distance(p[:-1, 0], p[:-1, 1], p[1:, 0], p[1:, 1]).sum()
+                ), 3))
+        return pa.table(
+            {"line_id": pa.array(lids, pa.string()),
+             "piece_idx": pa.array(idxs, pa.int64()),
+             "n_vertices": pa.array(nvs, pa.int64()),
+             "piece_len_m": pa.array(lens, pa.float64())}
+        )
+
+    return _lines_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["segmentize_hav_pieces"] = segmentize_hav_pieces
+
+
 # ---------------------------------------------------------------------------
 # line-layer joins + line clipping (linejoin; VERDICT r2 missing #3/#4)
 # ---------------------------------------------------------------------------

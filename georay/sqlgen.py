@@ -2310,6 +2310,146 @@ def q_geodesic_dest_pts(sf_dir: str) -> str:
 ORACLE_BUILDERS["geodesic_dest_pts"] = q_geodesic_dest_pts
 
 
+GEO_DENSIFY_MAX_LEN = 20_000.0  # meters
+GEO_DENSIFY_POLY_MOD = 5
+
+
+def q_densify_geo_counts(sf_dir: str) -> str:
+    """Metric-generic densify over the GEODESIC metric (r4, VERDICT r3
+    missing #4): the per-segment Karney inverse DISTANCE recomputed in
+    SQL — same canonicalization + 60-round bisection + GL-32 I1 as
+    q_geodesic_to_hot, generalized from (point, hot) to arbitrary
+    segment endpoints keyed by polygon_id|seg_idx; azimuth stages
+    dropped (s12 is canonicalization-invariant).  Counts mirror
+    q_densify_hav_counts."""
+    import numpy as np
+
+    from .kernels.geodesic import _NODES, _WEIGHTS, WGS84_A, WGS84_F
+
+    f = WGS84_F
+    b = WGS84_A * (1 - f)
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    glw = ", ".join(f"({x!r}, {w!r})" for x, w in zip(_NODES, _WEIGHTS))
+    segs = datagen.segments_path(sf_dir)
+
+    def tri(alpha: str) -> str:
+        return (
+            f"SELECT *, sin({alpha}) AS sal, cos({alpha}) AS cal FROM __IN__"
+            f"), y2 AS (SELECT *, sal * cb1 AS sa0, "
+            f"  sqrt(cal * cal + (sal * sb1) * (sal * sb1)) AS ca0 FROM y1"
+            f"), y3 AS (SELECT *, {ep2!r} * ca0 * ca0 AS k2, "
+            f"  atan2(sb1, cal * cb1) AS sigma1, "
+            f"  atan2(sa0 * sb1, cal * cb1) AS omega1, "
+            f"  least(greatest(sa0 / cb2, -1.0), 1.0) AS salp2 FROM y2"
+            f"), y4 AS (SELECT *, sqrt(greatest(0.0, 1.0 - salp2 * salp2)) AS calp2 FROM y3"
+            f"), y5 AS (SELECT *, atan2(sb2, calp2 * cb2) AS sigma2, "
+            f"  atan2(sa0 * sb2, calp2 * cb2) AS omega2 FROM y4"
+        )
+
+    i3 = (
+        "SELECT t.k, "
+        "  0.5 * (t.sigma2 - t.sigma1) * sum(g.w * (2.0 - {f}) / "
+        "    (1.0 + (1.0 - {f}) * sqrt(1.0 + t.k2 * "
+        "     pow(sin(0.5 * (t.sigma1 + t.sigma2) + 0.5 * (t.sigma2 - t.sigma1) * g.x), 2)))) AS i3 "
+        "  FROM __T__ t CROSS JOIN glw g GROUP BY t.k, t.sigma1, t.sigma2, t.k2"
+    ).replace("{f}", repr(f))
+    return (
+        f"WITH RECURSIVE src AS ("
+        f"  SELECT polygon_id || '|' || seg_idx AS k, polygon_id, "
+        f"    x1 AS ln1, y1 AS lt1i, x2 AS ln2, y2 AS lt2i "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0 "
+        f"    AND CAST(substr(polygon_id, 6) AS BIGINT) % {GEO_DENSIFY_POLY_MOD} = 0), "
+        f"glw(x, w) AS (SELECT * FROM (VALUES {glw})), "
+        f"base AS (SELECT k, lt1i, lt2i, "
+        f"  (ln2 - ln1 + 180.0) - floor((ln2 - ln1 + 180.0) / 360.0) * 360.0 - 180.0 AS lon12 "
+        f"  FROM src), "
+        f"cn0 AS (SELECT k, "
+        f"  CASE WHEN abs(lt1i) < abs(lt2i) THEN lt2i ELSE lt1i END AS lt1r, "
+        f"  CASE WHEN abs(lt1i) < abs(lt2i) THEN lt1i ELSE lt2i END AS lt2r, "
+        f"  radians(abs(lon12)) AS lam_t FROM base), "
+        f"cn AS (SELECT k, lam_t, "
+        f"  lt1r * (CASE WHEN lt1r > 0 THEN -1.0 ELSE 1.0 END) AS lt1, "
+        f"  lt2r * (CASE WHEN lt1r > 0 THEN -1.0 ELSE 1.0 END) AS lt2 FROM cn0), "
+        f"tb AS (SELECT k, lam_t, "
+        f"  atan2((1.0 - {f!r}) * sin(radians(lt1)), cos(radians(lt1))) AS beta1, "
+        f"  atan2((1.0 - {f!r}) * sin(radians(lt2)), cos(radians(lt2))) AS beta2 FROM cn), "
+        f"tc AS (SELECT *, sin(beta1) AS sb1, cos(beta1) AS cb1, "
+        f"  sin(beta2) AS sb2, cos(beta2) AS cb2 FROM tb), "
+        f"it(k, sb1, cb1, sb2, cb2, lam_t, lo, hi, r) AS ("
+        f"  SELECT k, sb1, cb1, sb2, cb2, lam_t, 1e-12, pi() - 1e-12, 0 FROM tc "
+        f"  UNION ALL ("
+        f"  WITH cur AS (SELECT *, (lo + hi) / 2.0 AS mid FROM it WHERE r < 60), "
+        f"  y1 AS ({tri('mid').replace('__IN__', 'cur')}), "
+        f"  iv AS ({i3.replace('__T__', 'y5')}), "
+        f"  hh AS (SELECT y5.*, "
+        f"    (y5.omega2 - y5.omega1) - {f!r} * y5.sa0 * iv.i3 - y5.lam_t AS h "
+        f"    FROM y5 JOIN iv ON iv.k = y5.k) "
+        f"  SELECT k, sb1, cb1, sb2, cb2, lam_t, "
+        f"    CASE WHEN h < 0 THEN mid ELSE lo END, "
+        f"    CASE WHEN h < 0 THEN hi ELSE mid END, r + 1 FROM hh)), "
+        f"fin0 AS (SELECT *, (lo + hi) / 2.0 AS alpha FROM it WHERE r = 60), "
+        f"y1 AS ({tri('alpha').replace('__IN__', 'fin0')}), "
+        f"i1v AS (SELECT t.k, "
+        f"  0.5 * (t.sigma2 - t.sigma1) * sum(g.w * sqrt(1.0 + t.k2 * "
+        f"    pow(sin(0.5 * (t.sigma1 + t.sigma2) + 0.5 * (t.sigma2 - t.sigma1) * g.x), 2))) AS i1 "
+        f"  FROM y5 t CROSS JOIN glw g GROUP BY t.k, t.sigma1, t.sigma2, t.k2) "
+        f"SELECT src.polygon_id, "
+        f"(count(*) + sum(GREATEST(ceil(({b!r} * i1v.i1) / {GEO_DENSIFY_MAX_LEN!r}) - 1, 0)))::BIGINT "
+        f"AS n_geo_densified_edges "
+        f"FROM i1v JOIN src ON src.k = i1v.k GROUP BY src.polygon_id"
+    )
+
+
+ORACLE_BUILDERS["densify_geo_counts"] = q_densify_geo_counts
+
+
+SEGMENTIZE_N = 7
+SEGMENTIZE_LINE_MOD = 4
+
+
+def q_segmentize_hav_pieces(sf_dir: str) -> str:
+    """LineStringSegmentizeHaversine oracle (r4): pieces are equal
+    haversine length by construction, so piece_len = total/n recomputed
+    from the raw segment table; per-piece vertex count = 2 + original
+    vertices whose cumulative length falls strictly inside the piece
+    interval (j*L/n, (j+1)*L/n)."""
+    segs = datagen.line_segments_path(sf_dir)
+    n = SEGMENTIZE_N
+    hav = _hav_expr("x1", "y1", "x2", "y2")
+    return (
+        f"WITH sl AS (SELECT line_id, seg_idx, ({hav}) AS hlen "
+        f"  FROM read_parquet('{segs}') "
+        f"  WHERE CAST(substr(line_id, 6) AS BIGINT) % {SEGMENTIZE_LINE_MOD} = 0), "
+        f"tot AS (SELECT line_id, sum(hlen) AS L FROM sl GROUP BY line_id), "
+        # cumulative length at the END vertex of each segment == the
+        # cumulative position of interior vertex (seg_idx + 1)
+        f"cum AS (SELECT line_id, seg_idx, "
+        f"  sum(hlen) OVER (PARTITION BY line_id ORDER BY seg_idx "
+        f"    ROWS UNBOUNDED PRECEDING) AS c FROM sl), "
+        f"pieces AS (SELECT t.line_id, u.j AS piece_idx, t.L "
+        f"  FROM tot t CROSS JOIN (SELECT unnest(range(0, {n})) AS j) u), "
+        # interior vertices strictly inside each piece interval: the end
+        # vertex of segment s (s < last) at cumulative c
+        f"inner_v AS (SELECT c.line_id, "
+        f"  CAST(floor(c.c / (t.L / {n})) AS BIGINT) AS piece_idx "
+        f"  FROM cum c JOIN tot t USING (line_id) "
+        f"  JOIN (SELECT line_id, max(seg_idx) AS mx FROM sl GROUP BY line_id) m "
+        f"    ON m.line_id = c.line_id AND c.seg_idx < m.mx "
+        f"  WHERE fmod(c.c, t.L / {n}) > 0), "
+        f"cnt AS (SELECT line_id, piece_idx, count(*) AS nin FROM inner_v "
+        f"  GROUP BY line_id, piece_idx) "
+        f"SELECT p.line_id, p.piece_idx, "
+        f"(2 + coalesce(cnt.nin, 0))::BIGINT AS n_vertices, "
+        f"round(p.L / {n}, 3) AS piece_len_m "
+        f"FROM pieces p LEFT JOIN cnt ON cnt.line_id = p.line_id "
+        f"AND cnt.piece_idx = p.piece_idx"
+    )
+
+
+ORACLE_BUILDERS["segmentize_hav_pieces"] = q_segmentize_hav_pieces
+
+
 def q_geodesic_poly_area(sf_dir: str) -> str:
     """Ellipsoidal ring area in SQL (r3): per EDGE, the same
     canonicalization + bisection alpha solve as q_geodesic_to_hot,

@@ -342,3 +342,46 @@ def test_connected_components_both_plans_agree(ray_session, monkeypatch):
     sa = pa.array([f"doc-{x:06d}" for x in a])
     sb = pa.array([f"doc-{x:06d}" for x in b])
     run(pa.table({"a": sa, "b": sb}))
+
+
+def test_cc_gate_is_byte_aware(ray_session, monkeypatch):
+    """ADVICE r3: the local-path gate budgets BYTES — a string-id edge
+    list flips to the distributed plan earlier than an int64 one of the
+    same row count (and both plans stay label-identical)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import cc
+
+    rs = np.random.RandomState(4)
+    n = 3000
+    a_int = rs.randint(0, 800, n).astype(np.int64)
+    b_int = rs.randint(0, 800, n).astype(np.int64)
+    fat = ["node-" + "x" * 60 + f"-{v}" for v in range(800)]
+    ints = rd.from_arrow(pa.table({"a": pa.array(a_int), "b": pa.array(b_int)}))
+    strs = rd.from_arrow(pa.table({
+        "a": pa.array([fat[v] for v in a_int]),
+        "b": pa.array([fat[v] for v in b_int]),
+    }))
+    int_bytes = ints.materialize().size_bytes() * 2   # both directions
+    monkeypatch.delenv("GEORAY_CC_LOCAL_MAX", raising=False)
+    # budget sits between the int and string edge-list footprints:
+    # ints stay local, fat string ids must take the distributed plan
+    monkeypatch.setenv("GEORAY_CC_LOCAL_MAX_BYTES", str(int(int_bytes * 2.5)))
+    out_i = cc.connected_components(ints).to_pandas()
+    out_s = cc.connected_components(strs).to_pandas()
+    # identical labeling modulo the id mapping
+    mi = {r.node: r.label for r in out_i.itertuples()}
+    ms = {r.node: r.label for r in out_s.itertuples()}
+    assert len(mi) == len(ms)
+    # structural equality: components as frozensets of member ranks
+    import collections
+
+    gi = collections.defaultdict(set)
+    for node, lbl in mi.items():
+        gi[lbl].add(int(node))
+    gs = collections.defaultdict(set)
+    for node, lbl in ms.items():
+        gs[lbl].add(fat.index(node))
+    assert sorted(map(sorted, gi.values())) == sorted(map(sorted, gs.values()))

@@ -202,3 +202,53 @@ def test_segmentize_equal_pieces():
     assert np.allclose(out[1], (5.0, 0.0))
     assert np.allclose(out[2], (10.0, 0.0))
     assert np.allclose(out[3], (10.0, 5.0))
+
+
+def test_segmentize_haversine_equal_pieces():
+    """linestring_segment.rs:223 invariants: n pieces, equal haversine
+    length, endpoints preserved, pieces chain, total length conserved."""
+    import numpy as np
+
+    from georay.kernels import measures as M
+
+    rs = np.random.RandomState(0)
+    for _ in range(25):
+        nv = rs.randint(2, 12)
+        coords = np.column_stack([rs.uniform(-170, 170, nv), rs.uniform(-80, 80, nv)])
+        n = rs.randint(1, 9)
+        pieces = M.segmentize_haversine(coords, n)
+        assert len(pieces) == n
+
+        def plen(p):
+            return float(M.haversine_distance(p[:-1, 0], p[:-1, 1], p[1:, 0], p[1:, 1]).sum())
+
+        total = plen(coords)
+        lens = [plen(p) for p in pieces]
+        assert abs(sum(lens) - total) < 1e-6 * max(total, 1)
+        for length in lens:
+            assert abs(length - total / n) < 1e-6 * max(total, 1)
+        assert np.allclose(pieces[0][0], coords[0])
+        assert np.allclose(pieces[-1][-1], coords[-1])
+        for a, b in zip(pieces[:-1], pieces[1:]):
+            assert np.allclose(a[-1], b[0])
+
+
+def test_densify_geodesic_counts_and_spacing():
+    """Metric-generic densify over the Karney metric: counts match the
+    constructed fill and every densified edge respects max_distance."""
+    import numpy as np
+
+    from georay.kernels import measures as M
+    from georay.kernels.geodesic import geodesic_distance
+
+    offs = np.array([0, 4, 6])
+    x = np.array([0.0, 1.0, 2.0, 3.0, 10.0, 10.5])
+    y = np.array([0.0, 0.5, 0.0, 1.0, 40.0, 40.2])
+    cnt = M.densify_geodesic_counts(x, y, offs, 30000.0)
+    for li in range(2):
+        c = np.column_stack([x[offs[li]:offs[li + 1]], y[offs[li]:offs[li + 1]]])
+        d = M.densify_geodesic(c, 30000.0)
+        assert len(d) == cnt[li]
+        dd = geodesic_distance(d[:-1, 0], d[:-1, 1], d[1:, 0], d[1:, 1])
+        assert (dd <= 30000.0 + 1e-6).all()
+        assert np.allclose(d[0], c[0]) and np.allclose(d[-1], c[-1])
