@@ -89,6 +89,30 @@ def line_segments_path(sf_dir: str) -> str:
     return os.path.join(data_dir(sf_dir), "line_segments.parquet")
 
 
+def lsh_planes_path(sf_dir: str) -> str:
+    return os.path.join(data_dir(sf_dir), "lsh_planes.parquet")
+
+
+def lsh_planes_table() -> pa.Table:
+    """The embed-LSH hyperplanes as a long (table_idx, bit_idx, dim_idx,
+    w) table — written so the DuckDB oracle can recompute the exact
+    candidate buckets (dedup.lsh_planes is the single source)."""
+    from .dedup import lsh_params_for, lsh_planes
+    from .sqlgen import EMB_DIM, EMB_NEARDUP_T
+
+    n_tables, n_bits = lsh_params_for(EMB_NEARDUP_T)
+    planes = lsh_planes(n_tables, n_bits, EMB_DIM)
+    t, bts, d = np.meshgrid(
+        np.arange(n_tables), np.arange(n_bits), np.arange(EMB_DIM), indexing="ij"
+    )
+    return pa.table({
+        "table_idx": pa.array(t.ravel().astype(np.int64)),
+        "bit_idx": pa.array(bts.ravel().astype(np.int64)),
+        "dim_idx": pa.array(d.ravel().astype(np.int64)),
+        "w": pa.array(planes.ravel()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # image table
 # ---------------------------------------------------------------------------
@@ -363,7 +387,10 @@ def ensure_tables(sf_dir: str, force: bool = False) -> dict[str, str]:
         "segments": segments_path(sf_dir),
         "lines": lines_path(sf_dir),
         "line_segments": line_segments_path(sf_dir),
+        "lsh_planes": lsh_planes_path(sf_dir),
     }
+    if force or not os.path.exists(paths["lsh_planes"]):
+        _atomic_write(lsh_planes_table(), paths["lsh_planes"])
     n_lines = max(96, min(6144, int(15_000 * sf)))
     if force or not os.path.exists(paths["lines"]) or not os.path.exists(paths["line_segments"]):
         lines = generate_lines(n_lines)

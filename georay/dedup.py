@@ -515,6 +515,97 @@ def lsh_params_for(
     return best
 
 
+def lsh_planes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """The fixed random hyperplanes (n_tables, n_bits, dim).  Single
+    source of truth — datagen.lsh_planes_table exports them to parquet
+    so the DuckDB oracle recomputes the exact same buckets (r4,
+    VERDICT r3 #8)."""
+    rs = np.random.RandomState(20240817)
+    return rs.randn(n_tables, n_bits, dim)
+
+
+def embed_lsh_candidate_pairs(
+    embeds,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The DETERMINISTIC candidate-pair set of the LSH path — distinct
+    (a, b) sharing at least one (table, bucket), BEFORE the cosine
+    verify.  Hyperplane signs and bucket keys are exactly recomputable
+    in SQL, so this op is fully oracled (the final embed_neardup_lsh
+    stays recall<1 by design; its candidates no longer are)."""
+    n_tables, n_bits = lsh_params_for(threshold)
+    dim_probe = embeds.take(1)[0][vec_col]
+    planes = lsh_planes(n_tables, n_bits, len(dim_probe))
+    pref = ray.put(planes)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(b.column(vec_col).combine_chunks().flatten(), dtype=np.float64)
+        m = flat.reshape(len(ids), -1)
+        pw2 = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+        out = []
+        for t in range(n_tables):
+            signs = (m @ pl[t].T) > 0
+            key = (signs.astype(np.uint64) * pw2[None, :]).sum(axis=1).astype(np.int64)
+            out.append(pa.table({
+                "table": pa.array(np.full(len(ids), t, np.int64)),
+                "bucket": pa.array(key),
+                "vec_id": pa.array(ids),
+            }))
+        return pa.concat_tables(out)
+
+    from .shuffleops import DEFAULT_P, bucket_distinct, bucket_ids
+
+    def prepare(b: pa.Table) -> pa.Table:
+        bid = bucket_ids(b.column("table"), DEFAULT_P, b.column("bucket"))
+        return b.append_column("__bucket", pa.array(bid))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        tbl = g.column("table").to_numpy(zero_copy_only=False)
+        bkt = g.column("bucket").to_numpy(zero_copy_only=False)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        order = np.lexsort((ids, bkt, tbl))
+        tbl, bkt, ids = tbl[order], bkt[order], ids[order]
+        seg_new = np.r_[True, (tbl[1:] != tbl[:-1]) | (bkt[1:] != bkt[:-1])]
+        seg_starts = np.nonzero(seg_new)[0]
+        seg_len = np.diff(np.r_[seg_starts, n])
+        # all within-segment (i < j) pairs, exploded without Python per
+        # segment: for each segment of size s, s*(s-1)/2 pairs
+        npair = seg_len * (seg_len - 1) // 2
+        total = int(npair.sum())
+        if total == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        w = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(npair) - npair, npair)
+        s = np.repeat(seg_len, npair)
+        # row-major triangle decode: i = largest int with
+        # off(i) = i*s - i(i+1)/2 <= w, via the quadratic root plus
+        # two integer fixups against sqrt rounding
+        i = np.floor(((2 * s - 1) - np.sqrt((2 * s - 1.0) ** 2 - 8 * w)) / 2).astype(np.int64)
+        i = np.where(i * s - i * (i + 1) // 2 > w, i - 1, i)
+        i = np.where((i + 1) * s - (i + 1) * (i + 2) // 2 <= w, i + 1, i)
+        off_i = i * s - i * (i + 1) // 2
+        j = (w - off_i + i + 1).astype(np.int64)
+        base = np.repeat(seg_starts, npair)
+        return pa.table({
+            "a": pa.array(np.minimum(ids[base + i], ids[base + j])),
+            "b": pa.array(np.maximum(ids[base + i], ids[base + j])),
+        })
+
+    pairs = (
+        embeds.map_batches(bucketize, batch_format="pyarrow")
+        .map_batches(prepare, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return bucket_distinct(pairs, ["a", "b"])
+
+
 def embed_neardup_lsh(
     embeds,
     threshold: float = 0.8,
@@ -536,10 +627,8 @@ def embed_neardup_lsh(
         auto_t, auto_b = lsh_params_for(threshold)
         n_tables = auto_t if n_tables is None else n_tables
         n_bits = auto_b if n_bits is None else n_bits
-    rs = np.random.RandomState(20240817)
     dim_probe = embeds.take(1)[0][vec_col]
-    dim = len(dim_probe)
-    planes = rs.randn(n_tables, n_bits, dim)
+    planes = lsh_planes(n_tables, n_bits, len(dim_probe))
     pref = ray.put(planes)
 
     def bucketize(b: pa.Table) -> pa.Table:

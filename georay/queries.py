@@ -782,6 +782,23 @@ def embed_neardup_lsh_pairs(sf_dir: str):
     return pa.concat_tables(batches) if batches else schema.empty_table()
 
 
+def embed_lsh_candidates(sf_dir: str):
+    """The deterministic LSH CANDIDATE pair set (r4, VERDICT r3 #8):
+    distinct (a, b) sharing >= 1 (table, bucket), before the cosine
+    verify.  Fully DuckDB-oracled — the oracle recomputes hyperplane
+    signs from the datagen-exported planes parquet."""
+    from . import dedup as gdedup
+    from .sqlgen import EMB_NEARDUP_T
+
+    datagen.ensure_tables(sf_dir)
+    ds = gdedup.embed_lsh_candidate_pairs(
+        _testdata(sf_dir, "embeddings"), threshold=EMB_NEARDUP_T
+    )
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if len(b)]
+    return pa.concat_tables(batches) if batches else schema.empty_table()
+
+
 def minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup groups.  DuckDB-oracled (r3): at J >= 0.8
     the 128-perm/32-band LSH misses a true pair with p <= 1e-7, so the
@@ -918,6 +935,7 @@ QUERIES.update(
         "ngram_jaccard": ngram_jaccard,
         "embed_neardup": embed_neardup,
         "embed_neardup_lsh": embed_neardup_lsh_pairs,
+        "embed_lsh_candidates": embed_lsh_candidates,
         "minhash_dedup": minhash_dedup,
         "simhash_sig": simhash_sig,
         "doc_fingerprints": doc_fingerprints,

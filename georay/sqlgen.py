@@ -419,6 +419,36 @@ def q_lang_guess(sf_dir: str) -> str:
 
 NGRAM_SAMPLE_MOD = 25
 EMB_NEARDUP_T = 0.35  # synthetic embeddings: ~top-0.3% of random-pair cosines
+EMB_DIM = 64
+
+
+def q_embed_lsh_candidates(sf_dir: str) -> str:
+    """The LSH CANDIDATE set recomputed exactly (r4, VERDICT r3 #8):
+    hyperplane weights come from the datagen-exported planes parquet
+    (dedup.lsh_planes is the single source), signs from a plain dot
+    product per (vec, table, bit), bucket keys from the packed sign
+    bits, candidates from a self-join on (table, key).  The final
+    embed_neardup_lsh op stays recall<1 by design; its candidate stage
+    no longer is."""
+    planes = datagen.lsh_planes_path(sf_dir)
+    return (
+        f"WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
+        f"  generate_subscripts(embedding, 1) - 1 AS dim_idx FROM embeddings), "
+        f"dot AS (SELECT e.vec_id, p.table_idx, p.bit_idx, "
+        f"  sum(e.v * p.w) AS d "
+        f"  FROM e JOIN read_parquet('{planes}') p ON p.dim_idx = e.dim_idx "
+        f"  GROUP BY e.vec_id, p.table_idx, p.bit_idx), "
+        f"keys AS (SELECT vec_id, table_idx, "
+        f"  sum(CASE WHEN d > 0 THEN power(2, bit_idx)::BIGINT ELSE 0 END) AS k "
+        f"  FROM dot GROUP BY vec_id, table_idx) "
+        f"SELECT DISTINCT least(a.vec_id, b.vec_id) AS a, "
+        f"greatest(a.vec_id, b.vec_id) AS b "
+        f"FROM keys a JOIN keys b ON a.table_idx = b.table_idx "
+        f"AND a.k = b.k AND a.vec_id < b.vec_id"
+    )
+
+
+ORACLE_BUILDERS["embed_lsh_candidates"] = q_embed_lsh_candidates
 
 
 def q_ngram_jaccard(sf_dir: str) -> str:

@@ -385,3 +385,34 @@ def test_cc_gate_is_byte_aware(ray_session, monkeypatch):
     for node, lbl in ms.items():
         gs[lbl].add(fat.index(node))
     assert sorted(map(sorted, gi.values())) == sorted(map(sorted, gs.values()))
+
+
+def test_lsh_candidates_oracle_consistency(ray_session, tiny_sf):
+    """r4 (VERDICT r3 #8): the deterministic candidate stage must agree
+    with the verified LSH output — verified pairs == candidates that
+    pass the exact cosine threshold."""
+    import numpy as np
+    import ray.data as rd
+
+    from georay import dedup as gdedup
+    from georay.sqlgen import EMB_NEARDUP_T
+
+    sf_dir, _ = tiny_sf
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cands = gdedup.embed_lsh_candidate_pairs(emb, threshold=EMB_NEARDUP_T).to_pandas()
+    verified = gdedup.embed_neardup_lsh(emb, threshold=EMB_NEARDUP_T).to_pandas()
+    cand_set = set(zip(cands["a"], cands["b"]))
+    ver_set = set(zip(verified["a"], verified["b"]))
+    assert ver_set <= cand_set
+    # re-verify candidates exactly with numpy cosine
+    df = emb.to_pandas().set_index("vec_id")
+    mat = np.stack(df["embedding"].to_numpy())
+    norm = np.linalg.norm(mat, axis=1)
+    idx = {v: i for i, v in enumerate(df.index)}
+    passed = set()
+    for a, b in cand_set:
+        ia, ib = idx[a], idx[b]
+        c = float(mat[ia] @ mat[ib] / (norm[ia] * norm[ib]))
+        if c >= EMB_NEARDUP_T:
+            passed.add((min(a, b), max(a, b)))
+    assert passed == ver_set
