@@ -70,7 +70,9 @@ def data_dir(sf_dir: str) -> str:
 
 
 def images_path(sf_dir: str) -> str:
-    return os.path.join(data_dir(sf_dir), "images.parquet")
+    # v2: lossy rows are REAL baseline JFIF JPEGs (r4) — new filename so
+    # stale GRJF caches regenerate; other derived tables are unchanged
+    return os.path.join(data_dir(sf_dir), "images_v2.parquet")
 
 
 def polygons_path(sf_dir: str) -> str:
@@ -145,7 +147,7 @@ def generate_images(n: int) -> pa.Table:
         if fmt[i] == "png":
             blobs.append(imagecodec.encode_png(px))
         else:
-            blobs.append(imagecodec.encode_fake_jpeg(px))
+            blobs.append(imagecodec.encode_jpeg(px))
     return pa.table(
         {
             "image_id": pa.array(image_id, pa.string()),

@@ -2047,26 +2047,42 @@ ORACLE_BUILDERS["delaunay_stats"] = q_delaunay_stats
 
 
 def q_image_stats(sf_dir: str) -> str:
-    """Image channel means + aHash WITHOUT decoding (r3): the pixel
-    bytes are counter-mode splitmix64 of the image index
-    (datagen._pixels_for), and both PNG and the fake-JPEG container
-    round-trip losslessly, so the oracle regenerates every byte with
-    the same bit-exact sql_splitmix64 emitter the geolocation oracle
-    uses and recomputes the stats directly — a genuinely independent
-    check of the whole encode -> store -> decode -> stats path."""
+    """Image channel means + aHash WITHOUT decoding: the pixel bytes
+    are counter-mode splitmix64 of the image index
+    (datagen._pixels_for); PNG rows round-trip losslessly and r4's
+    REAL baseline-JPEG rows are recomputed through the full lossy
+    pipeline IN SQL — RGB->YCbCr, separable 8x8 DCT (the numpy DCT
+    basis embedded as literals, so no libm cos variance), half-away
+    quantization at Q98, dequantize, IDCT, YCbCr->RGB, round+clamp —
+    i.e. the exact decoded pixels, entropy coding being lossless.  A
+    genuinely independent check of encode -> store -> Huffman decode ->
+    stats."""
     import numpy as np
 
     from . import rng as _rng
     from .datagen import TAG_PIXEL
+    from .imagecodec import _D8, jpeg_quant_tables
 
     base = int(_rng.splitmix64(np.uint64(TAG_PIXEL)))
     images = datagen.images_path(sf_dir)
     M = 18446744073709551616
     u = f"(({base} + i * 4096 + k.k) % {M})"
     word = _rng.sql_splitmix64(u)
+    dvals = ", ".join(
+        f"({u_}, {x_}, {_D8[u_, x_]!r})" for u_ in range(8) for x_ in range(8)
+    )
+    qy, qc = jpeg_quant_tables()
+    qvals = ", ".join(
+        f"({cls}, {u_}, {v_}, {int((qy if cls == 0 else qc)[u_, v_])})"
+        for cls in (0, 1) for u_ in range(8) for v_ in range(8)
+    )
+    rha = "floor(abs({x}) + 0.5) * sign({x})"
+    from .queries import IMG_STATS_MOD
+
     return (
         f"WITH im AS (SELECT image_id, CAST(substr(image_id, 5) AS BIGINT) AS i "
-        f"  FROM read_parquet('{images}')), "
+        f"  FROM read_parquet('{images}') "
+        f"  WHERE CAST(substr(image_id, 5) AS BIGINT) % {IMG_STATS_MOD} = 0), "
         f"d AS (SELECT *, "
         f"  CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS w, "
         f"  CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS h "
@@ -2074,13 +2090,59 @@ def q_image_stats(sf_dir: str) -> str:
         f"ks AS (SELECT unnest(range(0, 384)) AS k), "
         f"wd AS (SELECT d.image_id, d.i % 2 AS lossy, d.w, d.h, k.k, {word} AS word "
         f"  FROM d JOIN ks k ON k.k < (d.w * d.h * 3) // 8), "
-        # odd rows use the GRJF fake-JPEG container, whose step-4
-        # midpoint quantization ((v & 0xFC) | 0x02) survives decode
-        f"bt AS (SELECT image_id, w, h, k * 8 + o.b AS m, "
-        f"  (CASE WHEN lossy = 1 "
-        f"   THEN (((word // (1::HUGEINT << (8 * o.b))) % 256) // 4) * 4 + 2 "
-        f"   ELSE (word // (1::HUGEINT << (8 * o.b))) % 256 END)::DOUBLE AS v "
+        f"raw AS (SELECT image_id, lossy, w, h, k * 8 + o.b AS m, "
+        f"  ((word // (1::HUGEINT << (8 * o.b))) % 256)::DOUBLE AS v "
         f"  FROM wd, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS o(b)), "
+        # ---- lossless PNG rows pass straight through --------------------
+        f"bt_png AS (SELECT image_id, w, h, m, v FROM raw WHERE lossy = 0), "
+        # ---- JPEG rows: the full lossy pipeline in SQL ------------------
+        f"dctb(u, x, dv) AS (SELECT * FROM (VALUES {dvals})), "
+        f"qtab(cls, qu, qv, q) AS (SELECT * FROM (VALUES {qvals})), "
+        f"jpx AS (SELECT image_id, w, h, (m // 3) // w AS y, (m // 3) % w AS x, "
+        f"  m % 3 AS c, v FROM raw WHERE lossy = 1), "
+        f"jrgb AS (SELECT image_id, w, h, y, x, "
+        f"  max(CASE WHEN c = 0 THEN v END) AS r, "
+        f"  max(CASE WHEN c = 1 THEN v END) AS g, "
+        f"  max(CASE WHEN c = 2 THEN v END) AS b "
+        f"  FROM jpx GROUP BY image_id, w, h, y, x), "
+        f"jycc AS (SELECT image_id, w, h, y, x, ch.c, ch.val FROM jrgb, LATERAL (VALUES "
+        f"  (0, 0.299 * r + 0.587 * g + 0.114 * b - 128.0), "
+        f"  (1, -0.168735892 * r - 0.331264108 * g + 0.5 * b), "
+        f"  (2, 0.5 * r - 0.418687589 * g - 0.081312411 * b)) AS ch(c, val)), "
+        f"jblk AS (SELECT image_id, w, h, c, y // 8 AS by, x // 8 AS bx, "
+        f"  y % 8 AS iy, x % 8 AS ix, val FROM jycc), "
+        # separable DCT: columns (over ix) then rows (over iy)
+        f"p1 AS (SELECT image_id, w, h, c, by, bx, iy, t.u AS v, "
+        f"  sum(t.dv * val) AS s FROM jblk JOIN dctb t ON t.x = jblk.ix "
+        f"  GROUP BY image_id, w, h, c, by, bx, iy, t.u), "
+        f"p2 AS (SELECT image_id, w, h, c, by, bx, t.u AS u, v, "
+        f"  sum(t.dv * s) AS s FROM p1 JOIN dctb t ON t.x = p1.iy "
+        f"  GROUP BY image_id, w, h, c, by, bx, t.u, v), "
+        # quantize (half away from zero) + dequantize in one step
+        f"qs AS (SELECT image_id, w, h, c, by, bx, u, v, "
+        f"  ({rha.format(x='s / q')}) * q AS s "
+        f"  FROM p2 JOIN qtab ON qtab.cls = (CASE WHEN c = 0 THEN 0 ELSE 1 END) "
+        f"  AND qtab.qu = u AND qtab.qv = v), "
+        # inverse separable DCT: rows (over u) then columns (over v)
+        f"r1 AS (SELECT image_id, w, h, c, by, bx, t.x AS iy, v, "
+        f"  sum(t.dv * s) AS s FROM qs JOIN dctb t ON t.u = qs.u "
+        f"  GROUP BY image_id, w, h, c, by, bx, t.x, v), "
+        f"r2 AS (SELECT image_id, w, h, c, by, bx, iy, t.x AS ix, "
+        f"  sum(t.dv * s) AS s FROM r1 JOIN dctb t ON t.u = r1.v "
+        f"  GROUP BY image_id, w, h, c, by, bx, iy, t.x), "
+        f"jout AS (SELECT image_id, w, h, by * 8 + iy AS y, bx * 8 + ix AS x, "
+        f"  max(CASE WHEN c = 0 THEN s END) + 128.0 AS yv, "
+        f"  max(CASE WHEN c = 1 THEN s END) AS cb, "
+        f"  max(CASE WHEN c = 2 THEN s END) AS cr "
+        f"  FROM r2 GROUP BY image_id, w, h, by * 8 + iy, bx * 8 + ix), "
+        f"jdec AS (SELECT image_id, w, h, y, x, ch.c, "
+        f"  least(greatest({rha.format(x='ch.fv')}, 0.0), 255.0) AS v "
+        f"  FROM jout, LATERAL (VALUES "
+        f"  (0, yv + 1.402 * cr), "
+        f"  (1, yv - 0.344136286 * cb - 0.714136286 * cr), "
+        f"  (2, yv + 1.772 * cb)) AS ch(c, fv)), "
+        f"bt AS (SELECT image_id, w, h, m, v FROM bt_png "
+        f"  UNION ALL SELECT image_id, w, h, (y * w + x) * 3 + c AS m, v FROM jdec), "
         # ONE pass over the exploded bytes: partial integer sums per
         # (image, cell, channel); channel means and the aHash cell sums
         # are tiny rollups of it (the byte table is ~33M rows at sf0.01

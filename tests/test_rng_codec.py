@@ -55,8 +55,49 @@ def test_fake_jpeg_psnr_above_40():
 
 
 def test_decode_dispatch_unknown_jpeg_raises():
-    with pytest.raises(NotImplementedError):
-        imagecodec.decode_image(b"\xff\xd8\xff\xe0 real jpeg", "jpeg")
+    # progressive/foreign streams still gate honestly (no SOS marker)
+    with pytest.raises((NotImplementedError, ValueError)):
+        imagecodec.decode_image(b"\xffx not a jpeg at all", "jpeg")
+
+
+def test_real_jpeg_roundtrip_and_psnr():
+    """r4: baseline JFIF JPEG — decode(encode(px)) must equal the
+    defined reconstruction (IDCT of the quantized blocks) EXACTLY and
+    hold the BASELINE.md PSNR >= 40 dB invariant on white noise (the
+    worst case for a DCT codec)."""
+    rs = np.random.RandomState(1)
+    for trial in range(6):
+        h, w = int(rs.choice([16, 24, 32])), int(rs.choice([16, 24, 32]))
+        px = rs.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = imagecodec.encode_jpeg(px)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        dec = imagecodec.decode_jpeg(blob)
+        assert dec.shape == px.shape
+        p = imagecodec.psnr(px, dec)
+        assert p >= 40.0, p
+        # exact conformance to the declared lossy semantics
+        qv = imagecodec.jpeg_quantized_blocks(px)
+        qy, qc = imagecodec.jpeg_quant_tables()
+        izz = np.empty(64, np.int64)
+        izz[imagecodec._ZZ] = np.arange(64)
+        bh, bw = h // 8, w // 8
+        ref = np.empty((h, w, 3))
+        for c in range(3):
+            q = qy if c == 0 else qc
+            coefs = qv[c::3][:, izz].reshape(bh * bw, 8, 8).astype(np.float64) * q[None]
+            blocks = np.einsum("ux,iuv,vy->ixy", imagecodec._D8, coefs, imagecodec._D8)
+            ref[..., c] = blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(h, w) + 128.0
+        want = np.clip(imagecodec._rha(imagecodec.ycc_to_rgb(ref)), 0, 255).astype(np.uint8)
+        assert (dec == want).all()
+
+
+def test_real_jpeg_byte_stuffing_and_dispatch():
+    """0xFF bytes inside the entropy stream must be stuffed/unstuffed
+    transparently; dispatch picks the real decoder on FFD8."""
+    px = np.full((16, 16, 3), 255, dtype=np.uint8)  # drives large DC codes
+    blob = imagecodec.encode_jpeg(px)
+    out = imagecodec.decode_image(blob, "jpeg")
+    assert imagecodec.psnr(px, out) >= 40.0
 
 
 def test_stream_is_counter_mode():
