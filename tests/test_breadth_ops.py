@@ -484,3 +484,24 @@ def test_vector2d_ops_reference_goldens():
     np.testing.assert_array_equal(
         V.is_finite(np.array([[1.0, 2.0], [np.nan, 0.0]])), [True, False]
     )
+
+
+def test_segment_pairs_decode():
+    """shuffleops.segment_pairs == the per-segment (i<j) reference for
+    many segment shapes incl. empty/size-1 segments."""
+    import numpy as np
+
+    from georay.shuffleops import segment_pairs
+
+    rs = np.random.RandomState(0)
+    for _ in range(40):
+        lens = rs.randint(0, 9, rs.randint(1, 12))
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        ends = (starts + lens).astype(np.int64)
+        pi, pj = segment_pairs(starts, ends)
+        want = [
+            (s + a, s + b)
+            for s, L in zip(starts, lens)
+            for a in range(L) for b in range(a + 1, L)
+        ]
+        assert list(zip(pi.tolist(), pj.tolist())) == want
