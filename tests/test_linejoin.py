@@ -306,3 +306,42 @@ def test_line_poly_crossing_batched_matches_reference(ray_session, tiny_sf):
         linejoin._line_poly_cross(ll, int(il[t]), pl, int(ip[t])) for t in range(len(il))
     ], dtype=bool) if len(il) else np.zeros(0, bool)
     assert (got == want).all()
+
+
+def test_clip_batched_matches_per_pair_reference(ray_session, tiny_sf):
+    """r4: the batched ClipOp must reproduce the per-pair reference
+    (clip_line_to_polygon) exactly — piece counts and lengths."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from georay import linejoin
+    from georay.geom import PolygonLayer
+
+    sf_dir, paths = tiny_sf
+    lt = pq.read_table(paths["lines"])
+    polys = pq.read_table(paths["polygons"])
+    got = (
+        linejoin.clip_lines_to_polygons(rd.from_arrow(lt), polys)
+        .to_pandas()
+        .sort_values(["line_id", "polygon_id"])
+        .reset_index(drop=True)
+    )
+    ll = linejoin.LineLayer.from_arrow(lt)
+    pl = PolygonLayer.from_arrow(polys)
+    il, ip = linejoin._candidates(ll, pl)
+    rows = []
+    for t in range(len(il)):
+        line = ll.line_coords(int(il[t]))
+        ins, outs = linejoin.clip_line_to_polygon(line, pl, int(ip[t]))
+        if not ins:
+            continue
+        li = sum(float(np.hypot(*np.diff(p, axis=0).T).sum()) for p in ins)
+        lo = sum(float(np.hypot(*np.diff(p, axis=0).T).sum()) for p in outs)
+        rows.append((str(ll.ids[int(il[t])]), str(pl.poly_ids[int(ip[t])]),
+                     len(ins), len(outs), li, lo))
+    rows.sort()
+    assert len(got) == len(rows)
+    for r, (lid, pid, ni, no, li, lo) in zip(got.itertuples(), rows):
+        assert (r.line_id, r.polygon_id, r.n_pieces_in, r.n_pieces_out) == (lid, pid, ni, no)
+        assert abs(r.len_in - li) < 1e-6 and abs(r.len_out - lo) < 1e-6
