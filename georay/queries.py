@@ -725,31 +725,45 @@ def lang_guess(sf_dir: str):
 
 def ngram_jaccard(sf_dir: str):
     """Distinct char-3-gram Jaccard for a deterministic doc-pair sample
-    (pairs with zero overlap omitted, matching the SQL inner join)."""
+    (pairs with zero overlap omitted, matching the SQL inner join).
+    r4 vectorized: distinct gram hashes via the Arrow-buffer shingle
+    kernel, pair intersection counts via a sort + per-hash
+    segment_pairs explode + bincount — no Python set algebra."""
+    from . import texthash
+    from .shuffleops import segment_pairs
     from .sqlgen import NGRAM_SAMPLE_MOD
 
-    df = _testdata(sf_dir, "documents").to_pandas()
-    df = df[df["doc_id"] % NGRAM_SAMPLE_MOD == 0]
-    grams = {
-        int(r.doc_id): {r.text[i : i + 3] for i in range(max(len(r.text) - 2, 0))} or {r.text}
-        for r in df.itertuples()
-    }
-    ids = sorted(grams)
-    a_out, b_out, j_out = [], [], []
-    for x in range(len(ids)):
-        for y in range(x + 1, len(ids)):
-            ia, ib = ids[x], ids[y]
-            ni = len(grams[ia] & grams[ib])
-            if ni == 0:
-                continue
-            a_out.append(ia)
-            b_out.append(ib)
-            j_out.append(round(ni / (len(grams[ia]) + len(grams[ib]) - ni), 6))
+    tb = pa.concat_tables(
+        b for b in _testdata(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .iter_batches(batch_format="pyarrow")
+    )
+    ids_all = tb.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = ids_all % NGRAM_SAMPLE_MOD == 0
+    order = np.argsort(ids_all[keep])
+    ids = ids_all[keep][order]
+    arr = tb.column("text").combine_chunks().filter(pa.array(keep)).take(
+        pa.array(order, pa.int64())
+    )
+    n = len(ids)
+    offs, flat = texthash.shingle_hash_sets(arr, 3)
+    sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    o = np.argsort(flat, kind="stable")  # doc index ascending within runs
+    h, d = flat[o], doc_of[o]
+    starts = np.nonzero(np.r_[True, h[1:] != h[:-1]])[0]
+    ends = np.r_[starts[1:], len(h)]
+    pi, pj = segment_pairs(starts, ends)
+    inter = np.bincount(d[pi] * n + d[pj], minlength=n * n).reshape(n, n)
+    iu, ju = np.nonzero(inter)
+    ni = inter[iu, ju].astype(np.float64)
+    jac = ni / (sizes[iu] + sizes[ju] - ni)
+    jac = np.array([_round_half_away(float(x), 6) for x in jac])
     return pa.table(
         {
-            "a": pa.array(a_out, pa.int64()),
-            "b": pa.array(b_out, pa.int64()),
-            "jaccard": pa.array(j_out, pa.float64()),
+            "a": pa.array(ids[iu], pa.int64()),
+            "b": pa.array(ids[ju], pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
         }
     )
 
