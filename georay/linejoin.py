@@ -146,14 +146,25 @@ def _line_poly_cross(ll: LineLayer, i: int, pl: PolygonLayer, p: int) -> bool:
 
 
 def _candidates(ll: LineLayer, pl: PolygonLayer) -> tuple[np.ndarray, np.ndarray]:
+    """bbox-overlap candidates; the (lines x polygons) bool matrix is
+    chunked over lines so memory stays bounded however large the
+    broadcast polygon layer is (r4)."""
     lb, pb = ll.bbox, pl.bbox
-    ok = (
-        (lb[:, 0][:, None] <= pb[None, :, 2])
-        & (lb[:, 2][:, None] >= pb[None, :, 0])
-        & (lb[:, 1][:, None] <= pb[None, :, 3])
-        & (lb[:, 3][:, None] >= pb[None, :, 1])
-    )
-    il, ip = np.nonzero(ok)
+    chunk = max(1, 50_000_000 // max(len(pb), 1))
+    outs_l, outs_p = [], []
+    for s in range(0, len(lb), chunk):
+        e = min(len(lb), s + chunk)
+        ok = (
+            (lb[s:e, 0][:, None] <= pb[None, :, 2])
+            & (lb[s:e, 2][:, None] >= pb[None, :, 0])
+            & (lb[s:e, 1][:, None] <= pb[None, :, 3])
+            & (lb[s:e, 3][:, None] >= pb[None, :, 1])
+        )
+        il, ip = np.nonzero(ok)
+        outs_l.append(il + s)
+        outs_p.append(ip)
+    il = np.concatenate(outs_l) if outs_l else np.zeros(0, np.int64)
+    ip = np.concatenate(outs_p) if outs_p else np.zeros(0, np.int64)
     return il.astype(np.int64), ip.astype(np.int64)
 
 

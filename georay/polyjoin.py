@@ -123,15 +123,24 @@ def _candidate_pairs(
     layer_a: PolygonLayer, layer_b: PolygonLayer, self_join: bool
 ) -> tuple[np.ndarray, np.ndarray]:
     """bbox-overlapping (ia, ib) candidates, vectorized (a_id < b_id
-    when self_join)."""
+    when self_join); the bool matrix is chunked over the A side so
+    memory stays bounded for large broadcast layers (r4)."""
     ab, bb = layer_a.bbox, layer_b.bbox
-    ok = (
-        (ab[:, 0][:, None] <= bb[None, :, 2])
-        & (ab[:, 2][:, None] >= bb[None, :, 0])
-        & (ab[:, 1][:, None] <= bb[None, :, 3])
-        & (ab[:, 3][:, None] >= bb[None, :, 1])
-    )
-    ia, ib = np.nonzero(ok)
+    chunk = max(1, 50_000_000 // max(len(bb), 1))
+    outs_a, outs_b = [], []
+    for s in range(0, len(ab), chunk):
+        e = min(len(ab), s + chunk)
+        ok = (
+            (ab[s:e, 0][:, None] <= bb[None, :, 2])
+            & (ab[s:e, 2][:, None] >= bb[None, :, 0])
+            & (ab[s:e, 1][:, None] <= bb[None, :, 3])
+            & (ab[s:e, 3][:, None] >= bb[None, :, 1])
+        )
+        ia, ib = np.nonzero(ok)
+        outs_a.append(ia + s)
+        outs_b.append(ib)
+    ia = np.concatenate(outs_a) if outs_a else np.zeros(0, np.int64)
+    ib = np.concatenate(outs_b) if outs_b else np.zeros(0, np.int64)
     if self_join:
         keep = layer_a.poly_ids[ia] < layer_b.poly_ids[ib]
         ia, ib = ia[keep], ib[keep]
