@@ -230,7 +230,19 @@ def shingle_hash_multisets(arr, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(wc) - wc, wc)
     ws = np.repeat(offs[:-1], wc) + within
     wl = np.where(np.repeat(lens, wc) >= k, k, np.repeat(lens, wc))
-    h = span_hashes(ws, wl, data)
+    # split fixed-k grams (the overwhelming majority) from short-doc
+    # whole-text grams so the variable-length path's length sort never
+    # touches the k-gram bulk (r4)
+    fk = wl == k
+    h = np.empty(total, np.uint64)
+    if fk.any():
+        old = np.seterr(over="ignore")
+        try:
+            h[fk] = _mix64(_horner_fixed(ws[fk], k, data) ^ (np.uint64(k) * _LEN_SALT))
+        finally:
+            np.seterr(**old)
+    if (~fk).any():
+        h[~fk] = span_hashes(ws[~fk], wl[~fk], data)
     out_offs = np.zeros(n_docs + 1, np.int64)
     np.cumsum(wc, out=out_offs[1:])
     return out_offs, h
