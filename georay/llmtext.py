@@ -1,0 +1,333 @@
+"""Corpus-hygiene operators for LLM training-data pipelines (round 5).
+
+* duplicate-n-gram coverage — cross-document duplicate char-k-gram
+  detection per Lee et al. 2021 ("Deduplicating Training Data Makes
+  Language Models Better", substring-dedup family): every position
+  whose k-gram also occurs in ANOTHER document is flagged, and the
+  per-document character coverage of the union of flagged spans is
+  reported.  Gram keys are the raw k bytes packed losslessly into
+  ceil(k/8) uint64 words, so equality is exact string equality (no
+  hash-collision caveat) while comparisons stay vectorized uint64
+  lexsorts.  The heavy step is a single hash-bucket shuffle of
+  (key, doc, pos) rows — never an all-pairs product.
+* token-repetition stats — Gopher-style (Rae et al. 2021) intra-doc
+  repetition signals: distinct-token count, most-frequent-token
+  fraction, duplicated-token fraction; one lexsort per batch over the
+  vectorized token hashes (texthash.token_hashes).
+* PII scrub — RE2 email/phone/IPv4 counting + redaction via Arrow's
+  count_substring_regex / replace_substring_regex C++ kernels.  DuckDB
+  also uses RE2, so the SQL oracle shares exact regex semantics.
+* stratified sampling — deterministic per-stratum rate sampling with a
+  splitmix64(id) threshold (georay.rng; the SQL oracle recomputes the
+  identical uint64 stream), so the sample is reproducible across
+  partitionings, resumable, and exactly verifiable.
+
+All per-batch kernels are numpy/Arrow vectorized; nothing iterates
+Python rows.  Reference scope note: these extend the engine beyond
+georust/geo per the training-data-pipeline mandate (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .texthash import _flat_utf8, _mix64, token_hashes
+
+DUP_K = 32          # chars per gram (spans ~5 vocabulary words)
+DUP_P = 64          # shuffle buckets for the key exchange
+
+
+def _seg_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (within-segment indices)."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+
+
+def gram_keys(arr, k: int = DUP_K) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Exact packed char-k-gram keys of a string array.
+
+    Returns (grams_per_doc int64 (n,), pos int64 (m,) 0-based within
+    doc, keys uint64 (m, ceil(k/8)) little-endian byte packing,
+    doc_idx int64 (m,) row index into arr).  Packing is injective, so
+    key equality == substring equality (the 100-TB path would swap in a
+    64-bit hash and accept ~2^-64 collisions; at verification scale we
+    keep exactness for free).
+    """
+    offs, data = _flat_utf8(arr)
+    lens = offs[1:] - offs[:-1]
+    cnt = np.maximum(lens - k + 1, 0).astype(np.int64)
+    w = (k + 7) // 8
+    total = int(cnt.sum())
+    if total == 0:
+        return cnt, np.zeros(0, np.int64), np.zeros((0, w), np.uint64), np.zeros(0, np.int64)
+    pos = _seg_arange(cnt)
+    doc_idx = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    starts = np.repeat(offs[:-1], cnt) + pos
+    win = np.lib.stride_tricks.sliding_window_view(data, k)
+    g = win[starts]                      # (m, k) uint8 gather
+    if w * 8 != k:
+        g = np.concatenate([g, np.zeros((g.shape[0], w * 8 - k), np.uint8)], axis=1)
+    keys = np.ascontiguousarray(g).view(np.uint64)
+    return cnt, pos, keys, doc_idx
+
+
+def _key_bucket(keys: np.ndarray, p: int) -> np.ndarray:
+    """Shuffle bucket of each packed key row: mix-combine the words."""
+    h = np.zeros(len(keys), np.uint64)
+    for j in range(keys.shape[1]):
+        h = _mix64(h ^ keys[:, j])
+    return (h % np.uint64(p)).astype(np.int64)
+
+
+def _mark_cross_doc_dups(g: pa.Table, w: int) -> pa.Table:
+    """One shuffle bucket: keep (doc_id, pos) rows whose key occurs in
+    >= 2 distinct documents.  One lexsort, boundary flags, no Python
+    per key."""
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = g.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    kw = [g.column(f"w{j}").to_numpy(zero_copy_only=False).astype(np.uint64)
+          for j in range(w)]
+    order = np.lexsort((pos, doc, *reversed(kw)))
+    doc_s = doc[order]
+    m = len(doc_s)
+    if m == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    new_key = np.zeros(m, bool)
+    new_key[0] = True
+    for c in kw:
+        cs = c[order]
+        new_key[1:] |= cs[1:] != cs[:-1]
+    run_id = np.cumsum(new_key) - 1
+    # distinct docs per key run: rows within a run are doc-sorted, so a
+    # doc change inside the run == a new distinct doc
+    new_doc = np.zeros(m, bool)
+    new_doc[0] = True
+    new_doc[1:] = new_key[1:] | (doc_s[1:] != doc_s[:-1])
+    n_runs = int(run_id[-1]) + 1
+    distinct = np.bincount(run_id[new_doc], minlength=n_runs)
+    keep = distinct[run_id] >= 2
+    return pa.table({"doc_id": pa.array(doc_s[keep]),
+                     "pos": pa.array(pos[order][keep])})
+
+
+def _coverage_bucket(g: pa.Table, k: int) -> pa.Table:
+    """One doc-bucket: per-document count of duplicated positions and
+    character coverage of the union of [pos, pos+k) spans.  Positions
+    are sorted ascending per doc, so a new island starts where
+    pos > prev_pos + k (spans of consecutive flagged positions overlap
+    whenever the gap <= k)."""
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = g.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, doc))
+    doc, pos = doc[order], pos[order]
+    m = len(doc)
+    if m == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_dup": pa.array([], pa.int64()),
+                         "dup_cov": pa.array([], pa.int64())})
+    new_doc = np.zeros(m, bool)
+    new_doc[0] = True
+    new_doc[1:] = doc[1:] != doc[:-1]
+    new_isl = new_doc.copy()
+    new_isl[1:] |= pos[1:] > pos[:-1] + k
+    isl_starts = np.nonzero(new_isl)[0]
+    isl_ends = np.append(isl_starts[1:], m)
+    isl_len = pos[isl_ends - 1] - pos[isl_starts] + k
+    isl_doc_rank = (np.cumsum(new_doc) - 1)[isl_starts]
+    n_docs = int(isl_doc_rank[-1]) + 1
+    cov = np.bincount(isl_doc_rank, weights=isl_len, minlength=n_docs).astype(np.int64)
+    doc_rank = np.cumsum(new_doc) - 1
+    n_dup = np.bincount(doc_rank, minlength=n_docs).astype(np.int64)
+    return pa.table({"doc_id": pa.array(doc[new_doc]),
+                     "n_dup": pa.array(n_dup),
+                     "dup_cov": pa.array(cov)})
+
+
+def dup_ngram_plan(docs, k: int = DUP_K, p: int = DUP_P):
+    """Dataset plan: documents(doc_id, text) -> (doc_id, n_grams,
+    n_dup, dup_cov) with cross-document duplicate-k-gram detection.
+
+    Stage 1 explodes each doc into (packed key, doc_id, pos) rows and
+    shuffles them by key bucket (the only wide exchange; volume is
+    O(total chars * ceil(k/8)/8), never all-pairs).  Stage 2 flags rows
+    whose key spans >= 2 docs.  Stage 3 re-shuffles the (small) flagged
+    set by doc bucket and computes interval-union coverage.  Stage 4
+    left-joins per-doc gram counts so zero-dup docs keep a row.
+    """
+    from .shuffleops import bucket_join
+
+    w = (k + 7) // 8
+
+    def extract(b: pa.Table) -> pa.Table:
+        cnt, pos, keys, didx = gram_keys(b.column("text"), k)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"doc_id": pa.array(ids[didx]), "pos": pa.array(pos)}
+        for j in range(w):
+            cols[f"w{j}"] = pa.array(keys[:, j])
+        t = pa.table(cols)
+        return t.append_column("__bucket", pa.array(_key_bucket(keys, p)))
+
+    dup_rows = (
+        docs.map_batches(extract, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g, w=w: _mark_cross_doc_dups(g.drop_columns(["__bucket"]), w),
+            batch_format="pyarrow",
+        )
+    )
+
+    def to_doc_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "__bucket", pa.array((_mix64(d.astype(np.uint64)) % np.uint64(p)).astype(np.int64))
+        )
+
+    cov = (
+        dup_rows.map_batches(to_doc_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g, k=k: _coverage_bucket(g.drop_columns(["__bucket"]), k),
+            batch_format="pyarrow",
+        )
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(b.column("text")), pa.int64())
+        ng = pc.max_element_wise(pc.subtract(n, pa.scalar(k - 1, pa.int64())),
+                                 pa.scalar(0, pa.int64()))
+        return pa.table({"doc_id": b.column("doc_id"), "n_grams": ng})
+
+    base = docs.map_batches(counts, batch_format="pyarrow")
+    joined = bucket_join(
+        base, cov, "doc_id", "doc_id", p=p, how="left outer",
+        left_types={"doc_id": pa.int64(), "n_grams": pa.int64()},
+        right_types={"doc_id": pa.int64(), "n_dup": pa.int64(), "dup_cov": pa.int64()},
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_grams": b.column("n_grams"),
+            "n_dup": pc.fill_null(b.column("n_dup"), 0),
+            "dup_cov": pc.fill_null(b.column("dup_cov"), 0),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token repetition stats (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def token_rep_stats_batch(arr) -> pa.Table | dict:
+    """Per-doc (n_tokens, n_distinct, top_tok_frac, dup_tok_frac) from
+    one lexsort over the batch's token hashes.  Token identity is the
+    64-bit polynomial span hash (texthash) — injective on any real
+    vocabulary at verification scale and the exact hash the SQL side
+    reproduces for SimHash; the oracle compares token STRINGS, which
+    agrees unless two distinct tokens collide in 64 bits."""
+    from .text import _round_half_away_vec
+
+    doc_offs, h = token_hashes(arr)
+    n_docs = len(doc_offs) - 1
+    counts = (doc_offs[1:] - doc_offs[:-1]).astype(np.int64)
+    n_distinct = np.zeros(n_docs, np.int64)
+    top = np.zeros(n_docs, np.int64)
+    dup = np.zeros(n_docs, np.int64)
+    if len(h):
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((h, doc_of))
+        hs, ds = h[order], doc_of[order]
+        m = len(hs)
+        new_doc = np.zeros(m, bool)
+        new_doc[0] = True
+        new_doc[1:] = ds[1:] != ds[:-1]
+        new_run = new_doc.copy()
+        new_run[1:] |= hs[1:] != hs[:-1]
+        run_starts = np.nonzero(new_run)[0]
+        run_len = np.diff(np.append(run_starts, m))
+        run_doc = ds[run_starts]
+        n_distinct = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+        doc_first_run = np.nonzero(new_doc[run_starts])[0]
+        nonempty = np.nonzero(counts > 0)[0]
+        top[nonempty] = np.maximum.reduceat(run_len, doc_first_run)
+        dup_w = np.where(run_len >= 2, run_len, 0)
+        dup[nonempty] = np.add.reduceat(dup_w, doc_first_run)
+    safe = np.maximum(counts, 1).astype(np.float64)
+    return {
+        "n_tokens": counts,
+        "n_distinct": n_distinct,
+        "top_tok_frac": _round_half_away_vec(top / safe, 6),
+        "dup_tok_frac": _round_half_away_vec(dup / safe, 6),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub_batch(arr) -> dict:
+    """Count + redact emails/phones/IPv4s — four RE2 C++ passes, no
+    Python per doc.  Order matters (email before IPv4: a redacted
+    email's host no longer looks like a dotted quad)."""
+    n_email = pc.count_substring_regex(arr, PII_EMAIL)
+    n_phone = pc.count_substring_regex(arr, PII_PHONE)
+    scrubbed = pc.replace_substring_regex(arr, PII_EMAIL, "<EMAIL>")
+    n_ip = pc.count_substring_regex(scrubbed, PII_IPV4)
+    scrubbed = pc.replace_substring_regex(scrubbed, PII_PHONE, "<PHONE>")
+    scrubbed = pc.replace_substring_regex(scrubbed, PII_IPV4, "<IP>")
+    return {
+        "n_email": pc.cast(n_email, pa.int64()),
+        "n_phone": pc.cast(n_phone, pa.int64()),
+        "n_ip": pc.cast(n_ip, pa.int64()),
+        "scrubbed_len": pc.cast(pc.utf8_length(scrubbed), pa.int64()),
+        "scrubbed": scrubbed,
+    }
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_MOD = 1 << 20
+# dyadic per-language rates (exact integer thresholds in 2^20ths);
+# sqlgen imports these so Ray and SQL can never drift
+STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125, "zh": 0.125}
+DEFAULT_RATE = 0.0625
+
+
+def stratified_sample(ds, id_col: str, stratum_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0):
+    """Keep each row iff splitmix64(id) % 2^20 < rate(stratum) * 2^20.
+
+    Deterministic in the row's own (id, stratum) — independent of
+    partitioning, resumable, and exactly reproducible in SQL.  Rates
+    should be dyadic (k/2^20) so thresholds are exact integers."""
+    from .rng import splitmix64
+
+    thresholds = {s: int(round(r * SAMPLE_MOD)) for s, r in rates.items()}
+    dflt = int(round(default_rate * SAMPLE_MOD))
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        strata = b.column(stratum_col).to_pandas().to_numpy()
+        u = splitmix64(ids.view(np.uint64)) % np.uint64(SAMPLE_MOD)
+        thr = np.full(len(ids), dflt, np.uint64)
+        for s, t in thresholds.items():
+            thr[strata == s] = t
+        return b.filter(pa.array(u < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow")

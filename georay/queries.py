@@ -2527,3 +2527,106 @@ def map_coords_shift(sf_dir: str):
 
 
 QUERIES["map_coords_shift"] = map_coords_shift
+
+
+# ---------------------------------------------------------------------------
+# phase 5 (r5): corpus-hygiene operators for LLM training-data pipelines
+# ---------------------------------------------------------------------------
+
+def dup_ngram_cov(sf_dir: str):
+    """Cross-document duplicate n-gram coverage (Lee et al. 2021,
+    substring-dedup family): per doc, the number of char-32-gram
+    positions whose gram occurs in >= 2 distinct documents and the
+    character coverage of the union of those spans.  One key-bucket
+    shuffle of exact packed gram keys — never all-pairs
+    (georay.llmtext.dup_ngram_plan)."""
+    from . import llmtext
+
+    return llmtext.dup_ngram_plan(
+        _testdata(sf_dir, "documents").select_columns(["doc_id", "text"])
+    )
+
+
+QUERIES["dup_ngram_cov"] = dup_ngram_cov
+
+
+def token_rep_stats(sf_dir: str):
+    """Gopher-style intra-document repetition signals: n_tokens,
+    n_distinct, most-frequent-token fraction, duplicated-token
+    fraction — one lexsort per batch over vectorized token hashes
+    (llmtext.token_rep_stats_batch)."""
+    from . import llmtext
+
+    def f(b: pa.Table) -> pa.Table:
+        stats = llmtext.token_rep_stats_batch(b.column("text"))
+        cols = {"doc_id": b.column("doc_id")}
+        for k, v in stats.items():
+            cols[k] = pa.array(v)
+        return pa.table(cols)
+
+    return _testdata(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["token_rep_stats"] = token_rep_stats
+
+
+def pii_scrub(sf_dir: str):
+    """PII redaction stage: count + scrub emails / phones / IPv4s with
+    RE2 C++ kernels (llmtext.pii_scrub_batch).  The word-soup corpus
+    contains no PII, so a deterministic doc_id-derived augmentation is
+    applied identically on both sides (documented; the operator under
+    test is the scrubber, not the augmenter)."""
+    from . import llmtext
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sid = ids.astype("U")
+        email = np.where(
+            ids % 5 == 0,
+            np.char.add(np.char.add(" contact user", sid), "@example.com now"),
+            "",
+        )
+        phone = np.where(
+            ids % 7 == 0,
+            np.char.add(" call +1-555-", np.char.zfill((ids % 10000).astype("U"), 4)),
+            "",
+        )
+        ip = np.where(
+            ids % 11 == 0,
+            np.char.add(
+                np.char.add(
+                    np.char.add(" host 10.0.", (ids % 256).astype("U")), "."
+                ),
+                ((ids // 256) % 256).astype("U"),
+            ),
+            "",
+        )
+        aug = pc.binary_join_element_wise(
+            b.column("text").combine_chunks(),
+            pa.array(email), pa.array(phone), pa.array(ip), "",
+        )
+        out = llmtext.pii_scrub_batch(aug)
+        cols = {"doc_id": b.column("doc_id")}
+        cols.update(out)
+        return pa.table(cols)
+
+    return _testdata(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["pii_scrub"] = pii_scrub
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sampling: keep iff
+    splitmix64(doc_id) % 2^20 < rate(lang) * 2^20 — reproducible across
+    partitionings and exactly recomputable in SQL
+    (llmtext.stratified_sample)."""
+    from . import llmtext
+
+    return llmtext.stratified_sample(
+        _testdata(sf_dir, "documents").select_columns(["doc_id", "lang"]),
+        "doc_id", "lang", llmtext.STRATA_RATES, llmtext.DEFAULT_RATE,
+    )
+
+
+QUERIES["stratified_sample"] = stratified_sample

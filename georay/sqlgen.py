@@ -2945,3 +2945,107 @@ def q_map_coords_shift(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["map_coords_shift"] = q_map_coords_shift
+
+
+# ---------------------------------------------------------------------------
+# r5: corpus-hygiene LLM-pipeline oracles
+# ---------------------------------------------------------------------------
+
+def q_dup_ngram_cov(sf_dir: str) -> str:
+    """Duplicate char-k-gram coverage: grams via substr string
+    equality (the Ray side packs the same k bytes losslessly into
+    uint64 words, so both sides compare exact substrings); per-doc
+    interval union via lag + gaps-and-islands.  ASCII corpus: SQL char
+    positions == Ray byte positions (same assumption as the simhash /
+    winnowing oracles)."""
+    from .llmtext import DUP_K as K
+
+    return (
+        f"WITH e AS (SELECT doc_id, text, "
+        f"  unnest(range(1, GREATEST(length(text) - {K - 1}, 0) + 1)) AS i FROM documents), "
+        f"g AS (SELECT doc_id, i, substr(text, i::INTEGER, {K}) AS gram FROM e), "
+        f"dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), "
+        f"d AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)), "
+        f"w AS (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi FROM d), "
+        f"isl AS (SELECT doc_id, i, CASE WHEN pi IS NULL OR i > pi + {K} THEN 1 ELSE 0 END AS ni FROM w), "
+        f"gid AS (SELECT doc_id, i, sum(ni) OVER (PARTITION BY doc_id ORDER BY i) AS isl_id FROM isl), "
+        f"ilen AS (SELECT doc_id, isl_id, max(i) - min(i) + {K} AS clen, count(*) AS cnt "
+        f"  FROM gid GROUP BY doc_id, isl_id), "
+        f"agg AS (SELECT doc_id, sum(clen)::BIGINT AS dup_cov, sum(cnt)::BIGINT AS n_dup "
+        f"  FROM ilen GROUP BY doc_id) "
+        f"SELECT doc.doc_id, GREATEST(length(doc.text) - {K - 1}, 0)::BIGINT AS n_grams, "
+        f"coalesce(agg.n_dup, 0)::BIGINT AS n_dup, coalesce(agg.dup_cov, 0)::BIGINT AS dup_cov "
+        f"FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id"
+    )
+
+
+ORACLE_BUILDERS["dup_ngram_cov"] = q_dup_ngram_cov
+
+
+def q_token_rep_stats(sf_dir: str) -> str:
+    """Token repetition stats with token STRING identity — agrees with
+    the Ray side's 64-bit span hashes unless two distinct tokens
+    collide in 64 bits."""
+    return (
+        "WITH t AS (SELECT doc_id, unnest(list_filter("
+        "  regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok FROM documents), "
+        "c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok), "
+        "a AS (SELECT doc_id, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct, "
+        "  max(n)::BIGINT AS mx, sum(CASE WHEN n >= 2 THEN n ELSE 0 END)::BIGINT AS dup "
+        "  FROM c GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, n_distinct, "
+        "round(mx::DOUBLE / n_tokens, 6) AS top_tok_frac, "
+        "round(dup::DOUBLE / n_tokens, 6) AS dup_tok_frac FROM a"
+    )
+
+
+ORACLE_BUILDERS["token_rep_stats"] = q_token_rep_stats
+
+
+def q_pii_scrub(sf_dir: str) -> str:
+    """PII scrub: identical deterministic augmentation, then RE2
+    count/replace (DuckDB's regexp engine is also RE2, so match
+    semantics are shared with Arrow's kernels)."""
+    from .llmtext import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return (
+        f"WITH aug AS (SELECT doc_id, text "
+        f"  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id::VARCHAR "
+        f"       || '@example.com now' ELSE '' END "
+        f"  || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-' "
+        f"       || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END "
+        f"  || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || (doc_id % 256)::VARCHAR "
+        f"       || '.' || ((doc_id // 256) % 256)::VARCHAR ELSE '' END AS t "
+        f"  FROM documents), "
+        f"s1 AS (SELECT doc_id, "
+        f"  len(regexp_extract_all(t, '{PII_EMAIL}'))::BIGINT AS n_email, "
+        f"  len(regexp_extract_all(t, '{PII_PHONE}'))::BIGINT AS n_phone, "
+        f"  regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM aug), "
+        f"s2 AS (SELECT doc_id, n_email, n_phone, "
+        f"  len(regexp_extract_all(t1, '{PII_IPV4}'))::BIGINT AS n_ip, "
+        f"  regexp_replace(regexp_replace(t1, '{PII_PHONE}', '<PHONE>', 'g'), "
+        f"    '{PII_IPV4}', '<IP>', 'g') AS scrubbed FROM s1) "
+        f"SELECT doc_id, n_email, n_phone, n_ip, "
+        f"length(scrubbed)::BIGINT AS scrubbed_len, scrubbed FROM s2"
+    )
+
+
+ORACLE_BUILDERS["pii_scrub"] = q_pii_scrub
+
+
+def q_stratified_sample(sf_dir: str) -> str:
+    from . import rng as _r
+    from .llmtext import DEFAULT_RATE, SAMPLE_MOD, STRATA_RATES
+
+    sm = _r.sql_splitmix64(_r.sql_u64("doc_id"))
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * SAMPLE_MOD))}" for s, r in STRATA_RATES.items()
+    )
+    dflt = int(round(DEFAULT_RATE * SAMPLE_MOD))
+    return (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE ({sm} % {SAMPLE_MOD}) < (CASE lang {cases} ELSE {dflt} END)::HUGEINT"
+    )
+
+
+ORACLE_BUILDERS["stratified_sample"] = q_stratified_sample

@@ -1,0 +1,166 @@
+"""Corpus-hygiene operators (georay.llmtext): duplicate-n-gram
+coverage, token repetition stats, PII scrub, stratified sampling —
+each vectorized kernel is checked against a plain-Python oracle, and
+the distributed plans against brute force / repartition invariance."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay import llmtext
+
+
+# ---------------------------------------------------------------------------
+# gram_keys
+# ---------------------------------------------------------------------------
+
+def test_gram_keys_exact_packing():
+    docs = ["abcdefghij", "abc", "", "xxabcdefghzz", "abcdefgh"]
+    k = 8
+    cnt, pos, keys, didx = llmtext.gram_keys(pa.array(docs), k)
+    assert cnt.tolist() == [3, 0, 0, 5, 1]
+    # rebuild each gram from the packed words and compare to substrings
+    flat = keys.view(np.uint8).reshape(len(keys), -1)[:, :k]
+    for r in range(len(pos)):
+        want = docs[didx[r]][pos[r] : pos[r] + k]
+        got = bytes(flat[r]).decode()
+        assert got == want
+    # injective: equal keys <=> equal substrings
+    a = docs[0][0:8]
+    assert a == docs[3][2:10]
+    rows = [r for r in range(len(pos)) if (didx[r], pos[r]) in ((0, 0), (3, 2))]
+    assert len(rows) == 2
+    assert np.array_equal(keys[rows[0]], keys[rows[1]])
+
+
+def _brute_dup_cov(docs, k):
+    """Python oracle: duplicated-position count + span-union coverage."""
+    owners = {}
+    for di, s in enumerate(docs):
+        for i in range(max(len(s) - k + 1, 0)):
+            g = s[i : i + k]
+            prev = owners.get(g)
+            if prev is None:
+                owners[g] = di
+            elif prev != di:
+                owners[g] = -2
+    out = {}
+    for di, s in enumerate(docs):
+        n_grams = max(len(s) - k + 1, 0)
+        dup_pos = [
+            i for i in range(n_grams) if owners.get(s[i : i + k]) == -2
+        ]
+        covered = set()
+        for i in dup_pos:
+            covered.update(range(i, i + k))
+        out[di] = (n_grams, len(dup_pos), len(covered))
+    return out
+
+
+def test_dup_ngram_plan_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = []
+    for i in range(40):
+        docs.append(" ".join(rng.choice(words, size=rng.integers(3, 25))))
+    # plant an exact shared 40-char phrase in several docs
+    phrase = "the quick brown fox jumps over the lazy dog"
+    docs[3] += " " + phrase
+    docs[17] = phrase + " " + docs[17]
+    docs[29] += " " + phrase + " " + phrase
+    docs.append("xy")  # shorter than k
+    k = 16
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    ).repartition(5)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup"], r["dup_cov"])
+        for r in llmtext.dup_ngram_plan(ds, k=k, p=8).take_all()
+    }
+    assert got == _brute_dup_cov(docs, k)
+
+
+# ---------------------------------------------------------------------------
+# token repetition stats
+# ---------------------------------------------------------------------------
+
+def test_token_rep_stats_vs_counter():
+    from collections import Counter
+
+    docs = [
+        "a b c a b a",
+        "x",
+        "one two three",
+        "dup dup dup dup",
+        "  padded   tokens  here padded ",
+    ]
+    out = llmtext.token_rep_stats_batch(pa.array(docs))
+    for i, s in enumerate(docs):
+        c = Counter(s.split())
+        n = sum(c.values())
+        assert out["n_tokens"][i] == n
+        assert out["n_distinct"][i] == len(c)
+        assert out["top_tok_frac"][i] == pytest.approx(
+            round(max(c.values()) / n, 6), abs=1e-9
+        )
+        dup = sum(v for v in c.values() if v >= 2)
+        assert out["dup_tok_frac"][i] == pytest.approx(round(dup / n, 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_counts_and_redaction():
+    docs = [
+        "reach me at jane.doe+spam@mail.example.org or bob@x.io thanks",
+        "call +1-555-0042 or +44-123-4567 at host 192.168.0.1",
+        "no pii here",
+        "edge 999.999.999.999 still counts as dotted quad shape",
+    ]
+    out = llmtext.pii_scrub_batch(pa.array(docs))
+    assert out["n_email"].to_pylist() == [2, 0, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 2, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 1, 0, 1]
+    scrubbed = out["scrubbed"].to_pylist()
+    assert "<EMAIL>" in scrubbed[0] and "@" not in scrubbed[0]
+    assert scrubbed[1].count("<PHONE>") == 2 and "<IP>" in scrubbed[1]
+    assert scrubbed[2] == docs[2]
+    # python-re cross-check of the email pattern on doc 0
+    assert len(re.findall(llmtext.PII_EMAIL, docs[0])) == 2
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_rated(ray_session):
+    import ray.data as rd
+
+    n = 4000
+    langs = np.array(["en", "de", "fr", "es", "zh"])[
+        np.arange(n) % 5
+    ]
+    tb = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                   "lang": pa.array(langs)})
+    rates = {"en": 0.5, "de": 0.25}
+    a = llmtext.stratified_sample(rd.from_arrow(tb), "doc_id", "lang", rates, 0.0625)
+    b = llmtext.stratified_sample(
+        rd.from_arrow(tb).repartition(13), "doc_id", "lang", rates, 0.0625
+    )
+    ra = sorted(r["doc_id"] for r in a.take_all())
+    rb = sorted(r["doc_id"] for r in b.take_all())
+    assert ra == rb  # partitioning-independent
+    got = {}
+    kept = set(ra)
+    for lang in ("en", "de", "fr"):
+        ids = np.nonzero(langs == lang)[0]
+        got[lang] = sum(int(i) in kept for i in ids) / len(ids)
+    assert got["en"] == pytest.approx(0.5, abs=0.06)
+    assert got["de"] == pytest.approx(0.25, abs=0.05)
+    assert got["fr"] == pytest.approx(0.0625, abs=0.03)  # default rate
