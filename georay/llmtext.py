@@ -1,4 +1,4 @@
-"""Corpus-hygiene operators for LLM training-data pipelines (round 5).
+"""Corpus-hygiene operators for LLM training-data pipelines (round 4b).
 
 * duplicate-n-gram coverage — cross-document duplicate char-k-gram
   detection per Lee et al. 2021 ("Deduplicating Training Data Makes

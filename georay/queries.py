@@ -2530,7 +2530,7 @@ QUERIES["map_coords_shift"] = map_coords_shift
 
 
 # ---------------------------------------------------------------------------
-# phase 5 (r5): corpus-hygiene operators for LLM training-data pipelines
+# phase 5 (r4b): corpus-hygiene operators for LLM training-data pipelines
 # ---------------------------------------------------------------------------
 
 def dup_ngram_cov(sf_dir: str):
@@ -2630,3 +2630,41 @@ def stratified_sample(sf_dir: str):
 
 
 QUERIES["stratified_sample"] = stratified_sample
+
+
+def simplify_vw_stats(sf_dir: str):
+    """SimplifyVw over the polygon exteriors (simplify_vw.rs heap
+    algorithm; kernels/simplify.vw_mask) — n_before/n_after plus the
+    kept-vertex coordinate sums as a content check.  DuckDB-oracled
+    (r4b): one removal per recursive-CTE round == the heap's
+    remove-smallest-first order, argmin ties broken by vertex index
+    exactly like the (area, i, ...) heap tuples."""
+    from .kernels import simplify as ksimplify
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        n_before = np.zeros(layer.num_polys, dtype=np.int64)
+        n_after = np.zeros(layer.num_polys, dtype=np.int64)
+        sx = np.zeros(layer.num_polys)
+        sy = np.zeros(layer.num_polys)
+        for p in range(layer.num_polys):
+            ring = layer.poly_rings(p)[0]
+            m = ksimplify.vw_mask(ring, sqlgen.VW_EPS)
+            n_before[p] = len(ring)
+            n_after[p] = int(m.sum())
+            sx[p] = _round_half_away(float(ring[m, 0].sum()), 6)
+            sy[p] = _round_half_away(float(ring[m, 1].sum()), 6)
+        return pa.table(
+            {
+                "polygon_id": b.column("polygon_id"),
+                "n_before": pa.array(n_before),
+                "n_after": pa.array(n_after),
+                "sum_x": pa.array(sx),
+                "sum_y": pa.array(sy),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["simplify_vw_stats"] = simplify_vw_stats

@@ -2948,7 +2948,7 @@ ORACLE_BUILDERS["map_coords_shift"] = q_map_coords_shift
 
 
 # ---------------------------------------------------------------------------
-# r5: corpus-hygiene LLM-pipeline oracles
+# r4b: corpus-hygiene LLM-pipeline oracles
 # ---------------------------------------------------------------------------
 
 def q_dup_ngram_cov(sf_dir: str) -> str:
@@ -3049,3 +3049,60 @@ def q_stratified_sample(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["stratified_sample"] = q_stratified_sample
+
+
+VW_EPS = 0.02
+
+
+def q_simplify_vw_stats(sf_dir: str) -> str:
+    """Visvalingam-Whyatt as a recursive CTE (r4b): each round computes
+    every surviving interior vertex's effective triangle area (lag/lead
+    over the alive set) and removes the per-polygon argmin — provided
+    its area < eps and >3 vertices remain — which is exactly the
+    reference heap's remove-smallest-first order (stale entries in the
+    heap are skipped, so the heap's next FRESH pop IS the global argmin
+    of the current alive set; ties break by vertex index like the
+    (area, i, ...) tuples).  The float expression matches
+    kernels/simplify.vw_mask term for term, so comparisons and the
+    < eps test agree bit for bit."""
+    segs = datagen.segments_path(sf_dir)
+    e = VW_EPS
+    return (
+        f"WITH RECURSIVE "
+        f"s AS (SELECT polygon_id, seg_idx, x1, y1 FROM read_parquet('{segs}') "
+        f"  WHERE ring_idx = 0), "
+        f"nv AS (SELECT polygon_id, count(*) AS k FROM s GROUP BY polygon_id), "
+        f"v AS (SELECT polygon_id, seg_idx AS i, x1 AS x, y1 AS y FROM s "
+        f"  UNION ALL SELECT s.polygon_id, nv.k, s.x1, s.y1 FROM s "
+        f"  JOIN nv ON nv.polygon_id = s.polygon_id WHERE s.seg_idx = 0), "
+        f"alive(r, pid, i, x, y) AS ("
+        f"  SELECT 0, polygon_id, i, x, y FROM v "
+        f"  UNION ALL ("
+        f"  WITH cur AS (SELECT * FROM alive), "
+        f"  cnt AS (SELECT pid, count(*) AS n FROM cur GROUP BY pid), "
+        f"  tri AS (SELECT pid, i, x, y, "
+        f"    lag(x) OVER w AS px, lag(y) OVER w AS py, "
+        f"    lead(x) OVER w AS nx, lead(y) OVER w AS ny "
+        f"    FROM cur WINDOW w AS (PARTITION BY pid ORDER BY i)), "
+        f"  area AS (SELECT pid, i, "
+        f"    abs((x - px) * (ny - py) - (y - py) * (nx - px)) / 2.0 AS a "
+        f"    FROM tri WHERE px IS NOT NULL AND nx IS NOT NULL), "
+        f"  mn AS (SELECT pid, i FROM ("
+        f"    SELECT area.pid, area.i, "
+        f"      row_number() OVER (PARTITION BY area.pid ORDER BY area.a, area.i) AS rn "
+        f"    FROM area JOIN cnt ON cnt.pid = area.pid "
+        f"    WHERE area.a < {e!r} AND cnt.n > 3) WHERE rn = 1) "
+        f"  SELECT cur.r + 1, cur.pid, cur.i, cur.x, cur.y "
+        f"  FROM cur JOIN mn ON mn.pid = cur.pid AND cur.i <> mn.i)), "
+        f"fin AS (SELECT * FROM ("
+        f"  SELECT pid, i, x, y, r, max(r) OVER (PARTITION BY pid) AS mr FROM alive) "
+        f"  WHERE r = mr) "
+        f"SELECT fin.pid AS polygon_id, (nv.k + 1)::BIGINT AS n_before, "
+        f"count(*)::BIGINT AS n_after, "
+        f"round(sum(fin.x), 6) AS sum_x, round(sum(fin.y), 6) AS sum_y "
+        f"FROM fin JOIN nv ON nv.polygon_id = fin.pid "
+        f"GROUP BY fin.pid, nv.k"
+    )
+
+
+ORACLE_BUILDERS["simplify_vw_stats"] = q_simplify_vw_stats
