@@ -193,3 +193,129 @@ def transform_xy(x, y, src: str, dst: str) -> tuple[np.ndarray, np.ndarray]:
             "(env-gated, see proj.rs)"
         )
     return _FORWARD[key](x, y)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic (2SP) and Albers Equal-Area — Snyder closed forms
+# (r4b; Working Manual eqs. 15-1..15-11 and 14-1..14-12, WGS84).  The
+# parameter set below is the standard North-America conic setup
+# (EPSG:5070-style parallels); both forwards are plain trig/log/pow, so
+# the DuckDB oracles evaluate identical expression trees.
+# ---------------------------------------------------------------------------
+
+_E = np.sqrt(_E2)
+
+CONIC_LAT1 = 33.0   # first standard parallel (deg)
+CONIC_LAT2 = 45.0   # second standard parallel
+CONIC_LAT0 = 23.0   # latitude of origin
+CONIC_LON0 = -96.0  # central meridian
+
+
+def _snyder_m(phi: np.ndarray) -> np.ndarray:
+    """m = cos(phi) / sqrt(1 - e^2 sin^2 phi)   (Snyder 14-15)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - _E2 * s * s)
+
+
+def _snyder_t(phi: np.ndarray) -> np.ndarray:
+    """t = tan(pi/4 - phi/2) / ((1 - e sin phi)/(1 + e sin phi))^(e/2)
+    (Snyder 15-9)."""
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - _E * s) / (1.0 + _E * s)
+    ) ** (_E / 2.0)
+
+
+def _snyder_q(phi: np.ndarray) -> np.ndarray:
+    """q = (1-e^2)(sin/(1-e^2 sin^2) - ln((1-e sin)/(1+e sin))/(2e))
+    (Snyder 3-12)."""
+    s = np.sin(phi)
+    return (1.0 - _E2) * (
+        s / (1.0 - _E2 * s * s)
+        - np.log((1.0 - _E * s) / (1.0 + _E * s)) / (2.0 * _E)
+    )
+
+
+def _lcc_params() -> tuple[float, float, float]:
+    p1, p2, p0 = map(np.radians, (CONIC_LAT1, CONIC_LAT2, CONIC_LAT0))
+    m1, m2 = _snyder_m(p1), _snyder_m(p2)
+    t1, t2, t0 = _snyder_t(p1), _snyder_t(p2), _snyder_t(p0)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    F = m1 / (n * t1**n)
+    rho0 = WGS84_A * F * t0**n
+    return float(n), float(F), float(rho0)
+
+
+def lonlat_to_lcc(lon, lat) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 -> Lambert Conformal Conic 2SP (Snyder 15-1/15-2)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n, F, rho0 = _lcc_params()
+    t = _snyder_t(np.radians(lat))
+    rho = WGS84_A * F * t**n
+    th = n * np.radians(lon - CONIC_LON0)
+    return rho * np.sin(th), rho0 - rho * np.cos(th)
+
+
+def lcc_to_lonlat(x, y) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse LCC (Snyder 15-10/7-9): fixed-point iteration on phi."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, F, rho0 = _lcc_params()
+    rho = np.sign(n) * np.hypot(x, rho0 - y)
+    th = np.arctan2(np.sign(n) * x, np.sign(n) * (rho0 - y))
+    t = (rho / (WGS84_A * F)) ** (1.0 / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = _E * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (_E / 2.0)
+        )
+    return np.degrees(th / n) + CONIC_LON0, np.degrees(phi)
+
+
+def _albers_params() -> tuple[float, float, float]:
+    p1, p2, p0 = map(np.radians, (CONIC_LAT1, CONIC_LAT2, CONIC_LAT0))
+    m1, m2 = _snyder_m(p1), _snyder_m(p2)
+    q1, q2, q0 = _snyder_q(p1), _snyder_q(p2), _snyder_q(p0)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = WGS84_A * np.sqrt(C - n * q0) / n
+    return float(n), float(C), float(rho0)
+
+
+def lonlat_to_albers(lon, lat) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 -> Albers Equal-Area 2SP (Snyder 14-1..14-4)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n, C, rho0 = _albers_params()
+    q = _snyder_q(np.radians(lat))
+    rho = WGS84_A * np.sqrt(C - n * q) / n
+    th = n * np.radians(lon - CONIC_LON0)
+    return rho * np.sin(th), rho0 - rho * np.cos(th)
+
+
+def albers_to_lonlat(x, y) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse Albers (Snyder 14-8/3-16): Newton iteration on phi."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, C, rho0 = _albers_params()
+    rho = np.hypot(x, rho0 - y)
+    th = np.arctan2(x, rho0 - y)
+    q = (C - (rho * n / WGS84_A) ** 2) / n
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        s = np.sin(phi)
+        es = _E * s
+        phi = phi + (1.0 - _E2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - _E2)
+            - s / (1.0 - _E2 * s * s)
+            + np.log((1.0 - es) / (1.0 + es)) / (2.0 * _E)
+        )
+    return np.degrees(th / n) + CONIC_LON0, np.degrees(phi)
+
+
+_FORWARD[("EPSG:4326", "LCC")] = lambda lon, lat: lonlat_to_lcc(lon, lat)
+_FORWARD[("LCC", "EPSG:4326")] = lambda x, y: lcc_to_lonlat(x, y)
+_FORWARD[("EPSG:4326", "ALBERS")] = lambda lon, lat: lonlat_to_albers(lon, lat)
+_FORWARD[("ALBERS", "EPSG:4326")] = lambda x, y: albers_to_lonlat(x, y)

@@ -2668,3 +2668,47 @@ def simplify_vw_stats(sf_dir: str):
 
 
 QUERIES["simplify_vw_stats"] = simplify_vw_stats
+
+
+def lcc_pts(sf_dir: str):
+    """EPSG:4326 -> Lambert Conformal Conic 2SP (kernels.crs Snyder
+    15-1/15-2, North-America parallels).  Oracled: DuckDB evaluates the
+    identical trig/pow expression tree; cm rounding."""
+    from .kernels import crs
+
+    def f(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        x, y = crs.lonlat_to_lcc(lon, lat)
+        return pa.table(
+            {"image_id": b.column("image_id"),
+             "lcc_x": pa.array(np.round(x, 2)),
+             "lcc_y": pa.array(np.round(y, 2))}
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["lcc_pts"] = lcc_pts
+
+
+def albers_pts(sf_dir: str):
+    """EPSG:4326 -> Albers Equal-Area 2SP (kernels.crs Snyder
+    14-1..14-4).  Oracled with the identical expression tree; cm
+    rounding."""
+    from .kernels import crs
+
+    def f(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        x, y = crs.lonlat_to_albers(lon, lat)
+        return pa.table(
+            {"image_id": b.column("image_id"),
+             "alb_x": pa.array(np.round(x, 2)),
+             "alb_y": pa.array(np.round(y, 2))}
+        )
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["albers_pts"] = albers_pts

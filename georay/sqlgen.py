@@ -3106,3 +3106,62 @@ def q_simplify_vw_stats(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["simplify_vw_stats"] = q_simplify_vw_stats
+
+
+def q_lcc_pts(sf_dir: str) -> str:
+    """Snyder LCC forward with the derived constants (n, F, rho0)
+    interpolated as the exact doubles the kernel computed."""
+    from .kernels import crs
+
+    n, F, rho0 = crs._lcc_params()
+
+    def D(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    a, e = D(crs.WGS84_A), D(float(crs._E))
+    lam0 = D(crs.CONIC_LON0)
+    t = (
+        f"(tan(pi() / 4.0 - radians(lat) / 2.0) / "
+        f"power((1.0 - {e} * sin(radians(lat))) / (1.0 + {e} * sin(radians(lat))), {e} / 2.0))"
+    )
+    rho = f"({a} * {D(F)} * power({t}, {D(n)}))"
+    th = f"({D(n)} * radians(lon - {lam0}))"
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, "
+        f"round({rho} * sin({th}), 2) AS lcc_x, "
+        f"round({D(rho0)} - {rho} * cos({th}), 2) AS lcc_y "
+        f"FROM pts"
+    )
+
+
+ORACLE_BUILDERS["lcc_pts"] = q_lcc_pts
+
+
+def q_albers_pts(sf_dir: str) -> str:
+    from .kernels import crs
+
+    n, C, rho0 = crs._albers_params()
+
+    def D(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    a, e = D(crs.WGS84_A), D(float(crs._E))
+    e2 = D(float(crs._E2))
+    lam0 = D(crs.CONIC_LON0)
+    q = (
+        f"((1.0 - {e2}) * (sin(radians(lat)) / (1.0 - {e2} * sin(radians(lat)) * sin(radians(lat))) "
+        f"- ln((1.0 - {e} * sin(radians(lat))) / (1.0 + {e} * sin(radians(lat)))) / (2.0 * {e})))"
+    )
+    rho = f"({a} * sqrt({D(C)} - {D(n)} * {q}) / {D(n)})"
+    th = f"({D(n)} * radians(lon - {lam0}))"
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}) "
+        f"SELECT image_id, "
+        f"round({rho} * sin({th}), 2) AS alb_x, "
+        f"round({D(rho0)} - {rho} * cos({th}), 2) AS alb_y "
+        f"FROM pts"
+    )
+
+
+ORACLE_BUILDERS["albers_pts"] = q_albers_pts

@@ -505,3 +505,43 @@ def test_segment_pairs_decode():
             for a in range(L) for b in range(a + 1, L)
         ]
         assert list(zip(pi.tolist(), pj.tolist())) == want
+
+
+def test_lcc_albers_roundtrip_and_snyder_goldens():
+    """LCC 2SP + Albers 2SP (r4b): inverse-forward roundtrips on WGS84,
+    plus Snyder's published Working Manual worked examples (pp. 292,
+    296: Clarke 1866, phi0=23, lam0=-96, point (35N, 75W)) evaluated by
+    temporarily swapping in the Clarke constants."""
+    import numpy as np
+
+    from georay.kernels import crs
+
+    lon = np.array([-96.0, -120.5, -75.2, 10.0, -96.0, 179.0])
+    lat = np.array([23.0, 40.1, 35.7, -60.0, 45.0, -84.0])
+    for fwd, inv in ((crs.lonlat_to_lcc, crs.lcc_to_lonlat),
+                     (crs.lonlat_to_albers, crs.albers_to_lonlat)):
+        x, y = fwd(lon, lat)
+        lon2, lat2 = inv(x, y)
+        assert np.abs(lon2 - lon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-9
+    # origin maps to (0, 0)
+    x, y = crs.lonlat_to_lcc(np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+
+    # Snyder goldens need Clarke 1866 + the manual's standard parallels
+    saved = (crs.WGS84_A, crs._E2, crs._E, crs.CONIC_LAT1, crs.CONIC_LAT2)
+    try:
+        crs.WGS84_A, crs._E2 = 6378206.4, 0.00676866
+        crs._E = np.sqrt(crs._E2)
+        # Albers example (p. 292): phi1=29.5, phi2=45.5 -> x=1885472.7 y=1535925.0
+        crs.CONIC_LAT1, crs.CONIC_LAT2 = 29.5, 45.5
+        x, y = crs.lonlat_to_albers(np.array([-75.0]), np.array([35.0]))
+        assert abs(x[0] - 1885472.7) < 0.5
+        assert abs(y[0] - 1535925.0) < 0.5
+        # LCC example (p. 296): phi1=33, phi2=45 -> x=1894410.9 y=1564649.5
+        crs.CONIC_LAT1, crs.CONIC_LAT2 = 33.0, 45.0
+        x, y = crs.lonlat_to_lcc(np.array([-75.0]), np.array([35.0]))
+        assert abs(x[0] - 1894410.9) < 0.5
+        assert abs(y[0] - 1564649.5) < 0.5
+    finally:
+        crs.WGS84_A, crs._E2, crs._E, crs.CONIC_LAT1, crs.CONIC_LAT2 = saved
