@@ -88,7 +88,9 @@ def commit_partition(
     os.makedirs(root, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=root, prefix=f".tmp-{key}-")
     try:
+        t0 = time.perf_counter()
         pq.write_table(table, os.path.join(tmp, "data.parquet"), compression="zstd")
+        write_s = round(time.perf_counter() - t0, 6)
         manifest = {
             "partition": key,
             "rows": table.num_rows,
@@ -96,7 +98,10 @@ def commit_partition(
             "inputs": inputs or [],
             "kernel_version": KERNEL_VERSION,
             "committed_at": time.time(),
-            "metrics": metrics or {},
+            # caller metrics + the partition's own parquet write time
+            # (operator-metrics surface; georay.metrics aggregates the
+            # executor-level view)
+            "metrics": {**(metrics or {}), "write_s": write_s},
         }
         with open(os.path.join(tmp, "_lineage.json"), "w") as f:
             json.dump(manifest, f)

@@ -138,15 +138,25 @@ def run_flagship(
             return pa.table({"tile_id": pa.array([tid], pa.int64()),
                              "rows": pa.array([0], pa.int64()),
                              "skipped": pa.array([True])})
-        lineage.commit_partition(out_dir, key, group, inputs=[paths["images"]])
+        lineage.commit_partition(
+            out_dir, key, group, inputs=[paths["images"]],
+            metrics={"rows": group.num_rows, "bytes": group.nbytes},
+        )
         return pa.table({"tile_id": pa.array([tid], pa.int64()),
                          "rows": pa.array([group.num_rows], pa.int64()),
                          "skipped": pa.array([False])})
 
-    summary = (
-        ds.groupby("tile_id")
-        .map_groups(write_tile_partition, batch_format="pyarrow")
-        .to_pandas()
+    grouped = ds.groupby("tile_id").map_groups(
+        write_tile_partition, batch_format="pyarrow"
+    )
+    summary = grouped.to_pandas()
+    # persist the executor's per-operator accounting next to the
+    # partitions (georay.metrics — north-star operator-metrics surface)
+    from .. import metrics as gmetrics
+
+    gmetrics.write_run_metrics(
+        out_dir, grouped,
+        extra={"partitions": len(summary), "rows_written": int(summary["rows"].sum())},
     )
     return {
         "partitions": len(summary),

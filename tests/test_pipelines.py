@@ -84,6 +84,25 @@ def test_flagship_tiled_output_and_resume(sf, tmp_path):
         assert m["kernel_version"]
         total += m["rows"]
     assert total == 2000
+    # per-partition operator metrics ride in the manifests (r4b)
+    for p in parts:
+        with open(os.path.join(lineage.partition_dir(out, p), "_lineage.json")) as f:
+            m = json.load(f)
+        assert m["metrics"]["rows"] == m["rows"]
+        assert m["metrics"]["bytes"] > 0
+        assert m["metrics"]["write_s"] >= 0
+    # run-level operator metrics persisted from the executor's own
+    # accounting (georay.metrics)
+    from georay import metrics as gmetrics
+
+    run = gmetrics.read_run_metrics(out)
+    assert run is not None
+    assert run["rows_written"] == 2000
+    assert run["raw_stats"]
+    assert run["operators"], "stats parser found no operators"
+    assert any("MapGroups" in o["operator"] or "ReadParquet" in o["operator"]
+               for o in run["operators"])
+    assert all(o["wall_s"] >= 0 and o["blocks"] >= 1 for o in run["operators"])
     # resume: a second run skips every committed partition
     s2 = flagship.run_flagship(sf_dir, out_dir=out, with_bytes=True, concurrency=2)
     assert s2["rows_written"] == 0
