@@ -147,6 +147,26 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         assert n1 == n_tmp and n2 == n_tmp
         times[f"temporal_{n_tmp // 1000000}m"] = round(dt, 3)
         times["temporal_rows_per_sec"] = round(2 * n_tmp / dt)
+
+    # duplicate-n-gram coverage at scale (r4b): the sf documents table
+    # is tiny, so a deterministic 200k-doc corpus (~57M gram rows
+    # through the key shuffle) exercises the explode + two bucketed
+    # exchanges of llmtext.dup_ngram_plan
+    n_doc = int(os.environ.get("GEORAY_DUPGRAM_DOCS", "200000"))
+    if n_doc:
+        import ray.data as rd
+
+        from georay import datagen, llmtext
+
+        docs_path = datagen.ensure_bench_docs(n_doc)
+        ds = rd.read_parquet(docs_path)
+        t0 = time.time()
+        out = llmtext.dup_ngram_plan(ds)
+        n_rows = out.count()
+        dt = time.time() - t0
+        assert n_rows == n_doc, (n_rows, n_doc)
+        times[f"dupgram_{n_doc // 1000}k"] = round(dt, 3)
+        times["dupgram_docs_per_sec"] = round(n_doc / dt)
     return times
 
 

@@ -443,3 +443,52 @@ def ensure_bench_points(n: int, n_shards: int = 64) -> str:
         with open(done, "w") as f:
             f.write("ok")
     return root
+
+
+TAG_DOC = 0x1111AA06
+
+_BENCH_VOCAB = [
+    "join", "hash", "row", "batch", "scan", "merge", "sort", "filter",
+    "group", "query", "table", "stream", "window", "key", "part",
+    "agg", "data", "line", "value", "column", "slow", "fast", "big",
+    "small", "dup", "spark", "customer", "order", "index", "bucket",
+    "shard", "probe",
+]
+_BENCH_PHRASE = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def ensure_bench_docs(n: int, words_per_doc: int = 48, n_shards: int = 32) -> str:
+    """Deterministic synthetic document corpus for the dup-n-gram bench:
+    word-soup rows from a 32-word vocabulary (splitmix64 streams), with
+    a shared phrase planted in every 37th document so cross-document
+    duplicate grams exist at a realistic low rate.  Sharded parquet so
+    the read fans out, cached like ensure_bench_points."""
+    root = os.path.join(DATA_ROOT, f"bench_docs_{n}")
+    done = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(done):
+        vocab = np.array(_BENCH_VOCAB)
+        per = (n + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            lo, hi = s * per, min(n, (s + 1) * per)
+            if lo >= hi:
+                break
+            m = hi - lo
+            idx = (
+                np.arange(lo, hi, dtype=np.uint64)[:, None] * np.uint64(words_per_doc)
+                + np.arange(words_per_doc, dtype=np.uint64)[None, :]
+            )
+            w = rng.stream(TAG_DOC, idx.ravel()) % np.uint64(len(vocab))
+            mat = vocab[w.astype(np.int64)].reshape(m, words_per_doc)
+            texts = [" ".join(row) for row in mat]
+            ids = np.arange(lo, hi, dtype=np.int64)
+            planted = ids % 37 == 0
+            for j in np.nonzero(planted)[0]:
+                texts[j] = texts[j] + " " + _BENCH_PHRASE
+            table = pa.table({
+                "doc_id": pa.array(ids),
+                "text": pa.array(texts, pa.string()),
+            })
+            _atomic_write(table, os.path.join(root, f"shard-{s:04d}.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return root

@@ -235,7 +235,13 @@ def segment_pairs(seg_starts: np.ndarray, seg_ends: np.ndarray) -> tuple[np.ndar
 
 
 def _schema_types(ds, fallback: dict | None) -> dict | None:
+    """Column->type map for a join side.  Explicit caller types win:
+    ``Dataset.schema()`` on a lazy pipeline EXECUTES it up to the first
+    block (r4b: the dup-n-gram probe re-ran two full shuffles just to
+    read a schema), so only sides without declared types pay that."""
+    if fallback is not None:
+        return dict(fallback)
     schema = ds.schema()
     if schema is not None:
         return dict(zip(schema.names, schema.types))
-    return dict(fallback) if fallback is not None else None
+    return None
