@@ -109,6 +109,12 @@ def connected_components(edges, max_rounds: int | None = None, typ=None,
     """
     import ray.data as _rd
 
+    # materialize the caller's (possibly expensive) lazy edge pipeline
+    # BEFORE the schema read: Dataset.schema() executes a lazy plan up
+    # to its first block, which for an all-to-all upstream is a full
+    # run — the minhash verify chain was executing twice (r4b; the
+    # schema probe alone cost a whole signatures+verify pass)
+    edges = edges.materialize()
     schema = edges.schema()
     if schema is not None:
         typ = dict(zip(schema.names, schema.types))["a"]
@@ -119,9 +125,8 @@ def connected_components(edges, max_rounds: int | None = None, typ=None,
             pa.table({"node": pa.array([], typ), "label": pa.array([], typ)})
         )
 
-    # static directed edge stream (both directions), materialized FIRST:
-    # everything else (endpoint init + every round) derives from it, so
-    # the caller's possibly-expensive lazy edge pipeline executes ONCE
+    # static directed edge stream (both directions): everything else
+    # (endpoint init + every round) derives from it, so it executes ONCE
     # (r3: the minhash verify chain used to re-run per consumer)
     def edge_rows0(t: pa.Table) -> pa.Table:
         a = t.column("a").combine_chunks().cast(typ)

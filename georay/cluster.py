@@ -502,19 +502,26 @@ def lof_scores(points, k: int = 10, num_partitions: int = 16):
     partitionings.  Ties broken by (distance, neighbor_id) as
     everywhere.  Returns Dataset (image_id, lof)."""
     from .knn import knn_full
-    from .shuffleops import bucket_reduce
+    from .shuffleops import bucket_join, bucket_reduce
 
     knn = knn_full(points, k=k, metric="euclidean").materialize()
+    # slim equi-joins via the bucketed Acero join (r4b: Ray's native
+    # Dataset.join spins one aggregator actor pool per join — three
+    # joins of fixed actor-startup cost dominated small inputs; the
+    # bucketed plan reuses the ordinary task pool)
+    _knn_t = {"image_id": pa.string(), "neighbor_id": pa.string(),
+              "dist_m": pa.float64()}
 
     kdist = bucket_reduce(knn, "image_id", [("dist_m", "max")]).map_batches(
         lambda t: t.rename_columns(["nid", "kdist"]), batch_format="pyarrow"
     )
-    # aggregator actors must not reserve CPUs: on a small/busy cluster a
-    # CPU-reserving aggregator deadlocks against the map stages feeding it
-    _agg = {"num_cpus": 0}
-    j1 = knn.join(kdist, join_type="inner", num_partitions=num_partitions,
-                  on=("neighbor_id",), right_on=("nid",),
-                  aggregator_ray_remote_args=_agg)
+    j1 = bucket_join(
+        knn.map_batches(lambda t: t.select(["image_id", "neighbor_id", "dist_m"]),
+                        batch_format="pyarrow"),
+        kdist, "neighbor_id", "nid", p=num_partitions,
+        left_types=_knn_t,
+        right_types={"nid": pa.string(), "kdist": pa.float64()},
+    )
 
     def reach_rows(t: pa.Table) -> pa.Table:
         reach = np.maximum(
@@ -547,9 +554,13 @@ def lof_scores(points, k: int = 10, num_partitions: int = 16):
         )
         .materialize()
     )
-    j2 = knn.join(lrd, join_type="inner", num_partitions=num_partitions,
-                  on=("neighbor_id",), right_on=("lid",),
-                  aggregator_ray_remote_args=_agg)
+    j2 = bucket_join(
+        knn.map_batches(lambda t: t.select(["image_id", "neighbor_id", "dist_m"]),
+                        batch_format="pyarrow"),
+        lrd, "neighbor_id", "lid", p=num_partitions,
+        left_types=_knn_t,
+        right_types={"lid": pa.string(), "lrd": pa.float64()},
+    )
 
     def lrd_rows(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -574,9 +585,11 @@ def lof_scores(points, k: int = 10, num_partitions: int = 16):
         ),
         batch_format="pyarrow",
     )
-    j3 = nbr.join(lrd, join_type="inner", num_partitions=num_partitions,
-                  on=("mid",), right_on=("lid",),
-                  aggregator_ray_remote_args=_agg)
+    j3 = bucket_join(
+        nbr, lrd, "mid", "lid", p=num_partitions,
+        left_types={"mid": pa.string(), "nbr_lrd_mean": pa.float64()},
+        right_types={"lid": pa.string(), "lrd": pa.float64()},
+    )
 
     def fin(t: pa.Table) -> pa.Table:
         return pa.table(
