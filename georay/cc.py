@@ -283,7 +283,11 @@ def attach_labels(nodes, labels, node_col: str, typ=None, types_map: dict | None
 
 
 def _types_of(ds, fallback: dict | None) -> dict | None:
+    # caller-declared types first: Dataset.schema() executes a lazy
+    # plan up to its first block (see shuffleops._schema_types, r4b)
+    if fallback is not None:
+        return dict(fallback)
     schema = ds.schema()
     if schema is not None:
         return dict(zip(schema.names, schema.types))
-    return dict(fallback) if fallback is not None else None
+    return None
