@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from . import texthash
@@ -688,3 +689,105 @@ def embed_neardup_lsh(
         .map_groups(bucket_verify, batch_format="pyarrow")
     )
     return _dedup_pairs(pairs)
+
+
+# ---------------------------------------------------------------------------
+# winnowing-fingerprint near-dup (r4b) — plagiarism-detection-style
+# grouping: documents sharing >= t_shared RARE winnowing fingerprints
+# (document frequency <= df_cap) are edges of a near-dup graph.  By the
+# winnowing theorem a shared fingerprint witnesses a shared substring of
+# length >= w + k - 1, so t_shared rare fingerprints ~ t_shared distinct
+# shared passages (Schleimer et al. 2003, MOSS).  The df cap drops
+# corpus-common fingerprints — standard df-pruning; they witness common
+# idiom, not copying — and bounds the per-fingerprint pair explosion.
+# ---------------------------------------------------------------------------
+
+WINNOW_T_SHARED = 3
+WINNOW_DF_CAP = 16
+
+
+def winnow_neardup(docs, text_col: str = "text", id_col: str = "doc_id",
+                   t_shared: int = WINNOW_T_SHARED, df_cap: int = WINNOW_DF_CAP,
+                   p: int | None = None):
+    """docs Dataset -> (doc_id, group, keep).  Stages: vectorized
+    per-doc fingerprint SETS (text.winnow_fp_sets) -> fp-bucket shuffle
+    (a fingerprint's rows co-locate, so document frequency is exact
+    per bucket) -> df-capped within-run pair explosion
+    (shuffleops.segment_pairs) with per-bucket partial counts ->
+    (a, b)-bucketed count sum + threshold -> connected components."""
+    from . import text as gtext
+    from .cc import connected_components
+    from .shuffleops import DEFAULT_P
+    from .texthash import _mix64
+
+    if p is None:
+        p = DEFAULT_P
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        offs, flat = gtext.winnow_fp_sets(b.column(text_col))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.repeat(ids, np.diff(offs))
+        t = pa.table({"fp": pa.array(flat), "doc": pa.array(d)})
+        bk = (_mix64(flat.view(np.uint64)) % np.uint64(p)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(bk))
+
+    def pair_partials(g: pa.Table) -> pa.Table:
+        from .shuffleops import segment_pairs
+
+        fp = g.column("fp").to_numpy(zero_copy_only=False)
+        doc = g.column("doc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, fp))
+        fp, doc = fp[order], doc[order]
+        m = len(fp)
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if m == 0:
+            return empty
+        new_run = np.r_[True, fp[1:] != fp[:-1]]
+        starts = np.nonzero(new_run)[0]
+        ends = np.append(starts[1:], m)
+        ok = (ends - starts >= 2) & (ends - starts <= df_cap)
+        i, j = segment_pairs(starts[ok], ends[ok])
+        if len(i) == 0:
+            return empty
+        part = (
+            pa.table({"a": pa.array(doc[i]), "b": pa.array(doc[j])})
+            .group_by(["a", "b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["a", "b", "c"])
+        )
+        return part.set_column(2, "c", part.column("c").cast(pa.int64()))
+
+    partials = (
+        docs.map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: pair_partials(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pair_bucketed(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy(zero_copy_only=False).view(np.uint64)
+        bb = b.column("b").to_numpy(zero_copy_only=False).view(np.uint64)
+        bk = ((_mix64(a) ^ _mix64(bb)) % np.uint64(p)).astype(np.int32)
+        return b.append_column("__bucket", pa.array(bk))
+
+    def sum_threshold(g: pa.Table) -> pa.Table:
+        tot = (
+            g.drop_columns(["__bucket"])
+            .group_by(["a", "b"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["a", "b", "c"])
+        )
+        keep = pc.greater_equal(tot.column("c"), pa.scalar(t_shared, pa.int64()))
+        return tot.filter(keep).select(["a", "b"])
+
+    edges = (
+        partials.map_batches(pair_bucketed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sum_threshold, batch_format="pyarrow")
+    )
+    labels = connected_components(edges, typ=pa.int64())
+    return _labels_to_output(docs, labels, id_col)

@@ -169,11 +169,17 @@ def dup_ngram_plan(docs, k: int = DUP_K, p: int = DUP_P):
     def extract(b: pa.Table) -> pa.Table:
         cnt, pos, keys, didx = gram_keys(b.column("text"), k)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        cols = {"doc_id": pa.array(ids[didx]), "pos": pa.array(pos)}
+        # pos rides as int32 (a 2 GiB single document would overflow it
+        # long after the explode itself became impossible); the bucket
+        # id as int32 — together ~20% off the only wide exchange
+        cols = {"doc_id": pa.array(ids[didx]),
+                "pos": pa.array(pos.astype(np.int32))}
         for j in range(w):
             cols[f"w{j}"] = pa.array(keys[:, j])
         t = pa.table(cols)
-        return t.append_column("__bucket", pa.array(_key_bucket(keys, p)))
+        return t.append_column(
+            "__bucket", pa.array(_key_bucket(keys, p).astype(np.int32))
+        )
 
     dup_rows = (
         docs.map_batches(extract, batch_format="pyarrow")

@@ -2712,3 +2712,18 @@ def albers_pts(sf_dir: str):
 
 
 QUERIES["albers_pts"] = albers_pts
+
+
+def winnow_neardup_groups(sf_dir: str):
+    """Winnowing-fingerprint near-dup groups (MOSS-style; Schleimer et
+    al. 2003): docs sharing >= 3 rare fingerprints (df <= 16) form
+    components.  Fully distributed (dedup.winnow_neardup); the oracle
+    recomputes fingerprints, df-cap, pair counts and components in SQL."""
+    from . import dedup as gdedup
+
+    return gdedup.winnow_neardup(
+        _testdata(sf_dir, "documents").select_columns(["doc_id", "text"])
+    )
+
+
+QUERIES["winnow_neardup_groups"] = winnow_neardup_groups

@@ -3165,3 +3165,51 @@ def q_albers_pts(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["albers_pts"] = q_albers_pts
+
+
+def q_winnow_neardup_groups(sf_dir: str) -> str:
+    """Winnowing near-dup groups: per-doc DISTINCT fingerprint hashes
+    (same selection CTEs as q_doc_fingerprints), df-capped rare-
+    fingerprint pair counts, threshold, recursive min-label components
+    (same shape as q_minhash_dedup)."""
+    from .dedup import WINNOW_DF_CAP, WINNOW_T_SHARED
+
+    B = 4294967296
+    return (
+        f"WITH RECURSIVE d0 AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+        f"ser AS (SELECT unnest(range(0, (SELECT coalesce(max(n), 1) FROM d0))) AS i), "
+        f"g AS (SELECT d.doc_id, s.i, "
+        f"  ('0x' || substr(md5(substr(d.text, s.i + 1, 5)), 1, 8))::BIGINT AS h "
+        f"  FROM d0 d JOIN ser s ON s.i <= d.n - 5 WHERE d.n >= 5), "
+        f"gn AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id), "
+        f"key AS (SELECT doc_id, i, h, "
+        f"  h::HUGEINT * {B} + ({B - 1} - i) AS k FROM g), "
+        f"win AS (SELECT doc_id, i, "
+        f"  min(k) OVER (PARTITION BY doc_id ORDER BY i "
+        f"    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk FROM key), "
+        f"fps AS ("
+        f"  SELECT DISTINCT w.doc_id, (w.wk // {B})::BIGINT AS h "
+        f"    FROM win w JOIN gn ON gn.doc_id = w.doc_id AND gn.ng > 4 "
+        f"    WHERE w.i <= gn.ng - 4 "
+        f"  UNION SELECT k.doc_id, (min(k.k) // {B})::BIGINT "
+        f"    FROM key k JOIN gn ON gn.doc_id = k.doc_id AND gn.ng <= 4 GROUP BY k.doc_id "
+        f"  UNION SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT "
+        f"    FROM d0 WHERE n > 0 AND n < 5), "
+        f"df AS (SELECT h FROM fps GROUP BY h "
+        f"  HAVING count(*) BETWEEN 2 AND {WINNOW_DF_CAP}), "
+        f"pairs AS (SELECT a.doc_id AS a, b.doc_id AS b "
+        f"  FROM fps a JOIN df ON df.h = a.h "
+        f"  JOIN fps b ON b.h = a.h AND b.doc_id > a.doc_id "
+        f"  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {WINNOW_T_SHARED}), "
+        f"bi AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs), "
+        f"reach(id, lbl) AS ("
+        f"  SELECT DISTINCT a, a FROM bi "
+        f"  UNION SELECT e.b, r.lbl FROM reach r JOIN bi e ON e.a = r.id WHERE r.lbl < e.b), "
+        f"lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) "
+        f"SELECT d.doc_id, coalesce(lab.lbl, d.doc_id) AS \"group\", "
+        f"(coalesce(lab.lbl, d.doc_id) = d.doc_id) AS keep "
+        f"FROM d0 d LEFT JOIN lab ON lab.id = d.doc_id"
+    )
+
+
+ORACLE_BUILDERS["winnow_neardup_groups"] = q_winnow_neardup_groups

@@ -295,3 +295,88 @@ def winnow_stats_batch(arr, k: int = 5, w: int = 4) -> tuple[np.ndarray, np.ndar
     changed = np.r_[True, (m[1:] != m[:-1]) | (win_doc[1:] != win_doc[:-1])]
     n_fp[gdoc[big]] = np.bincount(win_doc[changed], minlength=len(nwin))
     return n_fp, min_fp
+
+
+def winnow_fp_sets(arr, k: int = 5, w: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT winnowing fingerprint hashes (r4b), vectorized:
+    returns (doc_offsets int64 (n+1), flat int64 hashes) — the set form
+    of winnow_fingerprints, i.e. fingerprint_set() per document.  Same
+    selection machinery as winnow_stats_batch (one lane-md5 pass,
+    contiguous sliding min, rightmost-min), plus a (doc, hash) lexsort
+    dedup.  Non-ASCII batches fall back to the scalar reference."""
+    import pyarrow as pa
+
+    from .md5vec import md5_h32_u32
+    from .texthash import _flat_utf8
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs, data = _flat_utf8(arr)
+    n = len(offs) - 1
+    doc_offs = np.zeros(n + 1, np.int64)
+    if n == 0:
+        return doc_offs, np.zeros(0, np.int64)
+    if len(data) and int(data.max()) >= 128:
+        sets = [sorted(fingerprint_set(t, k, w)) for t in arr.to_pylist()]
+        np.cumsum([len(s) for s in sets], out=doc_offs[1:])
+        flat = np.fromiter(
+            (h for s in sets for h in s), np.int64, count=int(doc_offs[-1])
+        )
+        return doc_offs, flat
+
+    docs_parts: list[np.ndarray] = []
+    hash_parts: list[np.ndarray] = []
+    lens = offs[1:] - offs[:-1]
+    short = (lens > 0) & (lens < k)
+    if short.any():
+        h = md5_h32_u32(offs[:-1][short], offs[1:][short], data)
+        docs_parts.append(np.nonzero(short)[0].astype(np.int64))
+        hash_parts.append(h.astype(np.int64))
+    g = lens >= k
+    if g.any():
+        gdoc = np.nonzero(g)[0]
+        wc = (lens[g] - k + 1).astype(np.int32)
+        gstart = (np.cumsum(wc, dtype=np.int64) - wc).astype(np.int32)
+        within = np.arange(int(wc.sum(dtype=np.int64)), dtype=np.int32) - np.repeat(
+            gstart, wc
+        )
+        gws = np.repeat(offs[:-1][g].astype(np.int32), wc) + within
+        H = md5_h32_u32(gws, gws + np.int32(k), data)
+        few = wc <= w
+        if few.any():
+            # single fingerprint: the (min hash, rightmost) gram —
+            # reduceat over ALL doc segments (slicing gstart first
+            # would merge each few-doc's segment with its neighbours)
+            mins = np.minimum.reduceat(H, gstart)
+            docs_parts.append(gdoc[few].astype(np.int64))
+            hash_parts.append(mins[few].astype(np.int64))
+        big = ~few
+        if big.any():
+            ngw = len(H) - w + 1
+            V = H[:ngw].copy()
+            for j in range(1, w):
+                np.minimum(V, H[j : ngw + j], out=V)
+            P = np.zeros(ngw, np.int8)
+            for j in range(1, w):
+                np.copyto(P, np.int8(j), where=H[j : ngw + j] == V)
+            mg = np.arange(ngw, dtype=np.int32) + P
+            nwin = (wc[big] - w + 1).astype(np.int32)
+            nw_total = int(nwin.sum(dtype=np.int64))
+            wstart = (np.cumsum(nwin, dtype=np.int64) - nwin).astype(np.int32)
+            w_within = np.arange(nw_total, dtype=np.int32) - np.repeat(wstart, nwin)
+            win_s = np.repeat(gstart[big], nwin) + w_within
+            m = mg[win_s]
+            win_doc = np.repeat(np.arange(len(nwin), dtype=np.int32), nwin)
+            changed = np.r_[True, (m[1:] != m[:-1]) | (win_doc[1:] != win_doc[:-1])]
+            docs_parts.append(gdoc[big][win_doc[changed]].astype(np.int64))
+            hash_parts.append(H[m[changed]].astype(np.int64))
+    if not docs_parts:
+        return doc_offs, np.zeros(0, np.int64)
+    d = np.concatenate(docs_parts)
+    h = np.concatenate(hash_parts)
+    order = np.lexsort((h, d))
+    d, h = d[order], h[order]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+    d, h = d[keep], h[keep]
+    np.cumsum(np.bincount(d, minlength=n), out=doc_offs[1:])
+    return doc_offs, h

@@ -164,3 +164,60 @@ def test_stratified_sample_deterministic_and_rated(ray_session):
     assert got["en"] == pytest.approx(0.5, abs=0.06)
     assert got["de"] == pytest.approx(0.25, abs=0.05)
     assert got["fr"] == pytest.approx(0.0625, abs=0.03)  # default rate
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint sets + near-dup groups (r4b)
+# ---------------------------------------------------------------------------
+
+def test_winnow_fp_sets_matches_scalar():
+    import pyarrow as pa
+
+    from georay import text as gtext
+
+    docs = ["", "ab", "abcde", "abcdefgh", "zzzzzzzzzzzz",
+            "hello world this is a longer document with words " * 3,
+            "héllo wörld non-ascii fallback path here"]
+    offs, flat = gtext.winnow_fp_sets(pa.array(docs))
+    for i, s in enumerate(docs):
+        got = set(flat[offs[i]:offs[i + 1]].tolist())
+        assert got == gtext.fingerprint_set(s), i
+
+
+def test_winnow_neardup_groups_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import dedup
+
+    # pseudorandom 8-hex words, distinct per (doc, position): chance
+    # 5-gram overlap between different docs is negligible, so the
+    # planted passage is effectively the ONLY shared content (uniform
+    # formatted vocabularies share k-gram fragments by construction,
+    # which is corpus noise, not an operator property)
+    def word(u: int) -> str:
+        return f"{(u * 2654435761) % (1 << 32):08x}"
+
+    docs = [
+        " ".join(word(i * 40 + j) for j in range(40)) for i in range(60)
+    ]
+    passage = " ".join(word(1_000_000 + j) for j in range(25))
+    docs[5] += " " + passage
+    docs[31] = passage + " " + docs[31]
+    docs[47] += " " + passage
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    ).repartition(4)
+    # uniform "wNNNN" words share 5-gram fragments by construction, so a
+    # higher shared-fingerprint threshold isolates the planted passage
+    # (~60 fingerprints) from chance fragment overlap
+    out = {r["doc_id"]: r["group"]
+           for r in dedup.winnow_neardup(ds, t_shared=12).take_all()}
+    assert len(out) == len(docs)
+    # the three passage-sharing docs form one group labelled by the min id
+    assert out[5] == out[31] == out[47] == 5
+    # everyone else is a singleton
+    for i, g in out.items():
+        if i not in (5, 31, 47):
+            assert g == i, (i, g)
