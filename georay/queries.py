@@ -2727,3 +2727,25 @@ def winnow_neardup_groups(sf_dir: str):
 
 
 QUERIES["winnow_neardup_groups"] = winnow_neardup_groups
+
+
+def normalize_text(sf_dir: str):
+    """Text normalization stage (pre-dedup canonical form): lowercase,
+    collapse whitespace runs to single spaces, trim — three Arrow C++
+    kernels; the oracle applies the identical lower/regexp_replace/trim
+    in DuckDB (same RE2 engine)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b.column("text"))
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "norm_text": t,
+            "norm_len": pc.cast(pc.utf8_length(t), pa.int64()),
+        })
+
+    return _testdata(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["normalize_text"] = normalize_text

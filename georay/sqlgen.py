@@ -3213,3 +3213,15 @@ def q_winnow_neardup_groups(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["winnow_neardup_groups"] = q_winnow_neardup_groups
+
+
+def q_normalize_text(sf_dir: str) -> str:
+    return (
+        "SELECT doc_id, "
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text, "
+        "length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT AS norm_len "
+        "FROM documents"
+    )
+
+
+ORACLE_BUILDERS["normalize_text"] = q_normalize_text
