@@ -791,3 +791,105 @@ def winnow_neardup(docs, text_col: str = "text", id_col: str = "doc_id",
     )
     labels = connected_components(edges, typ=pa.int64())
     return _labels_to_output(docs, labels, id_col)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r4c) — semantic deduplication over an embedding column
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): cluster the embedding space, then
+# dedup WITHIN each cluster only — the clusters bound the pairwise
+# work, so the all-pairs product never happens.  The paper trains
+# k-means; here the codebook is DETERMINISTIC BY CONSTRUCTION (the same
+# id-sampled scheme as georay.ann: ``vec_id % cent_mod == 0``, cells =
+# max-cosine centroid, ties to the smaller centroid index) so the whole
+# operator — cells, in-cell pairs, groups — is recomputable in SQL and
+# the driver hash check applies in full.  Cross-cluster near-dups are
+# out of scope BY THE OPERATOR'S SEMANTICS (that is SemDeDup's accepted
+# recall trade), not an implementation approximation.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    embeds,
+    threshold: float,
+    cent_mod: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Dataset (id, embedding, ...) -> Dataset (id, group, keep).
+
+    Stages: broadcast the id-sampled codebook once (``ray.put``; the
+    codebook is a 1/cent_mod fraction, never the corpus) -> batched
+    max-cosine cell assignment (one matmul per batch) -> shuffle by
+    ``hash(cell) % P`` -> per shuffle bucket ONE lexsort + triangle
+    pair decode + einsum cosine over every in-cell pair (no per-cell
+    Python) -> threshold -> distributed connected components -> labels
+    join back onto all ids (group = min id of the component, keep =
+    (id == group), singletons keep themselves)."""
+    from .shuffleops import DEFAULT_P, bucket_ids, segment_pairs
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % cent_mod == 0))
+
+    cb = (
+        embeds.select_columns([id_col, vec_col])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    cmat = np.stack([np.asarray(v, dtype=np.float64) for v in cb[vec_col]])
+    cmat_n = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+    cref = ray.put(cmat_n)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(b.column(vec_col).combine_chunks().flatten(), dtype=np.float64)
+        m = flat.reshape(len(ids), -1)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ cm.T) / np.where(norms == 0, 1.0, norms)[:, None]
+        # argmax returns the FIRST maximum == smaller centroid index
+        cell = sims.argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {"cell": pa.array(cell), id_col: pa.array(ids), "vec": b.column(vec_col)}
+        )
+
+    def prepare(b: pa.Table) -> pa.Table:
+        bid = bucket_ids(b.column("cell"), DEFAULT_P)
+        return b.append_column("__bucket", pa.array(bid))
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        cell = g.column("cell").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        order = np.lexsort((ids, cell))
+        cell, ids = cell[order], ids[order]
+        flat = np.asarray(g.column("vec").combine_chunks().flatten(), dtype=np.float64)
+        m = flat.reshape(n, -1)[order]
+        seg_new = np.r_[True, cell[1:] != cell[:-1]]
+        seg_starts = np.nonzero(seg_new)[0]
+        seg_ends = np.r_[seg_starts[1:], n]
+        pi, pj = segment_pairs(seg_starts, seg_ends)
+        if len(pi) == 0:
+            return empty
+        nm = np.linalg.norm(m, axis=1)
+        sims = np.einsum("ij,ij->i", m[pi], m[pj]) / (nm[pi] * nm[pj])
+        keep = sims >= threshold
+        return pa.table(
+            {"a": pa.array(ids[pi[keep]], pa.int64()),
+             "b": pa.array(ids[pj[keep]], pa.int64())}
+        )
+
+    edges = (
+        embeds.select_columns([id_col, vec_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .map_batches(prepare, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+    )
+    labels = connected_components(edges, typ=pa.int64())
+    return _labels_to_output(embeds, labels, id_col)

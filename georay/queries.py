@@ -2749,3 +2749,23 @@ def normalize_text(sf_dir: str):
 
 
 QUERIES["normalize_text"] = normalize_text
+
+
+def semantic_dedup(sf_dir: str):
+    """SemDeDup over the embeddings table (dedup.semantic_dedup —
+    Abbas et al. 2023 with a deterministic id-sampled codebook):
+    vec_id -> semantic-duplicate group (min vec_id of the in-cell
+    cosine>=T component) + keep flag.  Fully DuckDB-oracled: codebook,
+    max-cosine cells, in-cell pairs and the recursive CC are all
+    recomputed in SQL (sqlgen.q_semantic_dedup)."""
+    from . import dedup as gdedup
+    from .sqlgen import ANN_CENT_MOD, EMB_NEARDUP_T
+
+    return gdedup.semantic_dedup(
+        _testdata(sf_dir, "embeddings"),
+        threshold=EMB_NEARDUP_T,
+        cent_mod=ANN_CENT_MOD,
+    )
+
+
+QUERIES["semantic_dedup"] = semantic_dedup

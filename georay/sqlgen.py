@@ -3225,3 +3225,38 @@ def q_normalize_text(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["normalize_text"] = q_normalize_text
+
+
+def q_semantic_dedup(sf_dir: str) -> str:
+    """SemDeDup in SQL (r4c, dedup.semantic_dedup): deterministic
+    id-sampled codebook (== q_embed_ann_ivf's cent CTE), max-cosine
+    cell per vector (ties to the smaller centroid index), in-cell
+    pairs at cosine >= EMB_NEARDUP_T, recursive min-label connected
+    components (== q_minhash_dedup's reach CTE), group = min vec_id,
+    keep = (vec_id = group)."""
+    return (
+        f"WITH RECURSIVE cent AS (SELECT vec_id, embedding, "
+        f"  row_number() OVER (ORDER BY vec_id) - 1 AS cidx "
+        f"  FROM embeddings WHERE vec_id % {ANN_CENT_MOD} = 0), "
+        f"asg AS (SELECT e.vec_id, c.cidx, row_number() OVER ("
+        f"  PARTITION BY e.vec_id ORDER BY "
+        f"  list_cosine_similarity(e.embedding, c.embedding) DESC, c.cidx) AS rn "
+        f"  FROM embeddings e CROSS JOIN cent c), "
+        f"cell AS (SELECT vec_id, cidx FROM asg WHERE rn = 1), "
+        f"edges AS (SELECT a.vec_id AS da, b.vec_id AS db "
+        f"  FROM cell ca JOIN cell cb ON cb.cidx = ca.cidx AND cb.vec_id > ca.vec_id "
+        f"  JOIN embeddings a ON a.vec_id = ca.vec_id "
+        f"  JOIN embeddings b ON b.vec_id = cb.vec_id "
+        f"  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_NEARDUP_T}), "
+        f"bi AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges), "
+        f"reach(id, lbl) AS ("
+        f"  SELECT DISTINCT a, a FROM bi "
+        f"  UNION SELECT e.b, r.lbl FROM reach r JOIN bi e ON e.a = r.id WHERE r.lbl < e.b), "
+        f"lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) "
+        f"SELECT e.vec_id, coalesce(lab.lbl, e.vec_id) AS \"group\", "
+        f"(coalesce(lab.lbl, e.vec_id) = e.vec_id) AS keep "
+        f"FROM embeddings e LEFT JOIN lab ON lab.id = e.vec_id"
+    )
+
+
+ORACLE_BUILDERS["semantic_dedup"] = q_semantic_dedup

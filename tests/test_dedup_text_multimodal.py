@@ -416,3 +416,57 @@ def test_lsh_candidates_oracle_consistency(ray_session, tiny_sf):
         if c >= EMB_NEARDUP_T:
             passed.add((min(a, b), max(a, b)))
     assert passed == ver_set
+
+
+def test_semantic_dedup_planted_groups(ray_session):
+    """SemDeDup: planted in-cell near-dups group together; the brute
+    in-cell reference (same deterministic codebook) agrees exactly."""
+    import ray.data as rd
+
+    from georay.dedup import semantic_dedup
+
+    rs = np.random.RandomState(31)
+    base = rs.randn(64, 16).astype(np.float32)
+    near = base[:6] + rs.randn(6, 16).astype(np.float32) * 0.01
+    mat = np.vstack([base, near])
+    ids = np.arange(len(mat), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        }
+    )
+    got = semantic_dedup(rd.from_arrow(t), threshold=0.95, cent_mod=8).to_pandas()
+    m = dict(zip(got["vec_id"], got["group"]))
+    # brute reference: same codebook, same cells, in-cell pairs >= T
+    m64 = mat.astype(np.float64)
+    cmat = m64[ids % 8 == 0]
+    cmat_n = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+    cell = ((m64 @ cmat_n.T) / np.linalg.norm(m64, axis=1)[:, None]).argmax(1)
+    import collections
+
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    sims = (m64 @ m64.T) / (
+        np.linalg.norm(m64, axis=1)[:, None] * np.linalg.norm(m64, axis=1)[None, :]
+    )
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cell[i] == cell[j] and sims[i, j] >= 0.95:
+                a, b = sorted((find(i), find(j)))
+                parent[b] = a
+    expected = {i: find(i) for i in range(len(ids))}
+    assert m == expected
+    # a planted perturbation that shares its base's cell must group with it
+    same_cell = [i for i in range(6) if cell[i] == cell[64 + i]]
+    assert same_cell, "test setup: at least one planted pair shares a cell"
+    for i in same_cell:
+        assert m[64 + i] == m[i]
+    keep = set(got.loc[got["keep"], "vec_id"])
+    assert keep == set(expected.values())
