@@ -2769,3 +2769,16 @@ def semantic_dedup(sf_dir: str):
 
 
 QUERIES["semantic_dedup"] = semantic_dedup
+
+
+def ngram_lm_score(sf_dir: str):
+    """CCNet-style LM quality scoring (lmscore.ngram_lm_score): a
+    corpus-trained add-1 bigram model scores each document's average
+    negative log-likelihood in integer micro-nats — exact integer
+    aggregation, fully DuckDB-oracled (sqlgen.q_ngram_lm_score)."""
+    from . import lmscore
+
+    return lmscore.ngram_lm_score(_testdata(sf_dir, "documents"))
+
+
+QUERIES["ngram_lm_score"] = ngram_lm_score

@@ -3260,3 +3260,40 @@ def q_semantic_dedup(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["semantic_dedup"] = q_semantic_dedup
+
+
+def q_ngram_lm_score(sf_dir: str) -> str:
+    """Corpus-trained add-1 bigram LM score in SQL (r4c,
+    lmscore.ngram_lm_score): whitespace tokens (the token_rep_stats
+    list_filter convention), bigrams via lead() per doc, counts /
+    contexts / vocab by GROUP BY, per-bigram micro-nat logprob
+    floor(1e6 * ln((C+1)/(ctx+V))) summed as exact BIGINTs.  Token
+    identity is strings here vs 64-bit hashes on the Ray side — the
+    documented collision caveat."""
+    return (
+        "WITH tk AS (SELECT doc_id, list_filter("
+        "  regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts FROM documents), "
+        "e AS (SELECT doc_id, unnest(ts) AS tok, "
+        "  unnest(range(1, length(ts) + 1)) AS i FROM tk), "
+        "bg AS (SELECT doc_id, tok AS l, "
+        "  lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS r FROM e), "
+        "b2 AS (SELECT doc_id, l, r FROM bg WHERE r IS NOT NULL), "
+        "c2 AS (SELECT l, r, count(*) AS c FROM b2 GROUP BY l, r), "
+        "ctx AS (SELECT l, sum(c) AS cn FROM c2 GROUP BY l), "
+        "vocab AS (SELECT count(DISTINCT tok) AS v FROM e), "
+        "q AS (SELECT c2.l, c2.r, floor(1000000.0 * ln((c2.c + 1)::DOUBLE / "
+        "  (ctx.cn + vocab.v)))::BIGINT AS q FROM c2 "
+        "  JOIN ctx ON ctx.l = c2.l CROSS JOIN vocab), "
+        "sc AS (SELECT b2.doc_id, sum(q.q)::BIGINT AS sum_q, "
+        "  count(*)::BIGINT AS n_bigrams FROM b2 "
+        "  JOIN q ON q.l = b2.l AND q.r = b2.r GROUP BY b2.doc_id) "
+        "SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams, "
+        "coalesce(sc.sum_q, 0)::BIGINT AS sum_q, "
+        "CASE WHEN sc.n_bigrams > 0 THEN "
+        "  ((-sc.sum_q) // sc.n_bigrams)::DOUBLE / 1000000.0 "
+        "ELSE 0.0 END AS avg_nll "
+        "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
+    )
+
+
+ORACLE_BUILDERS["ngram_lm_score"] = q_ngram_lm_score
