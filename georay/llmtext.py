@@ -337,3 +337,116 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
         return b.filter(pa.array(u < thr))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (r4c) — flag training documents that share
+# char-k-gram spans with an evaluation/benchmark set (the standard
+# train-test-overlap hygiene pass: GPT-3 appendix C, Lee et al. 2021
+# §6; n-gram-overlap flavor).  Same exact packed-key machinery as
+# dup_ngram_plan: the only wide exchange is one key-bucket shuffle of
+# (key, side, doc, pos) rows — never train x eval pairs.
+# ---------------------------------------------------------------------------
+
+
+def _mark_eval_hits(g: pa.Table, w: int) -> pa.Table:
+    """One key bucket: keep TRAIN (doc_id, pos) rows whose key also
+    occurs on the EVAL side.  One lexsort + per-run any-eval flag."""
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = g.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    ev = g.column("is_eval").to_numpy(zero_copy_only=False).astype(bool)
+    kw = [g.column(f"w{j}").to_numpy(zero_copy_only=False).astype(np.uint64)
+          for j in range(w)]
+    m = len(doc)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64())})
+    if m == 0:
+        return empty
+    order = np.lexsort((pos, doc, *reversed(kw)))
+    new_key = np.zeros(m, bool)
+    new_key[0] = True
+    for c in kw:
+        cs = c[order]
+        new_key[1:] |= cs[1:] != cs[:-1]
+    run_id = np.cumsum(new_key) - 1
+    n_runs = int(run_id[-1]) + 1
+    has_eval = np.bincount(run_id, weights=ev[order], minlength=n_runs) > 0
+    keep = has_eval[run_id] & ~ev[order]
+    return pa.table({"doc_id": pa.array(doc[order][keep]),
+                     "pos": pa.array(pos[order][keep])})
+
+
+def decontam_plan(train, eval_ds, k: int = DUP_K, p: int = DUP_P):
+    """(train, eval) Datasets of (doc_id, text) -> per-TRAIN-doc
+    (doc_id, n_grams, n_hit, hit_cov, contaminated): positions whose
+    k-gram occurs anywhere in the eval set, the character coverage of
+    the union of those spans, and the boolean flag.  Mirrors
+    dup_ngram_plan's three stages with an eval-side tag."""
+    from .shuffleops import bucket_join
+
+    w = (k + 7) // 8
+
+    def extract(is_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            cnt, pos, keys, didx = gram_keys(b.column("text"), k)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {"doc_id": pa.array(ids[didx]),
+                    "pos": pa.array(pos.astype(np.int32)),
+                    "is_eval": pa.array(np.full(len(pos), is_eval))}
+            for j in range(w):
+                cols[f"w{j}"] = pa.array(keys[:, j])
+            t = pa.table(cols)
+            return t.append_column(
+                "__bucket", pa.array(_key_bucket(keys, p).astype(np.int32))
+            )
+        return f
+
+    hits = (
+        train.map_batches(extract(False), batch_format="pyarrow")
+        .union(eval_ds.map_batches(extract(True), batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(
+            lambda g, w=w: _mark_eval_hits(g.drop_columns(["__bucket"]), w),
+            batch_format="pyarrow",
+        )
+    )
+
+    def to_doc_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "__bucket", pa.array((_mix64(d.astype(np.uint64)) % np.uint64(p)).astype(np.int64))
+        )
+
+    cov = (
+        hits.map_batches(to_doc_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g, k=k: _coverage_bucket(g.drop_columns(["__bucket"]), k),
+            batch_format="pyarrow",
+        )
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(b.column("text")), pa.int64())
+        ng = pc.max_element_wise(pc.subtract(n, pa.scalar(k - 1, pa.int64())),
+                                 pa.scalar(0, pa.int64()))
+        return pa.table({"doc_id": b.column("doc_id"), "n_grams": ng})
+
+    base = train.map_batches(counts, batch_format="pyarrow")
+    joined = bucket_join(
+        base, cov, "doc_id", "doc_id", p=p, how="left outer",
+        left_types={"doc_id": pa.int64(), "n_grams": pa.int64()},
+        right_types={"doc_id": pa.int64(), "n_dup": pa.int64(), "dup_cov": pa.int64()},
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        n_hit = pc.fill_null(b.column("n_dup"), 0)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_grams": b.column("n_grams"),
+            "n_hit": n_hit,
+            "hit_cov": pc.fill_null(b.column("dup_cov"), 0),
+            "contaminated": pc.greater(n_hit, pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -2782,3 +2782,32 @@ def ngram_lm_score(sf_dir: str):
 
 
 QUERIES["ngram_lm_score"] = ngram_lm_score
+
+
+DECONTAM_EVAL_MOD = 7
+
+
+def decontam_overlap(sf_dir: str):
+    """Benchmark decontamination (llmtext.decontam_plan): training docs
+    = documents with doc_id % 7 != 0, eval/benchmark set = the rest;
+    per train doc, the count + char coverage of char-32-gram spans that
+    occur anywhere in the eval set, and the contaminated flag.  One
+    key-bucket shuffle, never train x eval pairs; fully DuckDB-oracled
+    (sqlgen.q_decontam_overlap)."""
+    from . import llmtext
+
+    docs = _testdata(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def side(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = ids % DECONTAM_EVAL_MOD == 0
+            return b.filter(pa.array(m if keep_eval else ~m))
+        return f
+
+    train = docs.map_batches(side(False), batch_format="pyarrow")
+    ev = docs.map_batches(side(True), batch_format="pyarrow")
+    return llmtext.decontam_plan(train, ev)
+
+
+QUERIES["decontam_overlap"] = decontam_overlap

@@ -3297,3 +3297,37 @@ def q_ngram_lm_score(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["ngram_lm_score"] = q_ngram_lm_score
+
+
+def q_decontam_overlap(sf_dir: str) -> str:
+    """Train-eval char-k-gram overlap in SQL (r4c,
+    llmtext.decontam_plan): eval grams via substr, DISTINCT; train
+    positions joined against them; per-doc interval union via the
+    q_dup_ngram_cov gaps-and-islands."""
+    from .llmtext import DUP_K as K
+    from .queries import DECONTAM_EVAL_MOD as MOD
+
+    return (
+        f"WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % {MOD} <> 0), "
+        f"ev AS (SELECT text FROM documents WHERE doc_id % {MOD} = 0), "
+        f"ee AS (SELECT text, unnest(range(1, GREATEST(length(text) - {K - 1}, 0) + 1)) AS i FROM ev), "
+        f"evg AS (SELECT DISTINCT substr(text, i::INTEGER, {K}) AS gram FROM ee), "
+        f"te AS (SELECT doc_id, text, unnest(range(1, GREATEST(length(text) - {K - 1}, 0) + 1)) AS i FROM tr), "
+        f"tg AS (SELECT doc_id, i, substr(text, i::INTEGER, {K}) AS gram FROM te), "
+        f"d AS (SELECT tg.doc_id, tg.i FROM tg JOIN evg USING (gram)), "
+        f"w AS (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi FROM d), "
+        f"isl AS (SELECT doc_id, i, CASE WHEN pi IS NULL OR i > pi + {K} THEN 1 ELSE 0 END AS ni FROM w), "
+        f"gid AS (SELECT doc_id, i, sum(ni) OVER (PARTITION BY doc_id ORDER BY i) AS isl_id FROM isl), "
+        f"ilen AS (SELECT doc_id, isl_id, max(i) - min(i) + {K} AS clen, count(*) AS cnt "
+        f"  FROM gid GROUP BY doc_id, isl_id), "
+        f"agg AS (SELECT doc_id, sum(clen)::BIGINT AS hit_cov, sum(cnt)::BIGINT AS n_hit "
+        f"  FROM ilen GROUP BY doc_id) "
+        f"SELECT t.doc_id, GREATEST(length(t.text) - {K - 1}, 0)::BIGINT AS n_grams, "
+        f"coalesce(agg.n_hit, 0)::BIGINT AS n_hit, "
+        f"coalesce(agg.hit_cov, 0)::BIGINT AS hit_cov, "
+        f"(coalesce(agg.n_hit, 0) > 0) AS contaminated "
+        f"FROM tr t LEFT JOIN agg ON agg.doc_id = t.doc_id"
+    )
+
+
+ORACLE_BUILDERS["decontam_overlap"] = q_decontam_overlap

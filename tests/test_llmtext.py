@@ -221,3 +221,35 @@ def test_winnow_neardup_groups_planted(ray_session):
     for i, g in out.items():
         if i not in (5, 31, 47):
             assert g == i, (i, g)
+
+
+def test_decontam_plan_planted(ray_session):
+    """Planted train-eval overlap: a train doc embedding a verbatim
+    eval passage is flagged with the exact hit coverage; clean docs
+    are not."""
+    import ray.data as rd
+
+    from georay.llmtext import DUP_K, decontam_plan
+
+    eval_txt = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    clean = "completely unrelated words fill this training document with noise"
+    leaked = "prefix words here " + eval_txt + " suffix words trail after"
+    train = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([clean, leaked]),
+    })
+    ev = pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([eval_txt]),
+    })
+    got = (
+        decontam_plan(rd.from_arrow(train), rd.from_arrow(ev))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert not got.loc[1, "contaminated"]
+    assert got.loc[1, "n_hit"] == 0 and got.loc[1, "hit_cov"] == 0
+    assert got.loc[2, "contaminated"]
+    # every K-gram fully inside the embedded passage hits; the union of
+    # those spans covers exactly len(eval_txt) chars
+    assert got.loc[2, "n_hit"] == len(eval_txt) - DUP_K + 1
+    assert got.loc[2, "hit_cov"] == len(eval_txt)
