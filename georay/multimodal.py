@@ -160,3 +160,61 @@ def resize(images, factor: int = 2, concurrency=(1, 8), batch_size: int = 2048):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class DHash:
+    """Actor stage: decode -> 8x9-grid difference hash (dHash).
+
+    The classic perceptual dHash resizes to 9x8 and sets bit (i, j)
+    iff cell (i, j+1) is brighter than cell (i, j).  Here the "resize"
+    is the exact index-map partition cell of pixel (y, x) =
+    ((y*8)//h, (x*9)//w) and the brightness comparison is the
+    INTEGER cross-multiplication s2 * n1 > s1 * n2 (cell pixel counts
+    differ when 9 does not divide w) — no float summation anywhere, so
+    the SQL oracle (sqlgen.q_image_dhash) recomputes the identical bit
+    pattern from its regenerated decoded pixels."""
+
+    def __init__(self):
+        self.decode = decode_image
+
+    @staticmethod
+    def _dhash(px: np.ndarray) -> int:
+        gray = px.astype(np.int64).sum(axis=2)  # 3x gray: scale-free
+        h, w = gray.shape
+        # CEIL boundaries: cell j = {x : (x*9)//w == j}, the exact
+        # inverse of the index map the SQL rollup uses — floor
+        # boundaries (j*w)//9 disagree at cell edges when 9 !| w
+        ys = (np.arange(9) * h + 7) // 8
+        xs = (np.arange(10) * w + 8) // 9
+        s = np.empty((8, 9), np.int64)
+        n = np.empty((8, 9), np.int64)
+        for i in range(8):
+            for j in range(9):
+                s[i, j] = int(gray[ys[i]: ys[i + 1], xs[j]: xs[j + 1]].sum())
+                n[i, j] = (ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j])
+        bits = s[:, 1:] * n[:, :-1] > s[:, :-1] * n[:, 1:]
+        out = np.uint64(0)
+        for i in range(8):
+            for j in range(8):
+                if bits[i, j]:
+                    out |= np.uint64(1) << np.uint64(i * 8 + j)
+        return int(out.astype(np.int64).view(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id")
+        hashes = np.empty(len(ids), dtype=np.int64)
+        for i, (blob, fmt) in enumerate(
+            zip(batch.column("bytes").to_pylist(), batch.column("fmt").to_pylist())
+        ):
+            hashes[i] = self._dhash(self.decode(blob, fmt))
+        return pa.table({"image_id": ids, "dhash": pa.array(hashes)})
+
+
+def dhash(images, concurrency=(1, 8), batch_size: int = 2048):
+    """images: Dataset with (image_id, bytes, fmt) -> (image_id, dhash)."""
+    return images.map_batches(
+        DHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -2811,3 +2811,28 @@ def decontam_overlap(sf_dir: str):
 
 
 QUERIES["decontam_overlap"] = decontam_overlap
+
+
+def image_dhash(sf_dir: str):
+    """Difference-hash (dHash) perceptual fingerprints over a
+    deterministic image sample (multimodal.DHash; residue 1 of the
+    mod-10 split so image_stats and image_dhash exercise DISJOINT
+    rows).  Integer-exact grid comparison — fully DuckDB-oracled
+    through the regenerated decoded pixels (sqlgen.q_image_dhash)."""
+    from . import multimodal
+
+    paths = datagen.ensure_tables(sf_dir)
+    images = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "fmt"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        i = pa.array(
+            [int(s[4:]) % IMG_STATS_MOD == 1 for s in t.column("image_id").to_pylist()]
+        )
+        return t.filter(i)
+
+    return multimodal.dhash(
+        images.map_batches(pick, batch_format="pyarrow"), concurrency=(1, 8), batch_size=2048
+    )
+
+
+QUERIES["image_dhash"] = image_dhash

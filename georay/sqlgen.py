@@ -2085,17 +2085,15 @@ def q_delaunay_stats(sf_dir: str) -> str:
 ORACLE_BUILDERS["delaunay_stats"] = q_delaunay_stats
 
 
-def q_image_stats(sf_dir: str) -> str:
-    """Image channel means + aHash WITHOUT decoding: the pixel bytes
-    are counter-mode splitmix64 of the image index
-    (datagen._pixels_for); PNG rows round-trip losslessly and r4's
-    REAL baseline-JPEG rows are recomputed through the full lossy
-    pipeline IN SQL — RGB->YCbCr, separable 8x8 DCT (the numpy DCT
-    basis embedded as literals, so no libm cos variance), half-away
-    quantization at Q98, dequantize, IDCT, YCbCr->RGB, round+clamp —
-    i.e. the exact decoded pixels, entropy coding being lossless.  A
-    genuinely independent check of encode -> store -> Huffman decode ->
-    stats."""
+def _img_decoded_bytes_ctes(sf_dir: str, mod: int, residue: int = 0) -> str:
+    """Shared oracle CTE chain (r4c, factored from q_image_stats):
+    regenerates the DECODED byte stream of every sampled image in SQL —
+    counter-mode splitmix64 source pixels (datagen._pixels_for), PNG
+    rows pass through losslessly, JPEG rows run the full lossy pipeline
+    (RGB->YCbCr, separable 8x8 DCT with the numpy basis as literals,
+    half-away Q98 quantization, IDCT, YCbCr->RGB, round+clamp).  Emits
+    CTEs through ``bt(image_id, w, h, m, v)`` — byte m of the decoded
+    stream with value v — for a ``WITH <this> <rollups...>`` suffix."""
     import numpy as np
 
     from . import rng as _rng
@@ -2116,12 +2114,10 @@ def q_image_stats(sf_dir: str) -> str:
         for cls in (0, 1) for u_ in range(8) for v_ in range(8)
     )
     rha = "floor(abs({x}) + 0.5) * sign({x})"
-    from .queries import IMG_STATS_MOD
-
     return (
-        f"WITH im AS (SELECT image_id, CAST(substr(image_id, 5) AS BIGINT) AS i "
+        f"im AS (SELECT image_id, CAST(substr(image_id, 5) AS BIGINT) AS i "
         f"  FROM read_parquet('{images}') "
-        f"  WHERE CAST(substr(image_id, 5) AS BIGINT) % {IMG_STATS_MOD} = 0), "
+        f"  WHERE CAST(substr(image_id, 5) AS BIGINT) % {mod} = {residue}), "
         f"d AS (SELECT *, "
         f"  CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS w, "
         f"  CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS h "
@@ -2182,6 +2178,19 @@ def q_image_stats(sf_dir: str) -> str:
         f"  (2, yv + 1.772 * cb)) AS ch(c, fv)), "
         f"bt AS (SELECT image_id, w, h, m, v FROM bt_png "
         f"  UNION ALL SELECT image_id, w, h, (y * w + x) * 3 + c AS m, v FROM jdec), "
+    )
+
+
+def q_image_stats(sf_dir: str) -> str:
+    """Image channel means + aHash WITHOUT decoding (see
+    _img_decoded_bytes_ctes for the shared pixel-regeneration chain):
+    one pass over the exploded decoded bytes, then channel means and
+    the integer-exact aHash as tiny rollups."""
+    from .queries import IMG_STATS_MOD
+
+    M = 18446744073709551616
+    return (
+        f"WITH {_img_decoded_bytes_ctes(sf_dir, IMG_STATS_MOD, 0)} "
         # ONE pass over the exploded bytes: partial integer sums per
         # (image, cell, channel); channel means and the aHash cell sums
         # are tiny rollups of it (the byte table is ~33M rows at sf0.01
@@ -3331,3 +3340,35 @@ def q_decontam_overlap(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["decontam_overlap"] = q_decontam_overlap
+
+
+def q_image_dhash(sf_dir: str) -> str:
+    """dHash in SQL (r4c, multimodal.DHash): the shared decoded-byte
+    regeneration chain, rolled up to the 8x9 brightness grid, bits by
+    the identical integer cross-multiplied comparison (cell pixel
+    counts differ when 9 does not divide w, so means are compared as
+    s2 * n1 > s1 * n2)."""
+    from .queries import IMG_STATS_MOD
+
+    M = 18446744073709551616
+    return (
+        f"WITH {_img_decoded_bytes_ctes(sf_dir, IMG_STATS_MOD, 1)} "
+        f"g1 AS (SELECT image_id, "
+        f"  (((m // 3) // w) * 8) // h AS cy, (((m // 3) % w) * 9) // w AS cx, "
+        f"  sum(v)::BIGINT AS s, (count(*) // 3)::BIGINT AS n "
+        f"  FROM bt GROUP BY image_id, (((m // 3) // w) * 8) // h, "
+        f"  (((m // 3) % w) * 9) // w), "
+        f"dh AS (SELECT a.image_id, "
+        f"  sum(CASE WHEN b.s * a.n > a.s * b.n "
+        f"      THEN (1::HUGEINT << (a.cy * 8 + a.cx)) ELSE 0::HUGEINT END) AS u "
+        f"  FROM g1 a JOIN g1 b ON b.image_id = a.image_id "
+        f"  AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx <= 7 "
+        f"  GROUP BY a.image_id) "
+        f"SELECT im.image_id, "
+        f"(CASE WHEN dh.u >= 9223372036854775808::HUGEINT "
+        f"  THEN dh.u - {M} ELSE dh.u END)::BIGINT AS dhash "
+        f"FROM im JOIN dh ON dh.image_id = im.image_id"
+    )
+
+
+ORACLE_BUILDERS["image_dhash"] = q_image_dhash

@@ -470,3 +470,28 @@ def test_semantic_dedup_planted_groups(ray_session):
         assert m[64 + i] == m[i]
     keep = set(got.loc[got["keep"], "vec_id"])
     assert keep == set(expected.values())
+
+
+def test_dhash_gradient_and_robustness():
+    """dHash bits follow the horizontal brightness gradient exactly;
+    mild noise leaves the hash within a small Hamming distance."""
+    from georay.dedup import hamming64
+    from georay.multimodal import DHash
+
+    # left-to-right brightening ramp: every row's cells strictly
+    # increase, so all 64 difference bits must be 1
+    ramp = np.tile(np.linspace(0, 255, 36, dtype=np.uint8), (24, 1))
+    px = np.repeat(ramp[:, :, None], 3, axis=2)
+    assert DHash._dhash(px) == np.int64(np.uint64(0xFFFFFFFFFFFFFFFF)).view(np.int64)
+    # reversed ramp: all 0
+    assert DHash._dhash(px[:, ::-1]) == 0
+    # structured image + mild noise: small hamming distance
+    rs = np.random.RandomState(3)
+    base = (np.add.outer(np.arange(32) * 4, np.arange(24) * 6) % 256).astype(np.uint8)
+    img = np.repeat(base[:, :, None], 3, axis=2)
+    noisy = np.clip(img.astype(np.int16) + rs.randint(-6, 7, img.shape), 0, 255).astype(np.uint8)
+    d = hamming64(DHash._dhash(img), DHash._dhash(noisy))
+    assert d <= 10, d
+    # and a genuinely different image is far away
+    other = np.repeat(((base.T @ np.ones((32, 24), np.uint8)) % 256)[:, :, None], 3, axis=2)
+    assert hamming64(DHash._dhash(img), DHash._dhash(other[:32, :24])) > 10
