@@ -75,6 +75,10 @@ def images_path(sf_dir: str) -> str:
     return os.path.join(data_dir(sf_dir), "images_v2.parquet")
 
 
+def audio_path(sf_dir: str) -> str:
+    return os.path.join(data_dir(sf_dir), "audio.parquet")
+
+
 def polygons_path(sf_dir: str) -> str:
     return os.path.join(data_dir(sf_dir), "polygons.parquet")
 
@@ -157,6 +161,54 @@ def generate_images(n: int) -> pa.Table:
             "fmt": pa.array(fmt, pa.string()),
             "caption": pa.array(captions, pa.string()),
             "phash": pa.array(phash, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio table (r4c) — deterministic INTEGER waveforms: a triangle
+# carrier (period/amplitude derived from the clip index) plus bounded
+# splitmix64 noise, clipped to int16.  Every sample is an integer
+# expression of (i, t), so the SQL oracle regenerates the exact PCM
+# stream the WAV codec round-trips (sqlgen.q_audio_features).
+# ---------------------------------------------------------------------------
+
+AUDIO_SR = 8000
+AUDIO_NOISE = 4001  # noise = word % 4001 - 2000 in [-2000, 2000]
+
+
+def audio_params(i: int) -> tuple[int, int, int]:
+    """(n_samples, period, amplitude) for clip index i."""
+    return 4096 + (i % 4) * 2048, 40 + (i % 193), 4000 + (i % 37) * 500
+
+
+def _samples_for(i: int) -> np.ndarray:
+    n, p, amp = audio_params(i)
+    t = np.arange(n, dtype=np.int64)
+    ph = t % p
+    tri = (np.abs(2 * ph - p) * 2 * amp) // p - amp
+    words = rng.stream(
+        TAG_AUDIO, np.uint64(i) * np.uint64(1 << 20) + t.astype(np.uint64)
+    )
+    noise = (words % np.uint64(AUDIO_NOISE)).astype(np.int64) - (AUDIO_NOISE - 1) // 2
+    return np.clip(tri + noise, -32768, 32767).astype(np.int16)
+
+
+def generate_audio(n: int) -> pa.Table:
+    from . import audiocodec
+
+    blobs, ns = [], np.empty(n, np.int32)
+    for i in range(n):
+        s = _samples_for(i)
+        ns[i] = len(s)
+        blobs.append(audiocodec.encode_wav(s, AUDIO_SR))
+    return pa.table(
+        {
+            "audio_id": pa.array([f"aud-{i:08d}" for i in range(n)], pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "sr": pa.array(np.full(n, AUDIO_SR, np.int32)),
+            "n_samples": pa.array(ns),
+            "fmt": pa.array(["wav"] * n, pa.string()),
         }
     )
 
@@ -251,6 +303,7 @@ def generate_polygons(n: int) -> pa.Table:
 
 
 TAG_LINE = 0x1111AA05
+TAG_AUDIO = 0x1111AA07
 
 PATH_TYPE = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())]))
 
@@ -390,6 +443,7 @@ def ensure_tables(sf_dir: str, force: bool = False) -> dict[str, str]:
         "lines": lines_path(sf_dir),
         "line_segments": line_segments_path(sf_dir),
         "lsh_planes": lsh_planes_path(sf_dir),
+        "audio": audio_path(sf_dir),
     }
     if force or not os.path.exists(paths["lsh_planes"]):
         _atomic_write(lsh_planes_table(), paths["lsh_planes"])
@@ -398,6 +452,9 @@ def ensure_tables(sf_dir: str, force: bool = False) -> dict[str, str]:
         lines = generate_lines(n_lines)
         _atomic_write(lines, paths["lines"])
         _atomic_write(line_segments_table(lines), paths["line_segments"])
+    if force or not os.path.exists(paths["audio"]):
+        n_audio = max(50, min(4000, int(20_000 * sf)))
+        _atomic_write(generate_audio(n_audio), paths["audio"])
     if force or not os.path.exists(paths["images"]):
         _atomic_write(generate_images(n_images), paths["images"])
     if force or not os.path.exists(paths["polygons"]):

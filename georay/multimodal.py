@@ -7,10 +7,10 @@ handles, model weights) initializes once per actor, work happens per
 batch, and fat ``bytes`` columns force small ``batch_size`` (the block
 holds rows x ~KB payloads; see run_flagship's 8192-row batches).
 
-Codec reality in this container (no PIL/cv2/ffmpeg): PNG decode is a
-real spec-conformant implementation (georay.imagecodec); the lossy
-format is the deterministic GRJF stand-in; real JPEG/audio/video decode
-raises NotImplementedError with the exact actor signature kept real and
+Codec reality in this container (no PIL/cv2/ffmpeg): PNG, baseline
+JPEG (r4) and RIFF/WAVE PCM16 audio (r4c, georay.audiocodec) decode
+are real spec-conformant implementations; video decode raises
+NotImplementedError with the exact actor signature kept real and
 tested so swapping a library in is a one-line change.
 """
 
@@ -214,6 +214,67 @@ def dhash(images, concurrency=(1, 8), batch_size: int = 2048):
     """images: Dataset with (image_id, bytes, fmt) -> (image_id, dhash)."""
     return images.map_batches(
         DHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class AudioFeatures:
+    """Actor stage: WAV decode -> per-window integer features.
+
+    One output row per FULL window of ``window`` samples: sum of
+    squares (energy, int64 — exact), zero-crossing count (sign flips
+    between consecutive samples within the window) and peak |sample|.
+    All features are integer arithmetic over the int16 PCM stream, so
+    the SQL oracle (sqlgen.q_audio_features) recomputes them exactly
+    from the regenerated samples."""
+
+    def __init__(self, window: int = 512):
+        from .audiocodec import decode_wav
+
+        self.window = window
+        self.decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        W = self.window
+        ids, wins, sums, zcs, peaks = [], [], [], [], []
+        for aid, blob in zip(
+            batch.column("audio_id").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            _, s = self.decode(blob)
+            n_win = len(s) // W
+            if n_win == 0:
+                continue
+            x = s[: n_win * W].astype(np.int64).reshape(n_win, W)
+            sums.append((x * x).sum(axis=1))
+            neg = x < 0
+            zcs.append((neg[:, 1:] != neg[:, :-1]).sum(axis=1).astype(np.int64))
+            peaks.append(np.abs(x).max(axis=1))
+            ids.extend([aid] * n_win)
+            wins.append(np.arange(n_win, dtype=np.int64))
+        if not ids:
+            return pa.table({
+                "audio_id": pa.array([], pa.string()),
+                "win": pa.array([], pa.int64()),
+                "sum_sq": pa.array([], pa.int64()),
+                "n_zc": pa.array([], pa.int64()),
+                "peak": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "audio_id": pa.array(ids, pa.string()),
+            "win": pa.array(np.concatenate(wins)),
+            "sum_sq": pa.array(np.concatenate(sums)),
+            "n_zc": pa.array(np.concatenate(zcs)),
+            "peak": pa.array(np.concatenate(peaks)),
+        })
+
+
+def audio_features(audio, window: int = 512, concurrency=(1, 8), batch_size: int = 256):
+    """audio: Dataset with (audio_id, bytes) -> per-window features."""
+    return audio.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"window": window},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -2836,3 +2836,33 @@ def image_dhash(sf_dir: str):
 
 
 QUERIES["image_dhash"] = image_dhash
+
+
+AUDIO_SAMPLE_MOD = 5
+AUDIO_WINDOW = 512
+
+
+def audio_features(sf_dir: str):
+    """Windowed audio features over a deterministic clip sample
+    (multimodal.AudioFeatures): WAV PCM16 decode (real RIFF codec,
+    georay.audiocodec) -> per-512-sample-window energy (sum of
+    squares), zero-crossing count, peak amplitude — all integer-exact,
+    fully DuckDB-oracled via sample regeneration
+    (sqlgen.q_audio_features)."""
+    from . import multimodal
+
+    paths = datagen.ensure_tables(sf_dir)
+    audio = rd.read_parquet(paths["audio"], columns=["audio_id", "bytes"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        i = pa.array(
+            [int(s[4:]) % AUDIO_SAMPLE_MOD == 0 for s in t.column("audio_id").to_pylist()]
+        )
+        return t.filter(i)
+
+    return multimodal.audio_features(
+        audio.map_batches(pick, batch_format="pyarrow"), window=AUDIO_WINDOW
+    )
+
+
+QUERIES["audio_features"] = audio_features

@@ -3372,3 +3372,48 @@ def q_image_dhash(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["image_dhash"] = q_image_dhash
+
+
+def q_audio_features(sf_dir: str) -> str:
+    """Windowed audio features WITHOUT decoding (r4c,
+    multimodal.AudioFeatures): the PCM samples are an integer triangle
+    carrier plus bounded splitmix64 noise (datagen._samples_for), so
+    every sample is regenerated exactly in SQL; energies / crossings /
+    peaks are integer rollups per 512-sample window.  Independently
+    checks synth -> WAV encode -> store -> RIFF chunk-walk decode ->
+    features."""
+    import numpy as np
+
+    from . import rng as _rng
+    from .datagen import AUDIO_NOISE, TAG_AUDIO, audio_path
+    from .queries import AUDIO_SAMPLE_MOD, AUDIO_WINDOW
+
+    base = int(_rng.splitmix64(np.uint64(TAG_AUDIO)))
+    M = 18446744073709551616
+    half = (AUDIO_NOISE - 1) // 2
+    u = f"(({base} + i * 1048576 + t.t) % {M})"
+    word = _rng.sql_splitmix64(u)
+    W = AUDIO_WINDOW
+    return (
+        f"WITH aud AS (SELECT audio_id, CAST(substr(audio_id, 5) AS BIGINT) AS i, "
+        f"  n_samples FROM read_parquet('{audio_path(sf_dir)}') "
+        f"  WHERE CAST(substr(audio_id, 5) AS BIGINT) % {AUDIO_SAMPLE_MOD} = 0), "
+        f"pr AS (SELECT *, 40 + i % 193 AS p, 4000 + (i % 37) * 500 AS amp "
+        f"  FROM aud), "
+        f"ts AS (SELECT unnest(range(0, (SELECT coalesce(max(n_samples), 1) "
+        f"  FROM aud))) AS t), "
+        f"s AS (SELECT a.audio_id, a.i, t.t, least(greatest("
+        f"  (abs(2 * (t.t % a.p) - a.p) * 2 * a.amp) // a.p - a.amp "
+        f"  + (({word}) % {AUDIO_NOISE})::BIGINT - {half}, -32768), 32767) AS v "
+        f"  FROM pr a JOIN ts t ON t.t < (a.n_samples // {W}) * {W}), "
+        f"x AS (SELECT audio_id, t, v, t // {W} AS win, "
+        f"  lead(v) OVER (PARTITION BY audio_id ORDER BY t) AS nxt FROM s) "
+        f"SELECT audio_id, win, sum(v * v)::BIGINT AS sum_sq, "
+        f"sum(CASE WHEN (t + 1) % {W} <> 0 AND nxt IS NOT NULL "
+        f"  AND (v < 0) <> (nxt < 0) THEN 1 ELSE 0 END)::BIGINT AS n_zc, "
+        f"max(abs(v))::BIGINT AS peak "
+        f"FROM x GROUP BY audio_id, win"
+    )
+
+
+ORACLE_BUILDERS["audio_features"] = q_audio_features

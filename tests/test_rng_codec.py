@@ -104,3 +104,67 @@ def test_stream_is_counter_mode():
     a = rng.stream(5, np.arange(10, dtype=np.uint64))
     b = rng.stream(5, np.arange(5, 10, dtype=np.uint64))
     assert np.array_equal(a[5:], b)  # row content depends only on index
+
+
+# ---------------------------------------------------------------------------
+# WAV codec + audio features (r4c)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    from georay.audiocodec import decode_wav, encode_wav
+
+    rs = np.random.RandomState(11)
+    s = rs.randint(-32768, 32768, 5000).astype(np.int16)
+    blob = encode_wav(s, 16000)
+    sr, s2 = decode_wav(blob)
+    assert sr == 16000 and np.array_equal(s, s2)
+    # python's own wave module reads our output
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob)) as wf:
+        assert wf.getnchannels() == 1 and wf.getsampwidth() == 2
+        assert wf.getframerate() == 16000 and wf.getnframes() == 5000
+        assert np.array_equal(np.frombuffer(wf.readframes(5000), "<i2"), s)
+    # decoder walks past extra chunks (LIST before data)
+    hdr_end = 12 + 8 + 16  # RIFF + fmt
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = blob[:hdr_end] + extra + blob[hdr_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    sr3, s3 = decode_wav(patched)
+    assert sr3 == 16000 and np.array_equal(s3, s)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAIFF")
+    with pytest.raises(ValueError):
+        decode_wav(blob[:40])  # truncated before data payload ends
+
+
+def test_audio_features_vs_brute(ray_session):
+    import ray.data as rd
+
+    from georay import datagen
+    from georay.multimodal import audio_features
+
+    n = 7
+    tab = datagen.generate_audio(n)
+    got = (
+        audio_features(rd.from_arrow(tab), window=512)
+        .to_pandas()
+        .set_index(["audio_id", "win"])
+        .sort_index()
+    )
+    for i in range(n):
+        s = datagen._samples_for(i).astype(np.int64)
+        n_win = len(s) // 512
+        for w in range(n_win):
+            seg = s[w * 512 : (w + 1) * 512]
+            row = got.loc[(f"aud-{i:08d}", w)]
+            assert row["sum_sq"] == int((seg * seg).sum())
+            neg = seg < 0
+            assert row["n_zc"] == int((neg[1:] != neg[:-1]).sum())
+            assert row["peak"] == int(np.abs(seg).max())
+    assert len(got) == sum(len(datagen._samples_for(i)) // 512 for i in range(n))
