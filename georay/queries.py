@@ -2866,3 +2866,19 @@ def audio_features(sf_dir: str):
 
 
 QUERIES["audio_features"] = audio_features
+
+
+def topk_docs_per_lang(sf_dir: str):
+    """Distributed per-group top-k (shuffleops.bucket_topk — the
+    combiner shape: per-batch partial top-k, then one bucketed merge):
+    the 3 longest documents per language, ties by doc_id.  SQL oracle:
+    the equivalent row_number() window."""
+    from .shuffleops import bucket_topk
+
+    docs = _testdata(sf_dir, "documents").select_columns(
+        ["lang", "doc_id", "n_chars"]
+    )
+    return bucket_topk(docs, key="lang", order_col="n_chars", k=3, tie_col="doc_id")
+
+
+QUERIES["topk_docs_per_lang"] = topk_docs_per_lang

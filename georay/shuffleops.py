@@ -245,3 +245,51 @@ def _schema_types(ds, fallback: dict | None) -> dict | None:
     if schema is not None:
         return dict(zip(schema.names, schema.types))
     return None
+
+
+def bucket_topk(ds, key: str, order_col: str, k: int, tie_col: str,
+                p: int = DEFAULT_P, ascending: bool = False):
+    """Distributed per-group top-k — the combiner shape: every batch
+    pre-collapses to ITS OWN per-key top-k before the shuffle (so at
+    most k rows per (batch, key) cross the exchange), then each of the
+    P hash buckets merges with one vectorized lexsort + within-key rank
+    mask.  Ties break by ``tie_col`` ascending (deterministic across
+    partitionings).  Output: the winning rows (all input columns) plus
+    a ``rank`` column (1-based).
+
+    Equivalent SQL: row_number() OVER (PARTITION BY key ORDER BY
+    order_col [DESC], tie_col) <= k.  At 100 TB the exchange carries
+    O(batches * keys_per_batch * k) rows, never the corpus.
+    """
+    def _topk(t: pa.Table, with_rank: bool) -> pa.Table:
+        ky = t.column(key).to_numpy(zero_copy_only=False)
+        ov = t.column(order_col).to_numpy(zero_copy_only=False)
+        tv = t.column(tie_col).to_numpy(zero_copy_only=False)
+        from .texthash import hash_strings
+
+        kh = (hash_strings(t.column(key)) if ky.dtype.kind in "OU"
+              else ky)
+        order = np.lexsort((tv, ov if ascending else -ov, kh))
+        kh_s = kh[order]
+        new_key = np.r_[True, kh_s[1:] != kh_s[:-1]]
+        seg_start = np.nonzero(new_key)[0]
+        seg_id = np.cumsum(new_key) - 1
+        rank = np.arange(len(kh_s), dtype=np.int64) - seg_start[seg_id] + 1
+        keep = rank <= k
+        out = t.take(pa.array(order[keep]))
+        if with_rank:
+            out = out.append_column("rank", pa.array(rank[keep]))
+        return out
+
+    def prepare(b: pa.Table) -> pa.Table:
+        b = _topk(b, with_rank=False)
+        return b.append_column("__bucket", pa.array(bucket_ids(b.column(key), p)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _topk(_strip(g), with_rank=True)
+
+    return (
+        ds.map_batches(prepare, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -3417,3 +3417,15 @@ def q_audio_features(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["audio_features"] = q_audio_features
+
+
+def q_topk_docs_per_lang(sf_dir: str) -> str:
+    return (
+        "WITH r AS (SELECT lang, doc_id, n_chars, row_number() OVER ("
+        "  PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank "
+        "  FROM documents) "
+        "SELECT lang, doc_id, n_chars, rank::BIGINT AS rank FROM r WHERE rank <= 3"
+    )
+
+
+ORACLE_BUILDERS["topk_docs_per_lang"] = q_topk_docs_per_lang

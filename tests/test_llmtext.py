@@ -253,3 +253,38 @@ def test_decontam_plan_planted(ray_session):
     # those spans covers exactly len(eval_txt) chars
     assert got.loc[2, "n_hit"] == len(eval_txt) - DUP_K + 1
     assert got.loc[2, "hit_cov"] == len(eval_txt)
+
+
+def test_bucket_topk_matches_pandas(ray_session):
+    """bucket_topk == the row_number() window on a skewed synthetic
+    table, independent of partitioning; per-batch pre-collapse keeps
+    at most k rows per (batch, key)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from georay.shuffleops import bucket_topk
+
+    rs = np.random.RandomState(5)
+    n = 5000
+    df = pd.DataFrame({
+        "key": rs.choice(["a", "b", "hot", "d", "e"], n, p=[.1, .1, .6, .1, .1]),
+        "val": rs.randint(0, 300, n).astype(np.int64),  # many ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    want = (
+        df.sort_values(["key", "val", "id"], ascending=[True, False, True])
+        .groupby("key").head(4).reset_index(drop=True)
+    )
+    want["rank"] = want.groupby("key").cumcount() + 1
+    for parts in (2, 11):
+        got = (
+            bucket_topk(
+                rd.from_pandas(df).repartition(parts),
+                key="key", order_col="val", k=4, tie_col="id",
+            )
+            .to_pandas().sort_values(["key", "rank"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["key", "val", "id", "rank"]],
+            want[["key", "val", "id", "rank"]],
+        )
