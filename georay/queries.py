@@ -2882,3 +2882,17 @@ def topk_docs_per_lang(sf_dir: str):
 
 
 QUERIES["topk_docs_per_lang"] = topk_docs_per_lang
+
+
+def hll_distinct_docs(sf_dir: str):
+    """Per-language HyperLogLog distinct-document cardinality
+    (sketch.hll_distinct, m=256 registers) next to the exact distinct
+    count — the register maxima, integer harmonic sum and
+    linear-counting correction are recomputed bit-identically in SQL
+    (sqlgen.q_hll_distinct)."""
+    from . import sketch
+
+    return sketch.hll_distinct(_testdata(sf_dir, "documents"), "lang", "text")
+
+
+QUERIES["hll_distinct_docs"] = hll_distinct_docs

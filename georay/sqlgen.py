@@ -3429,3 +3429,38 @@ def q_topk_docs_per_lang(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["topk_docs_per_lang"] = q_topk_docs_per_lang
+
+
+def q_hll_distinct(sf_dir: str) -> str:
+    """HyperLogLog in SQL (r4c, sketch.hll_distinct): item hash =
+    md5_number_lower (== the Ray side's little-endian low-64 md5),
+    rho via printf('%b') integer bit length (no float log2), harmonic
+    sum as the EXACT HUGEINT sum 2^(64-rho) with empty registers
+    contributing 2^64, then the identical finalize expression."""
+    from .sketch import ESTIMATE_NUM, HLL_B, HLL_M
+
+    m = HLL_M
+    maxr = 64 - HLL_B + 1
+    return (
+        f"WITH h0 AS (SELECT lang, md5_number_lower(text)::HUGEINT AS h "
+        f"  FROM documents), "
+        f"r0 AS (SELECT lang, h, h % {m} AS idx, h // {m} AS w FROM h0), "
+        f"rr AS (SELECT lang, idx, max(CASE WHEN w = 0 THEN {maxr} "
+        f"  ELSE {maxr} - length(printf('%b', w::BIGINT)) END) AS rho "
+        f"  FROM r0 GROUP BY lang, idx), "
+        f"ag AS (SELECT lang, sum(1::HUGEINT << (64 - rho))::HUGEINT AS zp, "
+        f"  count(*) AS np FROM rr GROUP BY lang), "
+        f"fin AS (SELECT lang, "
+        f"  zp + ({m} - np) * (1::HUGEINT << 64) AS zi, {m} - np AS v FROM ag), "
+        f"est AS (SELECT lang, "
+        f"  CASE WHEN {ESTIMATE_NUM!r} / zi::DOUBLE <= 2.5 * {m} AND v > 0 "
+        f"  THEN {m} * ln({m}::DOUBLE / v) "
+        f"  ELSE {ESTIMATE_NUM!r} / zi::DOUBLE END AS e FROM fin), "
+        f"ex AS (SELECT lang, count(DISTINCT h)::BIGINT AS n_exact "
+        f"  FROM h0 GROUP BY lang) "
+        f"SELECT ex.lang, ex.n_exact, floor(est.e * 1000000.0) / 1000000.0 AS hll_est "
+        f"FROM ex JOIN est ON est.lang = ex.lang"
+    )
+
+
+ORACLE_BUILDERS["hll_distinct_docs"] = q_hll_distinct

@@ -288,3 +288,32 @@ def test_bucket_topk_matches_pandas(ray_session):
             got[["key", "val", "id", "rank"]],
             want[["key", "val", "id", "rank"]],
         )
+
+
+def test_hll_distinct_accuracy_and_merge(ray_session):
+    """HLL estimate lands within the theoretical error band
+    (~1.04/sqrt(256) ~ 6.5%) of the true cardinality, identically
+    across partitionings (register maxima are associative)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from georay.sketch import hll_distinct
+
+    rs = np.random.RandomState(17)
+    rows = []
+    for g, n in (("a", 3000), ("b", 400), ("c", 12)):
+        for i in range(n):
+            rows.append((g, f"{g}-doc-{i}-{rs.randint(1 << 30)}"))
+    df = pd.DataFrame(rows, columns=["lang", "text"])
+    outs = []
+    for parts in (3, 9):
+        got = (
+            hll_distinct(rd.from_pandas(df).repartition(parts), "lang", "text")
+            .to_pandas().sort_values("lang").reset_index(drop=True)
+        )
+        outs.append(got)
+        for g, n in (("a", 3000), ("b", 400), ("c", 12)):
+            row = got[got["lang"] == g].iloc[0]
+            assert row["n_exact"] == n
+            assert abs(row["hll_est"] - n) / n < 0.2, (g, row["hll_est"])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
