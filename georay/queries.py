@@ -2896,3 +2896,18 @@ def hll_distinct_docs(sf_dir: str):
 
 
 QUERIES["hll_distinct_docs"] = hll_distinct_docs
+
+
+def len_quantiles(sf_dir: str):
+    """Exact per-language length quantiles (p50/p90/p99 of n_chars)
+    via sketch.exact_quantiles — value-count cells + one bucketed
+    finalize, never a corpus sort; integer ceil(q*n) thresholds, fully
+    DuckDB-oracled (sqlgen.q_len_quantiles)."""
+    from . import sketch
+
+    return sketch.exact_quantiles(
+        _testdata(sf_dir, "documents"), "lang", "n_chars"
+    )
+
+
+QUERIES["len_quantiles"] = len_quantiles

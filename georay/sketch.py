@@ -150,3 +150,71 @@ def hll_distinct(ds, key: str, text_col: str, p: int = 64):
         left_types={key: ktype, "n_exact": pa.int64()},
         right_types={key: ktype, "hll_est": pa.float64()},
     )
+
+
+def exact_quantiles(ds, key: str, val_col: str, qs: tuple = ((1, 2), (9, 10), (99, 100)),
+                    p: int = 64):
+    """Exact per-group quantiles WITHOUT sorting the corpus: collapse
+    to (key, value, count) cells (the only wide exchange — volume is
+    O(distinct values per group), not O(rows)), co-locate each group's
+    cells by hash(key), then one lexsort + cumsum + searchsorted per
+    bucket.  Quantile definition: smallest v with |{x <= v}| >=
+    ceil(q*n), with q given as an integer fraction (num, den) so the
+    threshold ceil(q*n) = (num*n + den - 1) // den is EXACT integer
+    arithmetic on both sides (sqlgen.q_len_quantiles)."""
+    from .shuffleops import bucket_ids
+
+    def cells(b: pa.Table) -> pa.Table:
+        t = (
+            b.select([key, val_col])
+            .group_by([key, val_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([key, val_col, "cnt"])
+        )
+        return t.append_column("__bucket", pa.array(bucket_ids(t.column(key), p)))
+
+    def finalize(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        from .texthash import hash_strings
+
+        karr = g.column(key).combine_chunks()
+        kv = karr.to_numpy(zero_copy_only=False)
+        kh = hash_strings(karr) if kv.dtype.kind in "OU" else kv
+        v = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, kh))
+        kh, v, c, kv = kh[order], v[order], c[order], kv[order]
+        # merge duplicate (key, value) cells across shuffle batches
+        new_seg = np.r_[True, kh[1:] != kh[:-1]]
+        new_cell = new_seg | np.r_[True, v[1:] != v[:-1]]
+        cell_id = np.cumsum(new_cell) - 1
+        cc = np.bincount(cell_id, weights=c).astype(np.int64)
+        cv = v[new_cell]
+        ck = kv[new_cell]
+        cseg = new_seg[new_cell]
+        seg_id = np.cumsum(cseg) - 1
+        # per-group cumulative counts
+        seg_starts = np.nonzero(cseg)[0]
+        cum = np.cumsum(cc)
+        base = np.where(seg_starts > 0, cum[seg_starts - 1], 0)
+        cum = cum - base[seg_id]
+        n = np.bincount(seg_id, weights=cc).astype(np.int64)
+        cols = {key: pa.array(ck[seg_starts]), "n": pa.array(n)}
+        for num, den in qs:
+            thr = (num * n + den - 1) // den
+            # first cell of each group whose cumulative count reaches thr
+            pos = np.empty(len(n), np.int64)
+            ends = np.r_[seg_starts[1:], len(cv)]
+            for s in range(len(n)):  # per GROUP (few), not per row
+                pos[s] = seg_starts[s] + np.searchsorted(
+                    cum[seg_starts[s]: ends[s]], thr[s]
+                )
+            cols[f"p{100 * num // den}"] = pa.array(cv[pos])
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([key, val_col])
+        .map_batches(cells, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

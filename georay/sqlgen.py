@@ -3464,3 +3464,27 @@ def q_hll_distinct(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["hll_distinct_docs"] = q_hll_distinct
+
+
+def q_len_quantiles(sf_dir: str) -> str:
+    """Exact quantiles in SQL (r4c, sketch.exact_quantiles): value
+    counts + window cumsum; quantile q = smallest v with cum >=
+    (num*n + den - 1) // den — identical integer thresholds."""
+    parts = []
+    for num, den in ((1, 2), (9, 10), (99, 100)):
+        parts.append(
+            f"min(CASE WHEN cum >= ({num} * n + {den - 1}) // {den} "
+            f"THEN v END)::BIGINT AS p{100 * num // den}"
+        )
+    sel = ", ".join(parts)
+    return (
+        "WITH c AS (SELECT lang, n_chars AS v, count(*) AS cnt "
+        "  FROM documents GROUP BY lang, n_chars), "
+        "w AS (SELECT lang, v, "
+        "  sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum, "
+        "  sum(cnt) OVER (PARTITION BY lang) AS n FROM c) "
+        f"SELECT lang, max(n)::BIGINT AS n, {sel} FROM w GROUP BY lang"
+    )
+
+
+ORACLE_BUILDERS["len_quantiles"] = q_len_quantiles

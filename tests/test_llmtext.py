@@ -317,3 +317,31 @@ def test_hll_distinct_accuracy_and_merge(ray_session):
             assert row["n_exact"] == n
             assert abs(row["hll_est"] - n) / n < 0.2, (g, row["hll_est"])
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_exact_quantiles_vs_numpy(ray_session):
+    """exact_quantiles == the ceil(q*n) order statistic, independent
+    of partitioning, including heavy value ties."""
+    import pandas as pd
+    import ray.data as rd
+
+    from georay.sketch import exact_quantiles
+
+    rs = np.random.RandomState(23)
+    df = pd.DataFrame({
+        "key": rs.choice(["x", "y", "z"], 3000),
+        "val": np.where(rs.rand(3000) < 0.3, 42,
+                        rs.randint(0, 500, 3000)).astype(np.int64),
+    })
+    got = (
+        exact_quantiles(rd.from_pandas(df).repartition(7), "key", "val")
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    for k in ("x", "y", "z"):
+        vals = np.sort(df.loc[df["key"] == k, "val"].to_numpy())
+        n = len(vals)
+        row = got[got["key"] == k].iloc[0]
+        assert row["n"] == n
+        for frac, col in (((1, 2), "p50"), ((9, 10), "p90"), ((99, 100), "p99")):
+            thr = (frac[0] * n + frac[1] - 1) // frac[1]
+            assert row[col] == vals[thr - 1], (k, col)
