@@ -187,3 +187,95 @@ def ngram_lm_score(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def tfidf_score(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document TF-IDF mass (Sparck Jones 1972 idf), integer-exact:
+    idf is quantized to micro-nats (floor(1e6 * ln(N / df)), int64)
+    so every downstream aggregation is exact integer arithmetic — the
+    same determinism device as ngram_lm_score.
+
+    Scale shape: tf(doc, token) finalizes INSIDE each batch with one
+    Arrow hash aggregation (documents never split across batches, so
+    no shuffle is needed for tf); df is one bucketed reduce of the
+    slim (token, 1) stream; scoring joins tf against the idf table by
+    token hash (bucketed, no broadcast) and sums per doc.  Output:
+    (doc_id, n_tokens, tfidf_sum, tfidf_avg) with tfidf_avg =
+    tfidf_sum // n_tokens (floor of micro-nat mean per token)."""
+    from .shuffleops import bucket_join, bucket_reduce
+    from .texthash import token_hashes
+
+    n_docs = docs.count()
+    slim = docs.select_columns([id_col, text_col])
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_offs, th = token_hashes(b.column(text_col))
+        doc = np.repeat(ids, doc_offs[1:] - doc_offs[:-1])
+        t = pa.table({
+            id_col: pa.array(doc),
+            "th": pa.array(th, pa.uint64()),
+            "tf": pa.array(np.ones(len(th), np.int64)),
+        })
+        return (
+            t.group_by([id_col, "th"]).aggregate([("tf", "sum")])
+            .rename_columns([id_col, "th", "tf"])
+        )
+
+    tf = slim.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    ones = tf.map_batches(
+        lambda t: pa.table({"th": t.column("th"),
+                            "one": pa.array(np.ones(len(t), np.int64))}),
+        batch_format="pyarrow",
+    )
+    df = bucket_reduce(ones, "th", [("one", "sum")])
+
+    def idf_rows(t: pa.Table) -> pa.Table:
+        d = t.column("one").to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.floor(1e6 * np.log(float(n_docs) / d)).astype(np.int64)
+        return pa.table({"th": t.column("th"), "idf": pa.array(idf)})
+
+    idf = df.map_batches(idf_rows, batch_format="pyarrow")
+
+    scored = bucket_join(
+        tf, idf, left_on="th", right_on="th",
+        left_types={"th": pa.uint64(), id_col: pa.int64(), "tf": pa.int64()},
+        right_types={"th": pa.uint64(), "idf": pa.int64()},
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        tfv = t.column("tf").to_numpy(zero_copy_only=False)
+        idfv = t.column("idf").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t.column(id_col),
+            "w": pa.array(tfv * idfv),
+            "tf": t.column("tf"),
+        })
+
+    per_doc = bucket_reduce(
+        scored.map_batches(weigh, batch_format="pyarrow"),
+        id_col, [("w", "sum"), ("tf", "sum")],
+    )
+
+    out = bucket_join(
+        docs.select_columns([id_col]), per_doc,
+        left_on=id_col, right_on=id_col, how="left outer",
+        left_types={id_col: pa.int64()},
+        right_types={id_col: pa.int64(), "w": pa.int64(), "tf": pa.int64()},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = pc.fill_null(t.column("w"), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pc.fill_null(t.column("tf"), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = np.where(n > 0, w // np.where(n > 0, n, 1), 0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(n),
+            "tfidf_sum": pa.array(w),
+            "tfidf_avg": pa.array(avg),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

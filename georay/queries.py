@@ -2911,3 +2911,15 @@ def len_quantiles(sf_dir: str):
 
 
 QUERIES["len_quantiles"] = len_quantiles
+
+
+def tfidf_docs(sf_dir: str):
+    """Integer-exact TF-IDF document mass (lmscore.tfidf_score):
+    micro-nat-quantized idf, shuffle-free tf, bucketed df + scoring
+    joins — fully DuckDB-oracled (sqlgen.q_tfidf_docs)."""
+    from . import lmscore
+
+    return lmscore.tfidf_score(_testdata(sf_dir, "documents"))
+
+
+QUERIES["tfidf_docs"] = tfidf_docs

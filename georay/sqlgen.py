@@ -3488,3 +3488,30 @@ def q_len_quantiles(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["len_quantiles"] = q_len_quantiles
+
+
+def q_tfidf_docs(sf_dir: str) -> str:
+    """TF-IDF in SQL (r4c, lmscore.tfidf_score): token strings vs the
+    Ray side's 64-bit hashes (the documented collision caveat);
+    identical floor(1e6 * ln(N/df)) idf quantization and integer
+    aggregation."""
+    return (
+        "WITH t AS (SELECT doc_id, unnest(list_filter("
+        "  regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok FROM documents), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+        "n AS (SELECT count(*) AS n FROM documents), "
+        "idf AS (SELECT tok, floor(1000000.0 * ln(n.n::DOUBLE / df))::BIGINT AS idf "
+        "  FROM df CROSS JOIN n), "
+        "sc AS (SELECT tf.doc_id, sum(tf.tf * idf.idf)::BIGINT AS tfidf_sum, "
+        "  sum(tf.tf)::BIGINT AS n_tokens FROM tf "
+        "  JOIN idf ON idf.tok = tf.tok GROUP BY tf.doc_id) "
+        "SELECT d.doc_id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens, "
+        "coalesce(sc.tfidf_sum, 0)::BIGINT AS tfidf_sum, "
+        "CASE WHEN sc.n_tokens > 0 THEN sc.tfidf_sum // sc.n_tokens "
+        "ELSE 0 END::BIGINT AS tfidf_avg "
+        "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
+    )
+
+
+ORACLE_BUILDERS["tfidf_docs"] = q_tfidf_docs

@@ -68,3 +68,42 @@ def test_ngram_lm_score_matches_reference(ray_session):
     # the self-trained LM ranks repetition as higher-likelihood than
     # novel text (the CCNet filtering signal, inverted for word soup)
     assert got.loc[5, "avg_nll"] < got.loc[6, "avg_nll"]
+
+
+def test_tfidf_score_matches_reference(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from georay.lmscore import tfidf_score
+
+    texts = {
+        0: "apple banana apple cherry",
+        1: "banana cherry cherry dates",
+        2: "apple apple apple",
+        3: "",
+        4: "unique quintessence",
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[d] for d in sorted(texts)]),
+    })
+    got = (
+        tfidf_score(rd.from_arrow(t).repartition(3))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    N = len(texts)
+    df = Counter()
+    for s in texts.values():
+        df.update(set(s.split()))
+    idf = {w: math.floor(1e6 * math.log(N / d)) for w, d in df.items()}
+    for d, s in texts.items():
+        tf = Counter(s.split())
+        sum_w = sum(c * idf[w] for w, c in tf.items())
+        n = sum(tf.values())
+        assert got.loc[d, "n_tokens"] == n
+        assert got.loc[d, "tfidf_sum"] == sum_w
+        assert got.loc[d, "tfidf_avg"] == (sum_w // n if n else 0)
+    # common terms (df = N) contribute zero mass; rare terms dominate
+    assert got.loc[4, "tfidf_avg"] > got.loc[2, "tfidf_avg"]
