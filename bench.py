@@ -167,6 +167,24 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         assert n_rows == n_doc, (n_rows, n_doc)
         times[f"dupgram_{n_doc // 1000}k"] = round(dt, 3)
         times["dupgram_docs_per_sec"] = round(n_doc / dt)
+
+    # document-scoring family at scale (r4c): corpus-trained bigram LM
+    # + TF-IDF over the same 200k-doc corpus — two count-shuffle /
+    # score-join pipelines (lmscore.py), ~4.8M token occurrences
+    n_sc = int(os.environ.get("GEORAY_SCORE_DOCS", "100000"))
+    if n_sc:
+        import ray.data as rd
+
+        from georay import datagen, lmscore
+
+        docs_path = datagen.ensure_bench_docs(n_sc)
+        ds = rd.read_parquet(docs_path)
+        t0 = time.time()
+        assert lmscore.ngram_lm_score(ds).count() == n_sc
+        times[f"lmscore_{n_sc // 1000}k"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        assert lmscore.tfidf_score(ds).count() == n_sc
+        times[f"tfidf_{n_sc // 1000}k"] = round(time.time() - t0, 3)
     return times
 
 
