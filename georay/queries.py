@@ -2923,3 +2923,28 @@ def tfidf_docs(sf_dir: str):
 
 
 QUERIES["tfidf_docs"] = tfidf_docs
+
+
+def reservoir_docs_per_lang(sf_dir: str):
+    """Deterministic distributed reservoir sampling: the k=2 documents
+    per language with the SMALLEST splitmix64(doc_id) priority — a
+    uniform without-replacement sample that is associative (priorities
+    ride shuffleops.bucket_topk's combiner shape), reproducible across
+    partitionings and exactly recomputable in SQL."""
+    from . import rng as grng
+    from .shuffleops import bucket_topk
+
+    docs = _testdata(sf_dir, "documents").select_columns(["lang", "doc_id"])
+
+    def prio(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pr = grng.splitmix64(ids).view(np.int64)
+        return b.append_column("prio", pa.array(pr))
+
+    return bucket_topk(
+        docs.map_batches(prio, batch_format="pyarrow"),
+        key="lang", order_col="prio", k=2, tie_col="doc_id", ascending=True,
+    )
+
+
+QUERIES["reservoir_docs_per_lang"] = reservoir_docs_per_lang

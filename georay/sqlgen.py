@@ -3515,3 +3515,25 @@ def q_tfidf_docs(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["tfidf_docs"] = q_tfidf_docs
+
+
+def q_reservoir_docs_per_lang(sf_dir: str) -> str:
+    """Reservoir sample in SQL (r4c): identical splitmix64 priority
+    (signed-BIGINT bit pattern, matching the Ray side's .view(int64))
+    + row_number window."""
+    from . import rng as _rng
+
+    z = _rng.sql_splitmix64(_rng.sql_u64("doc_id"))
+    prio = (
+        f"(CASE WHEN ({z}) >= 9223372036854775808::HUGEINT "
+        f"THEN ({z}) - 18446744073709551616::HUGEINT ELSE ({z}) END)::BIGINT"
+    )
+    return (
+        f"WITH p AS (SELECT lang, doc_id, {prio} AS prio FROM documents), "
+        f"r AS (SELECT lang, doc_id, prio, row_number() OVER ("
+        f"  PARTITION BY lang ORDER BY prio, doc_id) AS rank FROM p) "
+        f"SELECT lang, doc_id, prio, rank::BIGINT AS rank FROM r WHERE rank <= 2"
+    )
+
+
+ORACLE_BUILDERS["reservoir_docs_per_lang"] = q_reservoir_docs_per_lang
