@@ -29,6 +29,14 @@ QUERIES = [
     "sliding_window",
     "kmeans_radius",
     "image_stats",
+    # r4c additions — every one crosses at least one bucketed shuffle
+    "semantic_dedup",
+    "ngram_lm_score",
+    "tfidf_docs",
+    "hll_distinct_docs",
+    "len_quantiles",
+    "topk_docs_per_lang",
+    "decontam_overlap",
 ]
 
 _WORKER = '''
