@@ -110,6 +110,8 @@ def to_wkt(kind: str, value) -> str:
             + ")"
         )
     if kind == "point":
+        if value is None:
+            return "POINT EMPTY"
         return f"POINT ({value[0]:.17g} {value[1]:.17g})"
     if kind == "linestring":
         return "LINESTRING " + _ring_wkt(np.asarray(value))
@@ -203,3 +205,112 @@ def geojson_to_polygons(text: str) -> pa.Table:
                 polys.append([geom.close_ring(np.asarray(r, dtype=np.float64)) for r in rings])
                 ids.append(f"{pid}-{j}")
     return polygons_to_table(polys, ids)
+
+
+# ---------------------------------------------------------------------------
+# OGC WKB (r4c) — ISO 19125 / OGC 06-103r4 well-known binary, 2-D
+# subset, same (kind, value) model as parse_wkt/to_wkt.  Encode emits
+# little-endian (byte-order flag 1); decode honors either byte order,
+# per the spec.  The reference delegates this to geozero
+# (geo/src/lib.rs:254-260); here it is ~90 lines of struct packing.
+# ---------------------------------------------------------------------------
+
+_WKB_TYPES = {
+    "point": 1, "linestring": 2, "polygon": 3, "multipoint": 4,
+    "multilinestring": 5, "multipolygon": 6, "geometrycollection": 7,
+}
+_WKB_KINDS = {v: k for k, v in _WKB_TYPES.items()}
+
+
+def to_wkb(kind: str, value) -> bytes:
+    import struct
+
+    head = struct.pack("<BI", 1, _WKB_TYPES[kind])
+
+    def coords(a) -> bytes:
+        a = np.ascontiguousarray(np.asarray(a, dtype="<f8"))
+        return struct.pack("<I", len(a)) + a.tobytes()
+
+    if kind == "point":
+        if value is None:  # POINT EMPTY: NaN coords per common practice
+            return head + struct.pack("<dd", float("nan"), float("nan"))
+        return head + struct.pack("<dd", float(value[0]), float(value[1]))
+    if kind in ("linestring", "multipoint"):
+        if kind == "multipoint":
+            # spec: a sequence of nested point geometries
+            pts = [to_wkb("point", (float(x), float(y))) for x, y in np.asarray(value)]
+            return head + struct.pack("<I", len(pts)) + b"".join(pts)
+        return head + coords(value)
+    if kind == "polygon":
+        return head + struct.pack("<I", len(value)) + b"".join(coords(r) for r in value)
+    if kind == "multilinestring":
+        parts = [to_wkb("linestring", ls) for ls in value]
+        return head + struct.pack("<I", len(parts)) + b"".join(parts)
+    if kind == "multipolygon":
+        parts = [to_wkb("polygon", rings) for rings in value]
+        return head + struct.pack("<I", len(parts)) + b"".join(parts)
+    if kind == "geometrycollection":
+        parts = [to_wkb(k, v) for k, v in value]
+        return head + struct.pack("<I", len(parts)) + b"".join(parts)
+    raise ValueError(kind)
+
+
+def parse_wkb(blob: bytes):
+    """WKB -> (kind, value), same shapes as parse_wkt."""
+    val, pos = _parse_wkb_at(blob, 0)
+    if pos != len(blob):
+        raise ValueError(f"trailing bytes after WKB geometry ({len(blob) - pos})")
+    return val
+
+
+def _parse_wkb_at(blob: bytes, pos: int):
+    import struct
+
+    bo = blob[pos]
+    if bo not in (0, 1):
+        raise ValueError(f"bad WKB byte-order flag {bo}")
+    e = "<" if bo == 1 else ">"
+    (gtype,) = struct.unpack_from(e + "I", blob, pos + 1)
+    kind = _WKB_KINDS.get(gtype & 0xFF)
+    if kind is None:
+        raise ValueError(f"unsupported WKB geometry type {gtype}")
+    pos += 5
+
+    def read_coords(n):
+        a = np.frombuffer(blob, dtype=e + "f8", count=2 * n, offset=pos).reshape(n, 2)
+        return a.astype(np.float64, copy=True)
+
+    if kind == "point":
+        xy = read_coords(1)[0]
+        pos += 16
+        if np.isnan(xy[0]) and np.isnan(xy[1]):
+            return ("point", None), pos
+        return ("point", (float(xy[0]), float(xy[1]))), pos
+    (n,) = struct.unpack_from(e + "I", blob, pos)
+    pos += 4
+    if kind == "linestring":
+        a = read_coords(n)
+        return ("linestring", a), pos + 16 * n
+    if kind == "polygon":
+        rings = []
+        import struct as _s
+
+        for _ in range(n):
+            (m,) = _s.unpack_from(e + "I", blob, pos)
+            pos += 4
+            rings.append(read_coords(m))
+            pos += 16 * m
+        return ("polygon", rings), pos
+    # nested-geometry containers
+    parts = []
+    for _ in range(n):
+        val, pos = _parse_wkb_at(blob, pos)
+        parts.append(val)
+    if kind == "multipoint":
+        pts = np.asarray([[v[0], v[1]] for _, v in parts], dtype=np.float64)
+        return ("multipoint", pts.reshape(-1, 2)), pos
+    if kind == "multilinestring":
+        return ("multilinestring", [v for _, v in parts]), pos
+    if kind == "multipolygon":
+        return ("multipolygon", [v for _, v in parts]), pos
+    return ("geometrycollection", parts), pos

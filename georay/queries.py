@@ -2948,3 +2948,42 @@ def reservoir_docs_per_lang(sf_dir: str):
 
 
 QUERIES["reservoir_docs_per_lang"] = reservoir_docs_per_lang
+
+
+def wkb_roundtrip(sf_dir: str):
+    """I/O surface (r4c): export the polygon layer to OGC WKB, reparse,
+    emit ring/coord counts, byte length and the coordinate sum (a
+    content check the WKT path can't give — WKB coords are exact f64
+    bits).  Oracle recomputes everything from the segment table; the
+    byte length is structural: 9 + 4*n_rings + 16*n_coords."""
+    from . import io as gio
+    from .geom import PolygonLayer
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        ids, n_rings, n_coords, n_bytes, csum = [], [], [], [], []
+        for p in range(layer.num_polys):
+            blob = gio.to_wkb("polygon", layer.poly_rings(p))
+            kind, rings = gio.parse_wkb(blob)
+            assert kind == "polygon"
+            ids.append(str(layer.poly_ids[p]))
+            n_rings.append(len(rings))
+            nc = int(sum(len(r) for r in rings))
+            n_coords.append(nc)
+            n_bytes.append(len(blob))
+            s = int(sum(int(np.floor(r).sum()) for r in rings))
+            csum.append(s)
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids),
+                "n_rings": pa.array(n_rings, pa.int64()),
+                "n_coords": pa.array(n_coords, pa.int64()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "coord_sum": pa.array(csum, pa.int64()),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["wkb_roundtrip"] = wkb_roundtrip

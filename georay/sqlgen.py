@@ -3537,3 +3537,25 @@ def q_reservoir_docs_per_lang(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["reservoir_docs_per_lang"] = q_reservoir_docs_per_lang
+
+
+def q_wkb_roundtrip(sf_dir: str) -> str:
+    """WKB roundtrip oracle (r4c): counts + structural byte length
+    (9-byte header + 4 per ring + 16 per coord) + the integer-exact
+    floor-coordinate checksum from the segment table (each ring's
+    coords = its segment starts plus one closing repeat of the first
+    vertex)."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH r AS (SELECT polygon_id, ring_idx, count(*) AS n_seg, "
+        f"  (sum(floor(x1) + floor(y1)) + "
+        f"  min(CASE WHEN seg_idx = 0 THEN floor(x1) + floor(y1) END))::BIGINT AS rsum "
+        f"  FROM read_parquet('{segs}') GROUP BY polygon_id, ring_idx) "
+        f"SELECT polygon_id, count(*)::BIGINT AS n_rings, "
+        f"(sum(n_seg) + count(*))::BIGINT AS n_coords, "
+        f"(9 + 4 * count(*) + 16 * (sum(n_seg) + count(*)))::BIGINT AS n_bytes, "
+        f"sum(rsum)::BIGINT AS coord_sum FROM r GROUP BY polygon_id"
+    )
+
+
+ORACLE_BUILDERS["wkb_roundtrip"] = q_wkb_roundtrip

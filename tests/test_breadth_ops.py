@@ -545,3 +545,57 @@ def test_lcc_albers_roundtrip_and_snyder_goldens():
         assert abs(y[0] - 1564649.5) < 0.5
     finally:
         crs.WGS84_A, crs._E2, crs._E, crs.CONIC_LAT1, crs.CONIC_LAT2 = saved
+
+
+def test_wkb_known_answer_and_roundtrip():
+    """OGC WKB known-answer vectors (spec examples as produced by
+    PostGIS/shapely) + exact-bit roundtrips across all 7 types and
+    both byte orders."""
+    import numpy as np
+
+    from georay import io as gio
+
+    # POINT (1 2), little-endian
+    assert gio.to_wkb("point", (1.0, 2.0)).hex() == (
+        "0101000000000000000000f03f0000000000000040"
+    )
+    # LINESTRING (0 0, 1 1)
+    assert gio.to_wkb("linestring", np.array([[0.0, 0.0], [1.0, 1.0]])).hex() == (
+        "010200000002000000"
+        "00000000000000000000000000000000"
+        "000000000000f03f000000000000f03f"
+    )
+    # POLYGON ((0 0, 4 0, 4 4, 0 0)) — 1 ring, 4 points
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 0.0]])
+    blob = gio.to_wkb("polygon", [ring])
+    assert blob.hex().startswith("01030000000100000004000000")
+    # roundtrips (exact f64 bits)
+    cases = [
+        ("point", (1.5, -2.25)),
+        ("point", None),
+        ("linestring", np.array([[0.1, 0.2], [3.0, 4.0], [5.5, -6.5]])),
+        ("polygon", [ring, ring[::-1].copy()]),
+        ("multipoint", np.array([[1.0, 2.0], [3.0, 4.0]])),
+        ("multilinestring", [np.array([[0.0, 0.0], [1.0, 0.0]]),
+                             np.array([[2.0, 2.0], [3.0, 3.0], [4.0, 2.0]])]),
+        ("multipolygon", [[ring], [ring + 10.0]]),
+        ("geometrycollection", [("point", (7.0, 8.0)),
+                                ("linestring", np.array([[0.0, 1.0], [2.0, 3.0]]))]),
+    ]
+    for kind, val in cases:
+        k2, v2 = gio.parse_wkb(gio.to_wkb(kind, val))
+        assert k2 == kind
+        w1, w2 = gio.to_wkt(kind, val), gio.to_wkt(k2, v2)
+        assert w1 == w2, (kind, w1, w2)
+    # big-endian decode: hand-build POINT (1 2) in BE
+    import struct
+
+    be = struct.pack(">BIdd", 0, 1, 1.0, 2.0)
+    assert gio.parse_wkb(be) == ("point", (1.0, 2.0))
+    # malformed inputs raise
+    import pytest
+
+    with pytest.raises(ValueError):
+        gio.parse_wkb(b"\x02\x01\x00\x00\x00")
+    with pytest.raises(ValueError):
+        gio.parse_wkb(gio.to_wkb("point", (1.0, 2.0)) + b"\x00")
