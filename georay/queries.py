@@ -2987,3 +2987,86 @@ def wkb_roundtrip(sf_dir: str):
 
 
 QUERIES["wkb_roundtrip"] = wkb_roundtrip
+
+
+def events_pruned_agg(sf_dir: str):
+    """Predicate + projection pushdown demonstration: the read carries
+    BOTH a column projection and an Arrow row filter (value > 450), so
+    only matching row groups / columns leave storage — per-user count
+    and sum of the surviving events."""
+    from .shuffleops import bucket_reduce
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "value"],
+        filter=(pc.field("value") > 250.0),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        # exact integer cents: value is round(x, 2) at generation, so
+        # value*100 rounds to an exact int64 — no float sum order
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "cents": pa.array(cents),
+            "one": pa.array(np.ones(len(b), np.int64)),
+        })
+
+    out = bucket_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", [("cents", "sum"), ("one", "sum")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n_events": t.column("one"),
+            "sum_value": pa.array(c / 100.0, pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_pruned_agg"] = events_pruned_agg
+
+
+def customers_wo_orders(sf_dir: str):
+    """Relational ANTI join (generic engine surface): customers with
+    NO urgent-priority order, via a bucketed left-outer join + null
+    filter — both sides shuffle by hash(custkey), no broadcast (the
+    predicate is pushed into the orders read as an Arrow row
+    filter)."""
+    from .shuffleops import bucket_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+    o_keys = orders.map_batches(
+        lambda t: pa.table({
+            "o_custkey": pc.unique(t.column("o_custkey").combine_chunks()),
+            "has": pa.array(np.ones(len(pc.unique(t.column("o_custkey").combine_chunks())), np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    j = bucket_join(
+        cust, o_keys, left_on="c_custkey", right_on="o_custkey", how="left outer",
+        left_types={"c_custkey": pa.int64(), "c_acctbal": pa.float64()},
+        right_types={"o_custkey": pa.int64(), "has": pa.int64()},
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        keep = pc.is_null(t.column("has"))
+        t = t.filter(keep)
+        return pa.table({
+            "c_custkey": t.column("c_custkey").combine_chunks().cast(pa.int64()),
+            "c_acctbal": t.column("c_acctbal").combine_chunks().cast(pa.float64()),
+        })
+
+    return j.map_batches(anti, batch_format="pyarrow")
+
+
+QUERIES["customers_wo_orders"] = customers_wo_orders

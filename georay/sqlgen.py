@@ -3559,3 +3559,24 @@ def q_wkb_roundtrip(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["wkb_roundtrip"] = q_wkb_roundtrip
+
+
+def q_events_pruned_agg(sf_dir: str) -> str:
+    return (
+        "SELECT user_id, count(*)::BIGINT AS n_events, "
+        "(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0) AS sum_value "
+        "FROM events WHERE value > 250.0 GROUP BY user_id"
+    )
+
+
+ORACLE_BUILDERS["events_pruned_agg"] = q_events_pruned_agg
+
+
+def q_customers_wo_orders(sf_dir: str) -> str:
+    return (
+        "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+    )
+
+
+ORACLE_BUILDERS["customers_wo_orders"] = q_customers_wo_orders
