@@ -3070,3 +3070,60 @@ def customers_wo_orders(sf_dir: str):
 
 
 QUERIES["customers_wo_orders"] = customers_wo_orders
+
+
+def zscore_len(sf_dir: str):
+    """Per-group feature normalization (the standard scaling stage):
+    z-score of n_chars within each language, in integer micro-z units.
+    Determinism: group moments are EXACT int64 sums (n, S, SS); the
+    per-row numerator n*x - S is exact; the population z-score
+    (n*x - S) / sqrt(n*SS - S^2) needs one IEEE sqrt of an exact
+    integer (correctly rounded, so bit-identical in numpy and DuckDB);
+    the quotient is floored at 1e6.  Two-pass shape: a tiny bucketed moment reduce,
+    then a broadcast map over the corpus — no second shuffle."""
+    from .shuffleops import bucket_reduce
+
+    docs = _testdata(sf_dir, "documents").select_columns(["doc_id", "lang", "n_chars"])
+
+    def mom(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "lang": b.column("lang"),
+            "one": pa.array(np.ones(len(x), np.int64)),
+            "s": pa.array(x),
+            "ss": pa.array(x * x),
+        })
+
+    stats = bucket_reduce(
+        docs.map_batches(mom, batch_format="pyarrow"),
+        "lang", [("one", "sum"), ("s", "sum"), ("ss", "sum")],
+    ).to_pandas()  # tiny: one row per language
+    table = {
+        r["lang"]: (int(r["one"]), int(r["s"]), int(r["ss"]))
+        for _, r in stats.iterrows()
+    }
+    import ray as _ray
+
+    ref = _ray.put(table)
+
+    def z(b: pa.Table) -> pa.Table:
+        tab = _ray.get(ref)
+        langs = b.column("lang").to_pylist()
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.array([tab[g][0] for g in langs], np.int64)
+        s = np.array([tab[g][1] for g in langs], np.int64)
+        ss = np.array([tab[g][2] for g in langs], np.int64)
+        den = np.sqrt((n * ss - s * s).astype(np.float64))  # exact int in, IEEE sqrt
+        num = (n * x - s).astype(np.float64)
+        zq = np.floor(1e6 * num / np.where(den == 0, 1.0, den)).astype(np.int64)
+        zq = np.where(den == 0, 0, zq)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "z_micro": pa.array(zq),
+        })
+
+    return docs.map_batches(z, batch_format="pyarrow")
+
+
+QUERIES["zscore_len"] = zscore_len

@@ -3580,3 +3580,21 @@ def q_customers_wo_orders(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["customers_wo_orders"] = q_customers_wo_orders
+
+
+def q_zscore_len(sf_dir: str) -> str:
+    """z-score in SQL (r4c, queries.zscore_len): identical exact
+    integer moments and the identical float expression
+    floor(1e6 * (n*x - S) / sqrt(n*SS - S^2))."""
+    return (
+        "WITH m AS (SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s, "
+        "  sum(n_chars * n_chars)::BIGINT AS ss FROM documents GROUP BY lang) "
+        "SELECT d.doc_id, d.lang, "
+        "CASE WHEN m.n * m.ss - m.s * m.s = 0 THEN 0 ELSE "
+        "floor(1000000.0 * (m.n * d.n_chars - m.s)::DOUBLE "
+        "  / sqrt((m.n * m.ss - m.s * m.s)::DOUBLE)) END::BIGINT AS z_micro "
+        "FROM documents d JOIN m ON m.lang = d.lang"
+    )
+
+
+ORACLE_BUILDERS["zscore_len"] = q_zscore_len

@@ -345,3 +345,25 @@ def test_exact_quantiles_vs_numpy(ray_session):
         for frac, col in (((1, 2), "p50"), ((9, 10), "p90"), ((99, 100), "p99")):
             thr = (frac[0] * n + frac[1] - 1) // frac[1]
             assert row[col] == vals[thr - 1], (k, col)
+
+
+def test_zscore_len_semantics(ray_session):
+    """z_micro == floor(1e6 * classic population z-score) on a known
+    corpus (cross-checked against plain numpy mean/std)."""
+    from georay import queries
+
+    got = (
+        queries.zscore_len("/root/testdata/sf0.001")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    m = got.merge(docs[["doc_id", "lang", "n_chars"]], on=["doc_id", "lang"])
+    for g, grp in m.groupby("lang"):
+        x = grp["n_chars"].to_numpy(np.float64)
+        z = (x - x.mean()) / x.std()  # population std
+        want = np.floor(1e6 * z)
+        assert np.abs(grp["z_micro"].to_numpy() - want).max() <= 1, g
+    # per-group mean of z is ~0
+    assert abs(m.groupby("lang")["z_micro"].mean()).max() < 2e4
