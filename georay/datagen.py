@@ -76,7 +76,10 @@ def images_path(sf_dir: str) -> str:
 
 
 def audio_path(sf_dir: str) -> str:
-    return os.path.join(data_dir(sf_dir), "audio.parquet")
+    # v2: every 8th 512-sample window is noise-only (carrier gated) so
+    # silence/VAD segmentation has real structure; new filename so v1
+    # caches regenerate
+    return os.path.join(data_dir(sf_dir), "audio_v2.parquet")
 
 
 def polygons_path(sf_dir: str) -> str:
@@ -174,7 +177,9 @@ def generate_images(n: int) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 AUDIO_SR = 8000
-AUDIO_NOISE = 4001  # noise = word % 4001 - 2000 in [-2000, 2000]
+AUDIO_NOISE = 4001   # noise = word % 4001 - 2000 in [-2000, 2000]
+AUDIO_GATE = 8       # carrier gated OFF on windows with (t//512) % 8 == 7
+AUDIO_WIN = 512
 
 
 def audio_params(i: int) -> tuple[int, int, int]:
@@ -187,6 +192,7 @@ def _samples_for(i: int) -> np.ndarray:
     t = np.arange(n, dtype=np.int64)
     ph = t % p
     tri = (np.abs(2 * ph - p) * 2 * amp) // p - amp
+    tri = np.where((t // AUDIO_WIN) % AUDIO_GATE == AUDIO_GATE - 1, 0, tri)
     words = rng.stream(
         TAG_AUDIO, np.uint64(i) * np.uint64(1 << 20) + t.astype(np.uint64)
     )

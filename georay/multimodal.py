@@ -279,3 +279,62 @@ def audio_features(audio, window: int = 512, concurrency=(1, 8), batch_size: int
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+SILENCE_THRESHOLD = 1_500_000_000  # sum_sq per 512-window; carrier >= ~3.4e9, noise-only <= ~0.7e9
+
+
+class SilenceSegments:
+    """Actor stage: WAV decode -> VAD-style silence segmentation.
+
+    One output row per maximal run of consecutive low-energy windows
+    (sum of squares < threshold): (audio_id, seg_idx, start_win,
+    n_win).  Clips never split across batches, so the islands pass is
+    zero-shuffle; energies are exact integers, so the SQL oracle
+    (sqlgen.q_audio_silence) reproduces the segmentation bit-for-bit
+    via gaps-and-islands over the regenerated samples."""
+
+    def __init__(self, window: int = 512, threshold: int = SILENCE_THRESHOLD):
+        from .audiocodec import decode_wav
+
+        self.window = window
+        self.threshold = threshold
+        self.decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        W, T = self.window, self.threshold
+        ids, segs, starts, lens = [], [], [], []
+        for aid, blob in zip(
+            batch.column("audio_id").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            _, s = self.decode(blob)
+            n_win = len(s) // W
+            if n_win == 0:
+                continue
+            x = s[: n_win * W].astype(np.int64).reshape(n_win, W)
+            silent = (x * x).sum(axis=1) < T
+            edges = np.diff(np.r_[0, silent.astype(np.int8), 0])
+            st = np.nonzero(edges == 1)[0]
+            en = np.nonzero(edges == -1)[0]
+            for k, (a, b) in enumerate(zip(st, en)):
+                ids.append(aid)
+                segs.append(k)
+                starts.append(int(a))
+                lens.append(int(b - a))
+        return pa.table({
+            "audio_id": pa.array(ids, pa.string()),
+            "seg_idx": pa.array(segs, pa.int64()),
+            "start_win": pa.array(starts, pa.int64()),
+            "n_win": pa.array(lens, pa.int64()),
+        })
+
+
+def silence_segments(audio, window: int = 512, threshold: int = SILENCE_THRESHOLD,
+                     concurrency=(1, 8), batch_size: int = 256):
+    return audio.map_batches(
+        SilenceSegments,
+        fn_constructor_kwargs={"window": window, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -3127,3 +3127,28 @@ def zscore_len(sf_dir: str):
 
 
 QUERIES["zscore_len"] = zscore_len
+
+
+def audio_silence(sf_dir: str):
+    """VAD-style silence segmentation (multimodal.SilenceSegments):
+    maximal runs of low-energy 512-sample windows per clip — the v2
+    waveforms gate the carrier off on every 8th window, so real
+    segments exist.  Zero-shuffle (clips never split across batches);
+    integer energies make the SQL gaps-and-islands oracle exact."""
+    from . import multimodal
+
+    paths = datagen.ensure_tables(sf_dir)
+    audio = rd.read_parquet(paths["audio"], columns=["audio_id", "bytes"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        i = pa.array(
+            [int(s[4:]) % AUDIO_SAMPLE_MOD == 0 for s in t.column("audio_id").to_pylist()]
+        )
+        return t.filter(i)
+
+    return multimodal.silence_segments(
+        audio.map_batches(pick, batch_format="pyarrow"), window=AUDIO_WINDOW
+    )
+
+
+QUERIES["audio_silence"] = audio_silence

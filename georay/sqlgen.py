@@ -3385,6 +3385,7 @@ def q_audio_features(sf_dir: str) -> str:
     import numpy as np
 
     from . import rng as _rng
+    from .datagen import AUDIO_GATE as GATE
     from .datagen import AUDIO_NOISE, TAG_AUDIO, audio_path
     from .queries import AUDIO_SAMPLE_MOD, AUDIO_WINDOW
 
@@ -3403,7 +3404,8 @@ def q_audio_features(sf_dir: str) -> str:
         f"ts AS (SELECT unnest(range(0, (SELECT coalesce(max(n_samples), 1) "
         f"  FROM aud))) AS t), "
         f"s AS (SELECT a.audio_id, a.i, t.t, least(greatest("
-        f"  (abs(2 * (t.t % a.p) - a.p) * 2 * a.amp) // a.p - a.amp "
+        f"  (CASE WHEN (t.t // {W}) % {GATE} = {GATE - 1} THEN 0 ELSE "
+        f"  (abs(2 * (t.t % a.p) - a.p) * 2 * a.amp) // a.p - a.amp END) "
         f"  + (({word}) % {AUDIO_NOISE})::BIGINT - {half}, -32768), 32767) AS v "
         f"  FROM pr a JOIN ts t ON t.t < (a.n_samples // {W}) * {W}), "
         f"x AS (SELECT audio_id, t, v, t // {W} AS win, "
@@ -3598,3 +3600,27 @@ def q_zscore_len(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["zscore_len"] = q_zscore_len
+
+
+def q_audio_silence(sf_dir: str) -> str:
+    """Silence segmentation in SQL (r4c): the q_audio_features window
+    energies (regenerated samples, exact integers) -> gaps-and-islands
+    over windows with sum_sq < threshold."""
+    from .multimodal import SILENCE_THRESHOLD
+
+    inner = q_audio_features(sf_dir)
+    return (
+        f"WITH feat AS ({inner}), "
+        f"sil AS (SELECT audio_id, win FROM feat WHERE sum_sq < {SILENCE_THRESHOLD}), "
+        f"w AS (SELECT audio_id, win, lag(win) OVER ("
+        f"  PARTITION BY audio_id ORDER BY win) AS pw FROM sil), "
+        f"isl AS (SELECT audio_id, win, CASE WHEN pw IS NULL OR win > pw + 1 "
+        f"  THEN 1 ELSE 0 END AS ni FROM w), "
+        f"gid AS (SELECT audio_id, win, sum(ni) OVER ("
+        f"  PARTITION BY audio_id ORDER BY win) AS g FROM isl) "
+        f"SELECT audio_id, (g - 1)::BIGINT AS seg_idx, min(win)::BIGINT AS start_win, "
+        f"count(*)::BIGINT AS n_win FROM gid GROUP BY audio_id, g"
+    )
+
+
+ORACLE_BUILDERS["audio_silence"] = q_audio_silence

@@ -168,3 +168,38 @@ def test_audio_features_vs_brute(ray_session):
             assert row["n_zc"] == int((neg[1:] != neg[:-1]).sum())
             assert row["peak"] == int(np.abs(seg).max())
     assert len(got) == sum(len(datagen._samples_for(i)) // 512 for i in range(n))
+
+
+def test_silence_segments_vs_brute(ray_session):
+    import ray.data as rd
+
+    from georay import datagen
+    from georay.multimodal import SILENCE_THRESHOLD, silence_segments
+
+    tab = datagen.generate_audio(6)
+    got = (
+        silence_segments(rd.from_arrow(tab), window=512)
+        .to_pandas().sort_values(["audio_id", "seg_idx"]).reset_index(drop=True)
+    )
+    rows = []
+    for i in range(6):
+        s = datagen._samples_for(i).astype(np.int64)
+        n_win = len(s) // 512
+        sil = (s[: n_win * 512].reshape(n_win, 512) ** 2).sum(1) < SILENCE_THRESHOLD
+        k, w = 0, 0
+        while w < n_win:
+            if sil[w]:
+                start = w
+                while w < n_win and sil[w]:
+                    w += 1
+                rows.append((f"aud-{i:08d}", k, start, w - start))
+                k += 1
+            else:
+                w += 1
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["audio_id", "seg_idx", "start_win", "n_win"])
+    pd.testing.assert_frame_equal(got, want)
+    # the v2 gating plants a silent window every 8th: at least one
+    # segment per clip
+    assert set(want["audio_id"]) == {f"aud-{i:08d}" for i in range(6)}
