@@ -450,3 +450,83 @@ def decontam_plan(train, eval_ds, k: int = DUP_K, p: int = DUP_P):
         })
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (r4c) — the inner primitive of byte-pair-encoding
+# tokenizer training (Sennrich et al. 2016): corpus-wide counts of
+# adjacent within-token byte pairs; the argmax pair is the next BPE
+# merge.  One bincount(65536) per batch (pure numpy over the zero-copy
+# flat utf-8 buffer), a bucketed sum of the <= 65536-row count table,
+# and a constant-bounded final top-k — corpus size never reaches the
+# driver.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 32
+
+
+def bpe_pair_counts_batch(arr) -> pa.Table:
+    """(b1, b2, cnt) partial counts of adjacent within-token byte
+    pairs for one batch of documents."""
+    offs, data = _flat_utf8(arr)
+    n = len(data)
+    if n < 2:
+        return pa.table({"b1": pa.array([], pa.int64()),
+                         "b2": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    ws = np.zeros(256, bool)
+    for b in (9, 10, 11, 12, 13, 32):
+        ws[b] = True
+    nonws = ~ws[data]
+    ok = nonws[:-1] & nonws[1:]
+    # a pair must not span a document boundary (adjacent docs are
+    # adjacent in the flat buffer)
+    bnd = offs[1:-1]
+    ok[bnd[(bnd > 0) & (bnd < n)] - 1] = False
+    keys = data[:-1][ok].astype(np.int64) * 256 + data[1:][ok].astype(np.int64)
+    cnt = np.bincount(keys, minlength=65536)
+    nz = np.nonzero(cnt)[0]
+    return pa.table({
+        "b1": pa.array(nz // 256),
+        "b2": pa.array(nz % 256),
+        "cnt": pa.array(cnt[nz]),
+    })
+
+
+def bpe_top_pairs(docs, text_col: str = "text", k: int = BPE_TOP_K, p: int = 64):
+    """Dataset -> top-k (b1, b2, cnt, rank) byte pairs, ties by
+    (b1, b2) ascending — the next k BPE merge candidates."""
+    from .shuffleops import bucket_ids
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = bpe_pair_counts_batch(b.column(text_col))
+        key = t.column("b1").to_numpy(zero_copy_only=False) * 256 + \
+            t.column("b2").to_numpy(zero_copy_only=False)
+        return t.append_column("__bucket", pa.array(
+            bucket_ids(pa.array(key), p)))
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        return (
+            g.group_by(["b1", "b2"]).aggregate([("cnt", "sum")])
+            .rename_columns(["b1", "b2", "cnt"])
+        )
+
+    counts = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    # final top-k over a CONSTANT-bounded (<= 65536 rows) table
+    full = counts.to_pandas()
+    full = full.sort_values(["cnt", "b1", "b2"],
+                            ascending=[False, True, True]).head(k)
+    full = full.reset_index(drop=True)
+    full["rank"] = np.arange(1, len(full) + 1, dtype=np.int64)
+    return pa.table({
+        "rank": pa.array(full["rank"], pa.int64()),
+        "b1": pa.array(full["b1"], pa.int64()),
+        "b2": pa.array(full["b2"], pa.int64()),
+        "cnt": pa.array(full["cnt"], pa.int64()),
+    })

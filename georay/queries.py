@@ -3152,3 +3152,18 @@ def audio_silence(sf_dir: str):
 
 
 QUERIES["audio_silence"] = audio_silence
+
+
+def bpe_top_pairs(sf_dir: str):
+    """BPE tokenizer-training primitive (llmtext.bpe_top_pairs):
+    corpus-wide adjacent within-token byte-pair counts, top-32 merge
+    candidates.  One bincount per batch + a bucketed sum; the final
+    top-k collects a table bounded by 65536 rows regardless of corpus
+    size.  ASCII corpus: byte == codepoint, so the SQL oracle's
+    ord(substr(...)) pairs match exactly."""
+    from . import llmtext
+
+    return llmtext.bpe_top_pairs(_testdata(sf_dir, "documents"))
+
+
+QUERIES["bpe_top_pairs"] = bpe_top_pairs

@@ -3624,3 +3624,24 @@ def q_audio_silence(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["audio_silence"] = q_audio_silence
+
+
+def q_bpe_top_pairs(sf_dir: str) -> str:
+    from .llmtext import BPE_TOP_K
+
+    return (
+        f"WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, "
+        f"  '\\s+'), x -> x <> '')) AS tok FROM documents), "
+        f"e AS (SELECT tok, unnest(range(1, length(tok))) AS i FROM t "
+        f"  WHERE length(tok) >= 2), "
+        f"pr AS (SELECT ord(substr(tok, i::INTEGER, 1)) AS b1, "
+        f"  ord(substr(tok, (i + 1)::INTEGER, 1)) AS b2 FROM e), "
+        f"c AS (SELECT b1, b2, count(*) AS cnt FROM pr GROUP BY b1, b2), "
+        f"r AS (SELECT b1, b2, cnt, row_number() OVER ("
+        f"  ORDER BY cnt DESC, b1, b2) AS rank FROM c) "
+        f"SELECT rank::BIGINT AS rank, b1::BIGINT AS b1, b2::BIGINT AS b2, "
+        f"cnt::BIGINT AS cnt FROM r WHERE rank <= {BPE_TOP_K}"
+    )
+
+
+ORACLE_BUILDERS["bpe_top_pairs"] = q_bpe_top_pairs

@@ -367,3 +367,29 @@ def test_zscore_len_semantics(ray_session):
         assert np.abs(grp["z_micro"].to_numpy() - want).max() <= 1, g
     # per-group mean of z is ~0
     assert abs(m.groupby("lang")["z_micro"].mean()).max() < 2e4
+
+
+def test_bpe_pair_counts_vs_counter(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    docs = ["hello hello world", "low lower lowest", "ab", "x", "",
+            "  spaced   out  "]
+    want = Counter()
+    for d in docs:
+        for tok in d.split():
+            for a, b in zip(tok, tok[1:]):
+                want[(ord(a), ord(b))] += 1
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = llmtext.bpe_top_pairs(rd.from_arrow(t).repartition(3), k=1000).to_pandas()
+    got_map = {(r["b1"], r["b2"]): r["cnt"] for _, r in got.iterrows()}
+    assert got_map == dict(want)
+    # ranking: count desc, then (b1, b2) asc
+    ranks = got.sort_values("rank")
+    key = list(zip(-ranks["cnt"], ranks["b1"], ranks["b2"]))
+    assert key == sorted(key)
+    # 'lo' appears 3x (low, lower, lowest) + 'll' 2x (hello x2)
+    assert got_map[(ord("l"), ord("o"))] == 3
+    assert got_map[(ord("l"), ord("l"))] == 2
