@@ -390,6 +390,6 @@ def test_bpe_pair_counts_vs_counter(ray_session):
     ranks = got.sort_values("rank")
     key = list(zip(-ranks["cnt"], ranks["b1"], ranks["b2"]))
     assert key == sorted(key)
-    # 'lo' appears 3x (low, lower, lowest) + 'll' 2x (hello x2)
-    assert got_map[(ord("l"), ord("o"))] == 3
+    # 'lo' appears 5x (hello x2, low, lower, lowest), 'll' 2x (hello x2)
+    assert got_map[(ord("l"), ord("o"))] == 5
     assert got_map[(ord("l"), ord("l"))] == 2
