@@ -530,3 +530,142 @@ def bpe_top_pairs(docs, text_col: str = "text", k: int = BPE_TOP_K, p: int = 64)
         "b2": pa.array(full["b2"], pa.int64()),
         "cnt": pa.array(full["cnt"], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# substring-dedup REWRITE (r4c) — the actual text-cleaning form of
+# Lee et al. 2021: duplicated char-k-gram spans are REMOVED from every
+# document except the span's canonical owner (the minimal doc_id that
+# contains the gram), and the cleaned text is emitted.  Same single
+# key-bucket exchange as dup_ngram_plan; the rewrite pass co-shuffles
+# the flagged positions with the document text by doc bucket and
+# rebuilds every cleaned string in one vectorized byte-mask pass over
+# the bucket's flat utf-8 buffer (no per-document Python strings).
+# ---------------------------------------------------------------------------
+
+
+def _mark_nonowner_dups(g: pa.Table, w: int) -> pa.Table:
+    """One key bucket: keep (doc_id, pos) rows whose key occurs in
+    >= 2 distinct documents AND whose doc is NOT the minimal owner."""
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = g.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    kw = [g.column(f"w{j}").to_numpy(zero_copy_only=False).astype(np.uint64)
+          for j in range(w)]
+    m = len(doc)
+    if m == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    order = np.lexsort((pos, doc, *reversed(kw)))
+    doc_s = doc[order]
+    new_key = np.zeros(m, bool)
+    new_key[0] = True
+    for c in kw:
+        cs = c[order]
+        new_key[1:] |= cs[1:] != cs[:-1]
+    run_id = np.cumsum(new_key) - 1
+    n_runs = int(run_id[-1]) + 1
+    new_doc = np.zeros(m, bool)
+    new_doc[0] = True
+    new_doc[1:] = new_key[1:] | (doc_s[1:] != doc_s[:-1])
+    distinct = np.bincount(run_id[new_doc], minlength=n_runs)
+    run_starts = np.nonzero(new_key)[0]
+    min_doc = doc_s[run_starts]  # rows are doc-sorted within a run
+    keep = (distinct[run_id] >= 2) & (doc_s != min_doc[run_id])
+    return pa.table({"doc_id": pa.array(doc_s[keep]),
+                     "pos": pa.array(pos[order][keep])})
+
+
+def dedup_spans_plan(docs, k: int = DUP_K, p: int = DUP_P):
+    """documents(doc_id, text) -> (doc_id, clean_text, removed_chars):
+    the union of non-owner duplicate k-gram spans is cut out of each
+    document; owners (and unique text) pass through unchanged."""
+    w = (k + 7) // 8
+
+    def extract(b: pa.Table) -> pa.Table:
+        cnt, pos, keys, didx = gram_keys(b.column("text"), k)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"doc_id": pa.array(ids[didx]),
+                "pos": pa.array(pos.astype(np.int32))}
+        for j in range(w):
+            cols[f"w{j}"] = pa.array(keys[:, j])
+        t = pa.table(cols)
+        return t.append_column(
+            "__bucket", pa.array(_key_bucket(keys, p).astype(np.int32))
+        )
+
+    flagged = (
+        docs.map_batches(extract, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g, w=w: _mark_nonowner_dups(g.drop_columns(["__bucket"]), w),
+            batch_format="pyarrow",
+        )
+    )
+
+    def doc_bucket_of(d: np.ndarray) -> np.ndarray:
+        return (_mix64(d.astype(np.uint64)) % np.uint64(p)).astype(np.int32)
+
+    def tag_flag(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "pos": b.column("pos").combine_chunks().cast(pa.int64()),
+            "text": pa.nulls(len(d), pa.string()),
+            "__bucket": pa.array(doc_bucket_of(d)),
+        })
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "pos": pa.nulls(len(d), pa.int64()),
+            "text": b.column("text"),
+            "__bucket": pa.array(doc_bucket_of(d)),
+        })
+
+    def rewrite(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        is_doc = pc.is_valid(g.column("text"))
+        dt = g.filter(is_doc)
+        fl = g.filter(pc.invert(is_doc))
+        ids = dt.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        dt = dt.take(pa.array(order))
+        ids = ids[order]
+        offs, data = _flat_utf8(dt.column("text"))
+        lens = offs[1:] - offs[:-1]
+        fd = fl.column("doc_id").to_numpy(zero_copy_only=False)
+        fp = fl.column("pos").to_numpy(zero_copy_only=False)
+        # map flagged doc ids -> row index in this bucket's doc table
+        ridx = np.searchsorted(ids, fd)
+        # interval-diff removal mask over the flat buffer
+        delta = np.zeros(len(data) + 1, np.int64)
+        starts = offs[:-1][ridx] + fp
+        ends = np.minimum(starts + k, offs[1:][ridx])
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+        removed = np.cumsum(delta[:-1]) > 0
+        kept = data[~removed]
+        rem_per_doc = np.zeros(len(ids), np.int64)
+        doc_of_byte = np.searchsorted(offs, np.nonzero(removed)[0], side="right") - 1
+        if len(doc_of_byte):
+            rem_per_doc += np.bincount(doc_of_byte, minlength=len(ids))
+        new_lens = lens - rem_per_doc
+        new_offs = np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int32)
+        clean = pa.StringArray.from_buffers(
+            len(ids),
+            pa.py_buffer(new_offs.tobytes()),
+            pa.py_buffer(kept.tobytes()),
+        )
+        return pa.table({
+            "doc_id": dt.column("doc_id"),
+            "clean_text": clean,
+            "removed_chars": pa.array(rem_per_doc),
+        })
+
+    return (
+        flagged.map_batches(tag_flag, batch_format="pyarrow")
+        .union(docs.select_columns(["doc_id", "text"]).map_batches(tag_doc, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(rewrite, batch_format="pyarrow")
+    )

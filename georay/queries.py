@@ -3167,3 +3167,21 @@ def bpe_top_pairs(sf_dir: str):
 
 
 QUERIES["bpe_top_pairs"] = bpe_top_pairs
+
+
+def dedup_spans(sf_dir: str):
+    """Substring-dedup REWRITE (llmtext.dedup_spans_plan — Lee et al.
+    2021, the text-cleaning form): duplicate char-32-gram spans are
+    cut out of every non-owner document and the cleaned text emitted.
+    One key-bucket exchange + one doc-bucket rewrite; the bucket
+    rewrite is a single vectorized byte-mask pass, no per-document
+    Python.  SQL oracle rebuilds every cleaned string with
+    gaps-and-islands + ordered string_agg."""
+    from . import llmtext
+
+    return llmtext.dedup_spans_plan(
+        _testdata(sf_dir, "documents").select_columns(["doc_id", "text"])
+    )
+
+
+QUERIES["dedup_spans"] = dedup_spans

@@ -3645,3 +3645,44 @@ def q_bpe_top_pairs(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["bpe_top_pairs"] = q_bpe_top_pairs
+
+
+def q_dedup_spans(sf_dir: str) -> str:
+    """Substring-dedup rewrite in SQL (r4c, llmtext.dedup_spans_plan):
+    non-owner duplicate gram positions -> merged removal islands ->
+    kept segments via lag() -> ordered string_agg reconstruction."""
+    from .llmtext import DUP_K as K
+
+    return (
+        f"WITH e AS (SELECT doc_id, text, "
+        f"  unnest(range(1, GREATEST(length(text) - {K - 1}, 0) + 1)) AS i FROM documents), "
+        f"g AS (SELECT doc_id, i, substr(text, i::INTEGER, {K}) AS gram FROM e), "
+        f"own AS (SELECT gram, count(DISTINCT doc_id) AS c, min(doc_id) AS md "
+        f"  FROM g GROUP BY gram), "
+        f"d AS (SELECT g.doc_id, g.i FROM g JOIN own ON own.gram = g.gram "
+        f"  WHERE own.c >= 2 AND g.doc_id <> own.md), "
+        f"w AS (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi FROM d), "
+        f"isl AS (SELECT doc_id, i, CASE WHEN pi IS NULL OR i > pi + {K} THEN 1 ELSE 0 END AS ni FROM w), "
+        f"gid AS (SELECT doc_id, i, sum(ni) OVER (PARTITION BY doc_id ORDER BY i) AS g2 FROM isl), "
+        f"iv AS (SELECT doc_id, g2, min(i) AS s, max(i) + {K} AS e2 "
+        f"  FROM gid GROUP BY doc_id, g2), "
+        # kept segments: before/between/after islands (1-based, e2 exclusive)
+        f"seg AS (SELECT doc_id, coalesce(lag(e2) OVER ("
+        f"  PARTITION BY doc_id ORDER BY s), 1) AS a, s AS b FROM iv "
+        f"  UNION ALL SELECT doc_id, max(e2), NULL FROM iv GROUP BY doc_id), "
+        f"pieces AS (SELECT seg.doc_id, seg.a, substr(doc.text, seg.a::INTEGER, "
+        f"  (coalesce(seg.b, length(doc.text) + 1) - seg.a)::INTEGER) AS piece "
+        f"  FROM seg JOIN documents doc ON doc.doc_id = seg.doc_id), "
+        f"rebuilt AS (SELECT doc_id, string_agg(piece, '' ORDER BY a) AS clean_text "
+        f"  FROM pieces GROUP BY doc_id), "
+        f"rem AS (SELECT doc_id, sum(e2 - s)::BIGINT AS removed_chars FROM iv GROUP BY doc_id) "
+        f"SELECT doc.doc_id, "
+        f"coalesce(rebuilt.clean_text, doc.text) AS clean_text, "
+        f"coalesce(rem.removed_chars, 0)::BIGINT AS removed_chars "
+        f"FROM documents doc "
+        f"LEFT JOIN rebuilt ON rebuilt.doc_id = doc.doc_id "
+        f"LEFT JOIN rem ON rem.doc_id = doc.doc_id"
+    )
+
+
+ORACLE_BUILDERS["dedup_spans"] = q_dedup_spans

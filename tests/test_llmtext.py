@@ -393,3 +393,52 @@ def test_bpe_pair_counts_vs_counter(ray_session):
     # 'lo' appears 5x (hello x2, low, lower, lowest), 'll' 2x (hello x2)
     assert got_map[(ord("l"), ord("o"))] == 5
     assert got_map[(ord("l"), ord("l"))] == 2
+
+
+def test_dedup_spans_rewrite_planted(ray_session):
+    """Planted duplicate passage: the owner (min doc_id) keeps its
+    text verbatim; every other doc loses exactly the passage span;
+    unique docs pass through untouched."""
+    import ray.data as rd
+
+    from georay.llmtext import DUP_K, dedup_spans_plan
+
+    passage = "shared passage text that is comfortably longer than the gram size"
+    assert len(passage) > DUP_K
+    docs = {
+        1: "unique document with entirely original content here",
+        4: "AAA " + passage + " TAIL",
+        2: passage + " owner extra words",   # min doc_id containing the grams
+        9: "PREFIX " + passage,
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[d] for d in sorted(docs)]),
+    })
+    got = (
+        dedup_spans_plan(rd.from_arrow(t).repartition(2))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # brute-force reference of the exact semantics: a position is
+    # removed iff its gram occurs in >= 2 docs and this doc is not the
+    # min-id owner; removal is the union of flagged [i, i+K) spans
+    gram_docs = {}
+    for d, s in docs.items():
+        for i in range(max(len(s) - DUP_K + 1, 0)):
+            gram_docs.setdefault(s[i : i + DUP_K], set()).add(d)
+    for d, s in docs.items():
+        rm = np.zeros(len(s), bool)
+        for i in range(max(len(s) - DUP_K + 1, 0)):
+            owners = gram_docs[s[i : i + DUP_K]]
+            if len(owners) >= 2 and d != min(owners):
+                rm[i : i + DUP_K] = True
+        want = "".join(c for c, r in zip(s, rm) if not r)
+        assert got.loc[d, "clean_text"] == want, d
+        assert got.loc[d, "removed_chars"] == int(rm.sum()), d
+    # headline semantics: unique doc untouched, owner untouched, the
+    # passage body gone from every non-owner
+    assert got.loc[1, "clean_text"] == docs[1]
+    assert got.loc[2, "removed_chars"] == 0  # owner of the passage grams
+    for d in (4, 9):
+        assert passage not in got.loc[d, "clean_text"]
+        assert got.loc[d, "removed_chars"] >= len(passage)
