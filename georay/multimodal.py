@@ -338,3 +338,63 @@ def silence_segments(audio, window: int = 512, threshold: int = SILENCE_THRESHOL
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class TileCrop:
+    """Actor stage: decode -> 2x2 quadrant crop -> PNG re-encode ->
+    re-decode -> per-tile channel means.
+
+    The raster-tiling stage of the pipeline: each image becomes four
+    tiles (dims are even by construction), every tile round-trips
+    through the real PNG codec, and the emitted means are computed
+    from the RE-DECODED tile bytes — so the query verifies the whole
+    crop -> encode -> decode chain, not just the arithmetic.  Output:
+    (image_id, tile_idx row-major, tw, th, mean_r/g/b half-away 4dp,
+    the image_stats rounding discipline)."""
+
+    def __init__(self):
+        from .imagecodec import decode_png, encode_png
+
+        self.decode = decode_image
+        self.encode_png = encode_png
+        self.decode_png = decode_png
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, tidx, tws, ths = [], [], [], []
+        sums = []
+        for iid, blob, fmt in zip(
+            batch.column("image_id").to_pylist(),
+            batch.column("bytes").to_pylist(),
+            batch.column("fmt").to_pylist(),
+        ):
+            px = self.decode(blob, fmt)
+            h, w, _ = px.shape
+            hh, ww = h // 2, w // 2
+            for i in range(2):
+                for j in range(2):
+                    tile = px[i * hh : (i + 1) * hh, j * ww : (j + 1) * ww]
+                    rt = self.decode_png(self.encode_png(tile))
+                    ids.append(iid)
+                    tidx.append(i * 2 + j)
+                    ths.append(rt.shape[0])
+                    tws.append(rt.shape[1])
+                    sums.append(rt.reshape(-1, 3).astype(np.int64).sum(axis=0))
+        s = np.asarray(sums, np.int64).reshape(-1, 3)
+        n = (np.asarray(tws, np.int64) * np.asarray(ths, np.int64))[:, None]
+        means = np.floor(s / n * 1e4 + 0.5) / 1e4  # half-away 4dp
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "tile_idx": pa.array(tidx, pa.int64()),
+            "tw": pa.array(tws, pa.int64()),
+            "th": pa.array(ths, pa.int64()),
+            "mean_r": pa.array(means[:, 0]),
+            "mean_g": pa.array(means[:, 1]),
+            "mean_b": pa.array(means[:, 2]),
+        })
+
+
+def tile_crop(images, concurrency=(1, 8), batch_size: int = 2048):
+    return images.map_batches(
+        TileCrop, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -3185,3 +3185,27 @@ def dedup_spans(sf_dir: str):
 
 
 QUERIES["dedup_spans"] = dedup_spans
+
+
+def image_tiles(sf_dir: str):
+    """Raster tiling stage (multimodal.TileCrop): 2x2 quadrant crops
+    through a full PNG re-encode/decode round-trip, per-tile channel
+    means from the RE-DECODED bytes; residue 2 of the mod-10 split (a
+    third disjoint image sample).  Oracle: quadrant rollups of the
+    regenerated decoded pixels (PNG is lossless, so the round-trip
+    must reproduce them exactly)."""
+    from . import multimodal
+
+    paths = datagen.ensure_tables(sf_dir)
+    images = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "fmt"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        i = pa.array(
+            [int(s[4:]) % IMG_STATS_MOD == 2 for s in t.column("image_id").to_pylist()]
+        )
+        return t.filter(i)
+
+    return multimodal.tile_crop(images.map_batches(pick, batch_format="pyarrow"))
+
+
+QUERIES["image_tiles"] = image_tiles

@@ -3686,3 +3686,28 @@ def q_dedup_spans(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["dedup_spans"] = q_dedup_spans
+
+
+def q_image_tiles(sf_dir: str) -> str:
+    """Per-quadrant channel means from the regenerated decoded pixels
+    (r4c, multimodal.TileCrop): quadrant of pixel (y, x) = ((y*2)//h,
+    (x*2)//w); identical half-away 4dp rounding."""
+    from .queries import IMG_STATS_MOD
+
+    return (
+        f"WITH {_img_decoded_bytes_ctes(sf_dir, IMG_STATS_MOD, 2)} "
+        f"g1 AS (SELECT image_id, max(w) AS w, max(h) AS h, "
+        f"  (((m // 3) // w) * 2) // h AS qy, (((m // 3) % w) * 2) // w AS qx, "
+        f"  m % 3 AS c, sum(v)::BIGINT AS s, count(*) AS n "
+        f"  FROM bt GROUP BY image_id, (((m // 3) // w) * 2) // h, "
+        f"  (((m // 3) % w) * 2) // w, m % 3) "
+        f"SELECT image_id, (qy * 2 + qx)::BIGINT AS tile_idx, "
+        f"max(w // 2)::BIGINT AS tw, max(h // 2)::BIGINT AS th, "
+        f"round(max(CASE WHEN c = 0 THEN s END)::DOUBLE / max(n), 4) AS mean_r, "
+        f"round(max(CASE WHEN c = 1 THEN s END)::DOUBLE / max(n), 4) AS mean_g, "
+        f"round(max(CASE WHEN c = 2 THEN s END)::DOUBLE / max(n), 4) AS mean_b "
+        f"FROM g1 GROUP BY image_id, qy * 2 + qx"
+    )
+
+
+ORACLE_BUILDERS["image_tiles"] = q_image_tiles
