@@ -75,6 +75,29 @@ def images_path(sf_dir: str) -> str:
     return os.path.join(data_dir(sf_dir), "images_v2.parquet")
 
 
+def events_jsonl_path(sf_dir: str) -> str:
+    return os.path.join(data_dir(sf_dir), "events.jsonl")
+
+
+def ensure_events_jsonl(sf_dir: str) -> str:
+    """A JSONL projection of the events table (event_type, value) —
+    source-format breadth: the engine reads it with ray.data.read_json
+    and must agree with the parquet-derived oracle."""
+    path = events_jsonl_path(sf_dir)
+    if not os.path.exists(path):
+        import duckdb
+
+        os.makedirs(data_dir(sf_dir), exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            f"COPY (SELECT event_id, event_type, value FROM "
+            f"read_parquet('{sf_dir}/events.parquet') ORDER BY event_id) "
+            f"TO '{path}.tmp' (FORMAT JSON)"
+        )
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def audio_path(sf_dir: str) -> str:
     # v2: every 8th 512-sample window is noise-only (carrier gated) so
     # silence/VAD segmentation has real structure; new filename so v1

@@ -3209,3 +3209,43 @@ def image_tiles(sf_dir: str):
 
 
 QUERIES["image_tiles"] = image_tiles
+
+
+def events_jsonl_agg(sf_dir: str):
+    """Source-format breadth: the same engine pipeline over a JSONL
+    copy of the events table (ray.data.read_json) — per-event-type
+    count + exact integer-cents sum.  The oracle aggregates the
+    PARQUET original, so format-conversion fidelity is part of what
+    the hash checks."""
+    from .shuffleops import bucket_reduce
+
+    path = datagen.ensure_events_jsonl(sf_dir)
+    ds = rd.read_json(path)
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "one": pa.array(np.ones(len(b), np.int64)),
+        })
+
+    out = bucket_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", [("cents", "sum"), ("one", "sum")], p=16,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n": t.column("one"),
+            "sum_value": pa.array(
+                t.column("cents").to_numpy(zero_copy_only=False) / 100.0,
+                pa.float64(),
+            ),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_jsonl_agg"] = events_jsonl_agg

@@ -3711,3 +3711,14 @@ def q_image_tiles(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["image_tiles"] = q_image_tiles
+
+
+def q_events_jsonl_agg(sf_dir: str) -> str:
+    return (
+        "SELECT event_type, count(*)::BIGINT AS n, "
+        "(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0) AS sum_value "
+        "FROM events GROUP BY event_type"
+    )
+
+
+ORACLE_BUILDERS["events_jsonl_agg"] = q_events_jsonl_agg
