@@ -37,6 +37,8 @@ QUERIES = [
     "len_quantiles",
     "topk_docs_per_lang",
     "decontam_overlap",
+    "dedup_spans",
+    "bpe_top_pairs",
 ]
 
 _WORKER = '''
