@@ -29,6 +29,8 @@ georust/geo per the training-data-pipeline mandate (BASELINE.md).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -151,7 +153,72 @@ def _coverage_bucket(g: pa.Table, k: int) -> pa.Table:
                      "dup_cov": pa.array(cov)})
 
 
-def dup_ngram_plan(docs, k: int = DUP_K, p: int = DUP_P):
+def _gram_hash64(keys: np.ndarray) -> np.ndarray:
+    """Full 64-bit mix of the packed gram-key words (the _key_bucket
+    hash WITHOUT the % p)."""
+    h = np.zeros(len(keys), np.uint64)
+    for j in range(keys.shape[1]):
+        h = _mix64(h ^ keys[:, j])
+    return h
+
+
+def dup_hash_candidates(docs, text_col: str, k: int, p: int,
+                        max_entries: int | None = None) -> np.ndarray | None:
+    """Pass 1 of the dup-gram prefilter (r4c): the sorted set of
+    64-bit gram hashes occurring >= 2 times in the corpus — a strict
+    SUPERSET of the cross-document duplicates (within-doc repeats and
+    hash collisions pass too; the exact stage re-checks), so filtering
+    with it cannot change results.  The exchange ships only 8-byte
+    hashes pre-collapsed per batch; measured on the 200k-doc bench
+    corpus only ~0.7% of gram occurrences survive, so the exact-key
+    exchange downstream shrinks ~150x.  Returns None (= skip
+    filtering) when the candidate set would exceed ``max_entries``
+    (env GEORAY_DUPGRAM_PREFILTER_MAX, default 50M ~= 400 MB — at
+    larger scale swap the broadcast set for a Bloom filter)."""
+    import os
+
+    from .shuffleops import bucket_ids
+
+    if max_entries is None:
+        max_entries = int(os.environ.get("GEORAY_DUPGRAM_PREFILTER_MAX", str(50_000_000)))
+
+    def hashes(b: pa.Table) -> pa.Table:
+        _, _, keys, _ = gram_keys(b.column(text_col), k)
+        h, c = np.unique(_gram_hash64(keys), return_counts=True)
+        t = pa.table({"h": pa.array(h, pa.uint64()),
+                      "cnt": pa.array(c.astype(np.int64))})
+        return t.append_column("__bucket", pa.array(bucket_ids(t.column("h"), p)))
+
+    def dups(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        t = (g.group_by("h").aggregate([("cnt", "sum")])
+             .rename_columns(["h", "cnt"]))
+        keep = pc.greater_equal(t.column("cnt"), pa.scalar(2, pa.int64()))
+        return t.filter(keep).select(["h"])
+
+    cand = (
+        docs.map_batches(hashes, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dups, batch_format="pyarrow")
+    )
+    parts = []
+    total = 0
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        if len(b):
+            arr = b.column("h").to_numpy(zero_copy_only=False)
+            parts.append(arr)
+            total += len(arr)
+            if total > max_entries:
+                return None
+    if not parts:
+        return np.zeros(0, np.uint64)
+    out = np.concatenate(parts)
+    out.sort()
+    return out
+
+
+def dup_ngram_plan(docs, k: int = DUP_K, p: int = DUP_P,
+                   prefilter: bool | None = None):
     """Dataset plan: documents(doc_id, text) -> (doc_id, n_grams,
     n_dup, dup_cov) with cross-document duplicate-k-gram detection.
 
@@ -162,13 +229,39 @@ def dup_ngram_plan(docs, k: int = DUP_K, p: int = DUP_P):
     set by doc bucket and computes interval-union coverage.  Stage 4
     left-joins per-doc gram counts so zero-dup docs keep a row.
     """
+    import ray
+
     from .shuffleops import bucket_join
 
     w = (k + 7) // 8
+    if prefilter is None:
+        # measured r4c on this single box (200k docs): 58.7 s without
+        # vs 60.7 s with — extraction + sort dominate locally, so the
+        # pass-1 cost isn't repaid.  On a multi-node cluster the wide
+        # exchange crosses the NETWORK and the ~5x byte reduction
+        # (8-byte hashes vs 44-byte key rows, then a ~150x-smaller
+        # exact exchange) is the winning trade — enable it there.
+        prefilter = os.environ.get("GEORAY_DUPGRAM_PREFILTER", "0") == "1"
+    cand = dup_hash_candidates(docs, "text", k, p) if prefilter else None
+    cref = ray.put(cand) if cand is not None else None
 
     def extract(b: pa.Table) -> pa.Table:
         cnt, pos, keys, didx = gram_keys(b.column("text"), k)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if cref is not None:
+            # pass-1 prefilter: only candidate-hash grams enter the
+            # exact-key exchange (strict superset of true dups, so the
+            # output is unchanged)
+            cset = ray.get(cref)
+            hh = _gram_hash64(keys)
+            if len(cset) == 0:
+                mask = np.zeros(len(hh), bool)
+            else:
+                ix = np.searchsorted(cset, hh)
+                valid = ix < len(cset)
+                ix[~valid] = 0
+                mask = valid & (cset[ix] == hh)
+            pos, keys, didx = pos[mask], keys[mask], didx[mask]
         # pos rides as int32 (a 2 GiB single document would overflow it
         # long after the explode itself became impossible); the bucket
         # id as int32 — together ~20% off the only wide exchange

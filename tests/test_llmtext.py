@@ -442,3 +442,24 @@ def test_dedup_spans_rewrite_planted(ray_session):
     for d in (4, 9):
         assert passage not in got.loc[d, "clean_text"]
         assert got.loc[d, "removed_chars"] >= len(passage)
+
+
+def test_dup_ngram_prefilter_identical(ray_session):
+    """The hash-prefiltered plan is result-identical to the direct
+    plan (the candidate set is a strict superset of true dups)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    words = ["aa", "bb", "cc", "dd"]
+    docs = [" ".join(rng.choice(words, size=rng.integers(8, 30))) for _ in range(30)]
+    docs[5] += " xylophone quartz unique phrase present twice here"
+    docs[21] = "xylophone quartz unique phrase present twice here " + docs[21]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    ).repartition(4)
+    a = sorted(map(tuple, llmtext.dup_ngram_plan(ds, k=16, p=8, prefilter=False)
+                   .to_pandas().values.tolist()))
+    b = sorted(map(tuple, llmtext.dup_ngram_plan(ds, k=16, p=8, prefilter=True)
+                   .to_pandas().values.tolist()))
+    assert a == b
