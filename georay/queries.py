@@ -3249,3 +3249,59 @@ def events_jsonl_agg(sf_dir: str):
 
 
 QUERIES["events_jsonl_agg"] = events_jsonl_agg
+
+
+def corr_len_tokens(sf_dir: str):
+    """Per-language Pearson correlation between document length
+    (n_chars) and whitespace token count — a distributed two-variable
+    statistic from ONE pass of exact integer moments (n, Sx, Sy, Sxx,
+    Syy, Sxy) + two correctly-rounded IEEE sqrts, micro-quantized:
+    the same determinism device as zscore_len."""
+    from .shuffleops import bucket_reduce
+    from .text import token_count_batch
+
+    docs = _testdata(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars", "text"]
+    )
+
+    def mom(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = token_count_batch(b.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "lang": b.column("lang"),
+            "one": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "syy": pa.array(y * y),
+            "sxy": pa.array(x * y),
+        })
+
+    stats = bucket_reduce(
+        docs.map_batches(mom, batch_format="pyarrow"),
+        "lang",
+        [("one", "sum"), ("sx", "sum"), ("sy", "sum"),
+         ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")],
+        p=16,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("one").to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False).astype(np.int64)
+        syy = t.column("syy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        dx = np.sqrt((n * sxx - sx * sx).astype(np.float64))
+        dy = np.sqrt((n * syy - sy * sy).astype(np.float64))
+        den = dx * dy
+        r = np.where(den == 0, 0, np.floor(1e6 * num / np.where(den == 0, 1.0, den))).astype(np.int64)
+        return pa.table({
+            "lang": t.column("lang"),
+            "n": pa.array(n),
+            "r_micro": pa.array(r),
+        })
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["corr_len_tokens"] = corr_len_tokens

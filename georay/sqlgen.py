@@ -3722,3 +3722,26 @@ def q_events_jsonl_agg(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["events_jsonl_agg"] = q_events_jsonl_agg
+
+
+def q_corr_len_tokens(sf_dir: str) -> str:
+    """Pearson r in SQL (r4c, queries.corr_len_tokens): identical
+    exact integer moments, identical float expression
+    floor(1e6 * (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)))."""
+    return (
+        "WITH d AS (SELECT lang, n_chars AS x, "
+        "  length(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "  xx -> xx <> '')) AS y FROM documents), "
+        "m AS (SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
+        "  sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx, "
+        "  sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy "
+        "  FROM d GROUP BY lang) "
+        "SELECT lang, n, "
+        "CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN 0 "
+        "ELSE floor(1000000.0 * (n * sxy - sx * sy)::DOUBLE / "
+        "  (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE))) "
+        "END::BIGINT AS r_micro FROM m"
+    )
+
+
+ORACLE_BUILDERS["corr_len_tokens"] = q_corr_len_tokens
