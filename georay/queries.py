@@ -3305,3 +3305,55 @@ def corr_len_tokens(sf_dir: str):
 
 
 QUERIES["corr_len_tokens"] = corr_len_tokens
+
+
+RASTER_G = 16
+
+
+def poly_raster_cov(sf_dir: str):
+    """Polygon rasterization (the vector->raster direction): classify
+    the 16x16 grid of bbox cell CENTERS of every polygon with the
+    exact winding kernel, emit covered-cell count + coverage fraction
+    (n/256 is dyadic, so the double is exact).  One batched classify_xy
+    over all (polygon, center) pairs — work scales with candidate
+    segments.  Oracle: identical center coordinates (same double
+    expression) through the parity crossing rule; center-on-edge cases
+    are measure-zero for the random layer (the pip_contains
+    assumption)."""
+    from .kernels.pip import INSIDE, classify_xy
+
+    G = RASTER_G
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        n = layer.num_polys
+        minx = b.column("minx").to_numpy(zero_copy_only=False)
+        maxx = b.column("maxx").to_numpy(zero_copy_only=False)
+        miny = b.column("miny").to_numpy(zero_copy_only=False)
+        maxy = b.column("maxy").to_numpy(zero_copy_only=False)
+        off = (np.arange(G, dtype=np.float64) + 0.5) / G
+        # centers (poly, jy, jx): lon from jx, lat from jy — mirror the
+        # SQL expression exactly: minx + (j + 0.5) * (maxx - minx) / G
+        lon = minx[:, None, None] + (maxx - minx)[:, None, None] * off[None, None, :]
+        lat = miny[:, None, None] + (maxy - miny)[:, None, None] * off[None, :, None]
+        lon = np.broadcast_to(lon, (n, G, G)).ravel()
+        lat = np.broadcast_to(lat, (n, G, G)).ravel()
+        m = n * G * G
+        cls = classify_xy(lon, lat, layer,
+                          np.arange(m, dtype=np.int64),
+                          np.repeat(np.arange(n, dtype=np.int64), G * G))
+        inside = np.bincount(
+            np.repeat(np.arange(n, dtype=np.int64), G * G),
+            weights=(cls == INSIDE), minlength=n,
+        ).astype(np.int64)
+        return pa.table({
+            "polygon_id": b.column("polygon_id"),
+            "n_cells": pa.array(np.full(n, G * G, np.int64)),
+            "n_inside": pa.array(inside),
+            "cov_frac": pa.array(inside / float(G * G), pa.float64()),
+        })
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["poly_raster_cov"] = poly_raster_cov

@@ -3745,3 +3745,33 @@ def q_corr_len_tokens(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["corr_len_tokens"] = q_corr_len_tokens
+
+
+def q_poly_raster_cov(sf_dir: str) -> str:
+    """Rasterization oracle (r4c, queries.poly_raster_cov): identical
+    center coordinates, parity crossing rule per center."""
+    from .queries import RASTER_G as G
+
+    polys = datagen.polygons_path(sf_dir)
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH g AS (SELECT unnest(range(0, {G})) AS j), "
+        f"ctr AS (SELECT b.polygon_id, jx.j AS jx, jy.j AS jy, "
+        f"  b.minx + (b.maxx - b.minx) * ((jx.j + 0.5) / {G}.0) AS lon, "
+        f"  b.miny + (b.maxy - b.miny) * ((jy.j + 0.5) / {G}.0) AS lat "
+        f"  FROM read_parquet('{polys}') b, g jx, g jy), "
+        f"hits AS (SELECT c.polygon_id, c.jx, c.jy "
+        f"  FROM ctr c JOIN read_parquet('{segs}') s ON s.polygon_id = c.polygon_id "
+        f"  WHERE ((s.y1 <= c.lat AND s.y2 > c.lat) OR (s.y2 <= c.lat AND s.y1 > c.lat)) "
+        f"    AND c.lon < s.x1 + (c.lat - s.y1) * (s.x2 - s.x1) / (s.y2 - s.y1) "
+        f"  GROUP BY c.polygon_id, c.jx, c.jy HAVING count(*) % 2 = 1), "
+        f"agg AS (SELECT polygon_id, count(*)::BIGINT AS n_inside FROM hits "
+        f"  GROUP BY polygon_id) "
+        f"SELECT b.polygon_id, {G * G}::BIGINT AS n_cells, "
+        f"coalesce(agg.n_inside, 0)::BIGINT AS n_inside, "
+        f"coalesce(agg.n_inside, 0)::DOUBLE / {G * G}.0 AS cov_frac "
+        f"FROM read_parquet('{polys}') b LEFT JOIN agg ON agg.polygon_id = b.polygon_id"
+    )
+
+
+ORACLE_BUILDERS["poly_raster_cov"] = q_poly_raster_cov
