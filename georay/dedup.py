@@ -818,8 +818,14 @@ def semantic_dedup(
 ):
     """Dataset (id, embedding, ...) -> Dataset (id, group, keep).
 
-    Stages: broadcast the id-sampled codebook once (``ray.put``; the
-    codebook is a 1/cent_mod fraction, never the corpus) -> batched
+    Scale note: the codebook is a 1/cent_mod fraction of the corpus,
+    so at web scale cent_mod MUST grow with n to keep the broadcast
+    bounded (pick cent_mod ~ n / k for a target k of 10^5-10^6 cells,
+    the SemDeDup paper's regime; an id-hash threshold sample gives the
+    same determinism when n is unknown).  At verification scale the
+    fixed mod keeps the operator SQL-recomputable.
+
+    Stages: broadcast the id-sampled codebook once (``ray.put``) -> batched
     max-cosine cell assignment (one matmul per batch) -> shuffle by
     ``hash(cell) % P`` -> per shuffle bucket ONE lexsort + triangle
     pair decode + einsum cosine over every in-cell pair (no per-cell
