@@ -3357,3 +3357,40 @@ def poly_raster_cov(sf_dir: str):
 
 
 QUERIES["poly_raster_cov"] = poly_raster_cov
+
+
+def top_tokens_per_lang(sf_dir: str):
+    """Top-5 most frequent tokens per language (ties by token string)
+    — the text-analytics staple, fully distributed: tokens flatten
+    through Arrow's C++ whitespace splitter, (lang, token) counts
+    pre-collapse per batch and reduce in one composite-key bucket
+    shuffle, winners come from the bucket_topk combiner."""
+    from .shuffleops import bucket_reduce, bucket_topk
+
+    docs = _testdata(sf_dir, "documents").select_columns(["lang", "text"])
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b.column("text").combine_chunks())
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        lang = b.column("lang").combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(b), dtype=np.int64), n_per))
+        )
+        keep = pc.greater(pc.utf8_length(flat), 0)  # splitter emits empties
+        t = pa.table({"lang": lang.filter(keep), "tok": flat.filter(keep)})
+        t = (t.group_by(["lang", "tok"]).aggregate([([], "count_all")])
+             .rename_columns(["lang", "tok", "cnt"]))
+        key = pc.binary_join_element_wise(t.column("lang"), t.column("tok"), "\x1f")
+        return t.append_column("lk", key)
+
+    counts = bucket_reduce(
+        docs.map_batches(tok_rows, batch_format="pyarrow"),
+        "lk", [("cnt", "sum"), ("lang", "first"), ("tok", "first")],
+        partial=False,  # tok_rows already pre-collapsed per batch
+        p=32,
+    ).map_batches(lambda t: t.select(["lang", "tok", "cnt"]), batch_format="pyarrow")
+
+    return bucket_topk(counts, key="lang", order_col="cnt", k=5, tie_col="tok")
+
+
+QUERIES["top_tokens_per_lang"] = top_tokens_per_lang

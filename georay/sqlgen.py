@@ -3775,3 +3775,18 @@ def q_poly_raster_cov(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["poly_raster_cov"] = q_poly_raster_cov
+
+
+def q_top_tokens_per_lang(sf_dir: str) -> str:
+    return (
+        "WITH t AS (SELECT lang, unnest(list_filter("
+        "  regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok FROM documents), "
+        "c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY lang, tok), "
+        "r AS (SELECT lang, tok, cnt, row_number() OVER ("
+        "  PARTITION BY lang ORDER BY cnt DESC, tok) AS rank FROM c) "
+        "SELECT lang, tok, cnt::BIGINT AS cnt, rank::BIGINT AS rank "
+        "FROM r WHERE rank <= 5"
+    )
+
+
+ORACLE_BUILDERS["top_tokens_per_lang"] = q_top_tokens_per_lang
