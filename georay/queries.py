@@ -3394,3 +3394,18 @@ def top_tokens_per_lang(sf_dir: str):
 
 
 QUERIES["top_tokens_per_lang"] = top_tokens_per_lang
+
+
+def corpus_pipeline(sf_dir: str):
+    """END-TO-END corpus preparation (pipelines/corpus.py): eval
+    holdout -> decontamination -> quality floor -> MinHash-LSH dedup
+    (representative survives) -> per-language stratified sampling —
+    one keep/drop decision per document with per-stage attribution
+    columns.  The ENTIRE chain is hash-checked against a composed SQL
+    oracle (sqlgen.q_corpus_pipeline), not just its stages."""
+    from .pipelines import corpus
+
+    return corpus.corpus_pipeline(_testdata(sf_dir, "documents"))
+
+
+QUERIES["corpus_pipeline"] = corpus_pipeline

@@ -3790,3 +3790,68 @@ def q_top_tokens_per_lang(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["top_tokens_per_lang"] = q_top_tokens_per_lang
+
+
+def q_corpus_pipeline(sf_dir: str) -> str:
+    """The corpus-preparation chain composed in SQL (r4c,
+    pipelines/corpus.py): eval holdout (doc_id % MOD), decontamination
+    grams, token floor, exact-Jaccard near-dup groups (the
+    q_minhash_dedup construction over the TRAINING side), stratified
+    sampling thresholds — one row per training doc with per-stage
+    flags and the final keep."""
+    from . import rng as _r
+    from .llmtext import DEFAULT_RATE, SAMPLE_MOD, STRATA_RATES
+    from .llmtext import DUP_K as K
+    from .pipelines.corpus import MIN_TOKENS
+    from .queries import DECONTAM_EVAL_MOD as MOD
+
+    t = MINHASH_T
+    sm = _r.sql_splitmix64(_r.sql_u64("d.doc_id"))
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * SAMPLE_MOD))}" for s, r in STRATA_RATES.items()
+    )
+    dflt = int(round(DEFAULT_RATE * SAMPLE_MOD))
+    return (
+        f"WITH RECURSIVE tr AS (SELECT doc_id, lang, text FROM documents "
+        f"  WHERE doc_id % {MOD} <> 0), "
+        f"ev AS (SELECT text FROM documents WHERE doc_id % {MOD} = 0), "
+        # --- decontamination (q_decontam_overlap's gram join) ---
+        f"ee AS (SELECT text, unnest(range(1, GREATEST(length(text) - {K - 1}, 0) + 1)) AS i FROM ev), "
+        f"evg AS (SELECT DISTINCT substr(text, i::INTEGER, {K}) AS gram FROM ee), "
+        f"te AS (SELECT doc_id, text, unnest(range(1, GREATEST(length(text) - {K - 1}, 0) + 1)) AS i FROM tr), "
+        f"tg AS (SELECT doc_id, substr(text, i::INTEGER, {K}) AS gram FROM te), "
+        f"cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN evg USING (gram)), "
+        # --- exact-Jaccard near-dup groups over the TRAINING side ---
+        f"docs0 AS (SELECT doc_id, text, length(text) AS n FROM tr), "
+        f"ser AS (SELECT unnest(range(0, (SELECT coalesce(max(n), 1) FROM docs0))) AS i), "
+        f"sh AS (SELECT DISTINCT d.doc_id, substr(d.text, s.i + 1, 5) AS gr "
+        f"  FROM docs0 d JOIN ser s ON s.i <= d.n - 5 WHERE d.n >= 5 "
+        f"  UNION SELECT doc_id, text FROM docs0 WHERE n < 5), "
+        f"ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        f"inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni "
+        f"  FROM sh a JOIN sh b ON b.gr = a.gr AND b.doc_id > a.doc_id "
+        f"  GROUP BY a.doc_id, b.doc_id), "
+        f"edges AS (SELECT da, db FROM inter "
+        f"  JOIN ssz sa ON sa.doc_id = da JOIN ssz sb ON sb.doc_id = db "
+        f"  WHERE ni::DOUBLE / (sa.sz + sb.sz - ni) >= {t!r}), "
+        f"bi AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges), "
+        f"reach(id, lbl) AS ("
+        f"  SELECT DISTINCT a, a FROM bi "
+        f"  UNION SELECT e.b, r.lbl FROM reach r JOIN bi e ON e.a = r.id WHERE r.lbl < e.b), "
+        f"lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id), "
+        # --- per-doc flags ---
+        f"fl AS (SELECT d.doc_id, d.lang, "
+        f"  length(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens, "
+        f"  (cont.doc_id IS NOT NULL) AS contaminated, "
+        f"  (coalesce(lab.lbl, d.doc_id) = d.doc_id) AS dedup_keep, "
+        f"  (({sm}) % {SAMPLE_MOD}) < (CASE d.lang {cases} ELSE {dflt} END)::HUGEINT AS sampled "
+        f"  FROM tr d LEFT JOIN cont ON cont.doc_id = d.doc_id "
+        f"  LEFT JOIN lab ON lab.id = d.doc_id) "
+        f"SELECT doc_id, lang, n_tokens, (n_tokens >= {MIN_TOKENS}) AS quality_ok, "
+        f"sampled, contaminated, dedup_keep, "
+        f"((n_tokens >= {MIN_TOKENS}) AND NOT contaminated AND dedup_keep AND sampled) AS keep "
+        f"FROM fl"
+    )
+
+
+ORACLE_BUILDERS["corpus_pipeline"] = q_corpus_pipeline

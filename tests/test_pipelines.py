@@ -267,3 +267,39 @@ def test_lance_layout_sink_versions_and_time_travel(ray_session, tmp_path):
 
     with _pytest.raises(FileExistsError):
         lancesink.write_dataset(t1, uri, mode="create")
+
+
+def test_corpus_pipeline_and_resumable_write(ray_session, tmp_path):
+    """The end-to-end corpus pipeline: per-stage flags compose into
+    keep; write_corpus commits lang-partitioned output atomically and
+    a re-run skips committed partitions."""
+    import os
+
+    import ray.data as rd
+
+    from georay import lineage
+    from georay.pipelines import corpus
+    from georay.queries import _testdata
+
+    docs = _testdata("/root/testdata/sf0.001", "documents")
+    out = corpus.corpus_pipeline(docs).to_pandas()
+    # flags compose exactly
+    want = out["quality_ok"] & ~out["contaminated"] & out["dedup_keep"] & out["sampled"]
+    assert (out["keep"] == want).all()
+    # eval holdout: no doc_id % 7 == 0 rows in the output
+    assert (out["doc_id"] % 7 != 0).all()
+    kept = set(out.loc[out["keep"], "doc_id"])
+    assert 0 < len(kept) < len(out)
+
+    root = str(tmp_path / "corpus_out")
+    w1 = corpus.write_corpus(docs, root, n_parts=4)
+    assert w1, "first run writes partitions"
+    # all kept rows landed, readable, lineage-committed
+    back = rd.read_parquet(
+        [os.path.join(lineage.partition_dir(root, k), "data.parquet") for k in w1]
+    ).to_pandas()
+    assert set(back["doc_id"]) == kept
+    assert set(w1) <= lineage.committed_partitions(root)
+    # resume: second run writes nothing
+    w2 = corpus.write_corpus(docs, root, n_parts=4)
+    assert w2 == []
