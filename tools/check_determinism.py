@@ -39,6 +39,8 @@ QUERIES = [
     "decontam_overlap",
     "dedup_spans",
     "bpe_top_pairs",
+    "corpus_pipeline",
+    "top_tokens_per_lang",
 ]
 
 _WORKER = '''
