@@ -155,6 +155,14 @@ def connected_components(edges, max_rounds: int | None = None, typ=None,
         m_dir <= int(max_rows) if max_rows is not None
         else edges_dir.size_bytes() <= max_bytes
     )
+    if m_dir == 0:
+        # zero-edge graph: every node is a singleton, and the caller's
+        # label join falls back to self-labels — return an EMPTY label
+        # table WITH schema (to_pandas on an empty Dataset loses the
+        # columns; r4c, exposed by an all-unique corpus)
+        return _rd.from_arrow(
+            pa.table({"node": pa.array([], typ), "label": pa.array([], typ)})
+        )
     if local_ok:
         tab = edges_dir.to_pandas()
         src_v = tab["src"].to_numpy()

@@ -129,11 +129,25 @@ def _labels_to_output(docs, labels, id_col: str, extra_payload: tuple = ()):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def _bucket_pairs_from_keys(ds, key_cols: list[str], id_col: str, p: int | None = None):
+def _bucket_pairs_from_keys(ds, key_cols: list[str], id_col: str, p: int | None = None,
+                            max_bucket: int | None = None):
     """All within-bucket (a < b) id pairs, bucketed-vectorized (VERDICT
     r2 #1): rows shuffle by ``hash(key tuple) % P`` (P Python calls, not
     one per distinct key); inside each shuffle bucket the pair explosion
-    is pure numpy over sorted (keys..., id) segments."""
+    is pure numpy over sorted (keys..., id) segments.
+
+    ``max_bucket`` (r4c): hot-bucket guard for LSH-adversarial corpora
+    — a key bucket with > max_bucket members witnesses corpus-common
+    structure and would explode quadratically (measured: an 85k-doc
+    tiny-vocabulary corpus drives band-collision probability to ~0.9
+    and candidate pairs toward n^2).  Segments above the cap emit a
+    consecutive CHAIN of pairs instead of all pairs: O(m) instead of
+    O(m^2), and truly-identical content still verifies (J = 1 along
+    the chain) so exact-dup groups of ANY size survive; only
+    merely-similar pairs inside mega-buckets can be missed — the
+    standard df-cap recall trade, stated rather than silent.  None
+    (default) preserves the exact all-pairs semantics the SQL oracles
+    assume (sf-scale buckets never approach the cap)."""
     from .geom import _ranges
     from .shuffleops import DEFAULT_P, bucket_ids
 
@@ -166,9 +180,21 @@ def _bucket_pairs_from_keys(ds, key_cols: list[str], id_col: str, p: int | None 
         seg_start = np.nonzero(new_seg)[0]
         seg_id = np.cumsum(new_seg) - 1
         k_in_seg = np.arange(n, dtype=np.int64) - seg_start[seg_id]
+        if max_bucket is not None:
+            seg_len = np.bincount(seg_id, minlength=int(seg_id[-1]) + 1)
+            hot = seg_len[seg_id] > max_bucket
+            # hot segments: consecutive chain only (row j pairs with
+            # row j-1), never the full triangle
+            k_in_seg = np.where(hot, np.minimum(k_in_seg, 1), k_in_seg)
+            chain = hot & (k_in_seg == 1)
         # row j pairs with every earlier row of its segment
         b_rows = np.repeat(np.arange(n, dtype=np.int64), k_in_seg)
         a_rows = np.repeat(seg_start[seg_id], k_in_seg) + _ranges(k_in_seg)
+        if max_bucket is not None:
+            # chain rows pair with their immediate predecessor, not the
+            # segment head
+            is_chain = np.repeat(chain, k_in_seg)
+            a_rows = np.where(is_chain, b_rows - 1, a_rows)
         return pa.table(
             {"a": pa.array(ids[a_rows], pa.int64()), "b": pa.array(ids[b_rows], pa.int64())}
         )
@@ -193,6 +219,7 @@ def minhash_lsh_dedup(
     n_perm: int = 128,
     n_bands: int = 32,
     shingle_k: int = 5,
+    max_bucket: int | None = None,
 ):
     """docs: Dataset -> Dataset (doc_id, group, keep), fully distributed.
 
@@ -217,7 +244,10 @@ def minhash_lsh_dedup(
         )
 
     bands = docs.map_batches(sigs, batch_format="pyarrow")
-    pairs = _dedup_pairs(_bucket_pairs_from_keys(bands, ["band", "bhash"], "doc_id"))
+    pairs = _dedup_pairs(
+        _bucket_pairs_from_keys(bands, ["band", "bhash"], "doc_id",
+                                max_bucket=max_bucket)
+    )
 
     edges = _verify_jaccard(docs, pairs, text_col, id_col, threshold, shingle_k)
     labels = connected_components(edges)

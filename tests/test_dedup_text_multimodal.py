@@ -495,3 +495,40 @@ def test_dhash_gradient_and_robustness():
     # and a genuinely different image is far away
     other = np.repeat(((base.T @ np.ones((32, 24), np.uint8)) % 256)[:, :, None], 3, axis=2)
     assert hamming64(DHash._dhash(img), DHash._dhash(other[:32, :24])) > 10
+
+
+def test_minhash_hot_bucket_cap(ray_session):
+    """max_bucket bounds the LSH pair explosion on an adversarial
+    corpus (common content -> mega band buckets) while exact-dup
+    groups of ANY size still survive via the chain fallback; sub-cap
+    corpora are bit-identical with and without the cap."""
+    import time
+
+    import ray.data as rd
+
+    from georay.dedup import minhash_lsh_dedup
+
+    # adversarial: 600 docs that all share one long common sentence
+    # (every band bucket is hot), plus a 40-strong IDENTICAL-doc group
+    common = "the exact same boilerplate sentence appears in every single document "
+    docs = [common + f"unique tail {i} " + "x" * (i % 7) for i in range(600)]
+    docs += ["identical duplicate body " * 4] * 40
+    ids = list(range(len(docs)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs)})
+    t0 = time.time()
+    out = minhash_lsh_dedup(rd.from_arrow(t), max_bucket=64).to_pandas()
+    dt = time.time() - t0
+    m = dict(zip(out["doc_id"], out["group"]))
+    # the 40 identical docs chain into ONE group despite every bucket
+    # being far above the cap
+    groups = {m[i] for i in range(600, 640)}
+    assert groups == {600}
+    assert dt < 120, dt
+    # sub-cap corpus: cap on == cap off
+    small = pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array([f"doc {i} words alpha beta gamma {i}" for i in range(30)]),
+    })
+    a = minhash_lsh_dedup(rd.from_arrow(small)).to_pandas().sort_values("doc_id")
+    b = minhash_lsh_dedup(rd.from_arrow(small), max_bucket=64).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
