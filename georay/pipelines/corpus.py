@@ -88,9 +88,14 @@ def corpus_pipeline(docs):
 
     base = train.map_batches(feats, batch_format="pyarrow")
 
-    # stage 4: near-dup representatives over the TRAINING side
+    # stage 4: near-dup representatives over the TRAINING side.
+    # max_bucket: web corpora GUARANTEE hot band buckets (boilerplate);
+    # the chain cap bounds them at O(m) while identical content still
+    # groups.  Far above any sf-scale bucket, so the composed SQL
+    # oracle (all-pairs semantics) is unaffected at verification scale.
     groups = gdedup.minhash_lsh_dedup(
-        train.select_columns(["doc_id", "text"]), threshold=MINHASH_T
+        train.select_columns(["doc_id", "text"]), threshold=MINHASH_T,
+        max_bucket=4096,
     ).map_batches(lambda t: t.select(["doc_id", "keep"]), batch_format="pyarrow")
     groups = groups.map_batches(
         lambda t: t.rename_columns(["doc_id", "dedup_keep"]), batch_format="pyarrow"
