@@ -3409,3 +3409,81 @@ def corpus_pipeline(sf_dir: str):
 
 
 QUERIES["corpus_pipeline"] = corpus_pipeline
+
+
+def docs_rollup(sf_dir: str):
+    """Multi-level aggregate (SQL ROLLUP surface): doc counts + exact
+    char totals at (lang, source), (lang), and grand-total levels —
+    three bucketed reduces over ever-smaller tables, unioned with
+    level markers ('' = rolled up, the DuckDB ROLLUP NULL rendered as
+    empty string so the hash compare sees identical values)."""
+    from .shuffleops import bucket_reduce
+
+    docs = _testdata(sf_dir, "documents").select_columns(
+        ["lang", "source", "n_chars"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b.column("lang"),
+            "source": b.column("source"),
+            "one": pa.array(np.ones(len(b), np.int64)),
+            "chars": b.column("n_chars").combine_chunks().cast(pa.int64()),
+        })
+
+    base = docs.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def key2(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(b.column("lang"), b.column("source"), "\x1f")
+        return b.append_column("ls", k)
+
+    lvl2 = bucket_reduce(
+        base.map_batches(key2, batch_format="pyarrow"),
+        "ls", [("one", "sum"), ("chars", "sum"), ("lang", "first"), ("source", "first")],
+        p=16,
+    ).map_batches(
+        lambda t: t.select(["lang", "source", "one", "chars"]), batch_format="pyarrow"
+    )
+    lvl1 = bucket_reduce(
+        base.select_columns(["lang", "one", "chars"]),
+        "lang", [("one", "sum"), ("chars", "sum")], p=16,
+    ).map_batches(
+        lambda t: pa.table({
+            "lang": t.column("lang"),
+            "source": pa.array([""] * len(t)),
+            "one": t.column("one"),
+            "chars": t.column("chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    lvl0 = lvl1.map_batches(
+        lambda t: pa.table({
+            "lang": pa.array([""]),
+            "source": pa.array([""]),
+            "one": pa.array([int(pc.sum(t.column("one")).as_py() or 0)], pa.int64()),
+            "chars": pa.array([int(pc.sum(t.column("chars")).as_py() or 0)], pa.int64()),
+        }) if len(t) else pa.table({
+            "lang": pa.array([], pa.string()), "source": pa.array([], pa.string()),
+            "one": pa.array([], pa.int64()), "chars": pa.array([], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    # lvl0 above would emit one row PER BLOCK; collapse via one more
+    # tiny reduce keyed on the constant
+    lvl0 = bucket_reduce(lvl0, "lang", [("one", "sum"), ("chars", "sum")], p=1)
+    lvl0 = lvl0.map_batches(
+        lambda t: pa.table({
+            "lang": t.column("lang"), "source": pa.array([""] * len(t)),
+            "one": t.column("one"), "chars": t.column("chars"),
+        }),
+        batch_format="pyarrow",
+    )
+
+    out = lvl2.union(lvl1).union(lvl0)
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "source", "n_docs", "sum_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["docs_rollup"] = docs_rollup

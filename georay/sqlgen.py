@@ -3855,3 +3855,14 @@ def q_corpus_pipeline(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["corpus_pipeline"] = q_corpus_pipeline
+
+
+def q_docs_rollup(sf_dir: str) -> str:
+    return (
+        "SELECT coalesce(lang, '') AS lang, coalesce(source, '') AS source, "
+        "count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars "
+        "FROM documents GROUP BY ROLLUP (lang, source)"
+    )
+
+
+ORACLE_BUILDERS["docs_rollup"] = q_docs_rollup
