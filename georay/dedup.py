@@ -250,7 +250,9 @@ def minhash_lsh_dedup(
     )
 
     edges = _verify_jaccard(docs, pairs, text_col, id_col, threshold, shingle_k)
-    labels = connected_components(edges)
+    # typ: ids are int64 by the sigs stage; an all-empty edge set (no
+    # near-dups at all) otherwise has no schema to infer from (r4c)
+    labels = connected_components(edges, typ=pa.int64())
     return _labels_to_output(docs, labels, id_col)
 
 
@@ -480,7 +482,7 @@ def simhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id", max_hamm
         .groupby("__bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, typ=pa.int64())
     return _labels_to_output(sigs, labels, "doc_id", extra_payload=("simhash",))
 
 

@@ -613,6 +613,12 @@ def bpe_top_pairs(docs, text_col: str = "text", k: int = BPE_TOP_K, p: int = 64)
     )
     # final top-k over a CONSTANT-bounded (<= 65536 rows) table
     full = counts.to_pandas()
+    if full.empty:
+        # empty corpus: to_pandas loses the schema (the cc.py r4c bug
+        # class) — rebuild it so downstream column access works
+        import pandas as _pd
+
+        full = _pd.DataFrame({"b1": [], "b2": [], "cnt": []})
     full = full.sort_values(["cnt", "b1", "b2"],
                             ascending=[False, True, True]).head(k)
     full = full.reset_index(drop=True)

@@ -463,3 +463,49 @@ def test_dup_ngram_prefilter_identical(ray_session):
     b = sorted(map(tuple, llmtext.dup_ngram_plan(ds, k=16, p=8, prefilter=True)
                    .to_pandas().values.tolist()))
     assert a == b
+
+
+def test_new_operators_empty_and_singleton_inputs(ray_session):
+    """Every r4c operator handles the empty corpus and a single-row
+    corpus without schema-loss crashes (the cc.py zero-edge bug
+    class)."""
+    import ray.data as rd
+
+    from georay import dedup, lmscore, sketch
+    from georay.shuffleops import bucket_topk
+
+    def docs_tbl(rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+        })
+
+    empty = docs_tbl([])
+    one = docs_tbl([(5, "en", "just one tiny document here")])
+    cases = [
+        ("lm", lambda t: lmscore.ngram_lm_score(rd.from_arrow(t))),
+        ("tfidf", lambda t: lmscore.tfidf_score(rd.from_arrow(t))),
+        ("dupgram", lambda t: llmtext.dup_ngram_plan(rd.from_arrow(t))),
+        ("spans", lambda t: llmtext.dedup_spans_plan(
+            rd.from_arrow(t).select_columns(["doc_id", "text"]))),
+        ("decontam", lambda t: llmtext.decontam_plan(
+            rd.from_arrow(t).select_columns(["doc_id", "text"]),
+            rd.from_arrow(one).select_columns(["doc_id", "text"]))),
+        ("bpe", lambda t: llmtext.bpe_top_pairs(rd.from_arrow(t))),
+        ("hll", lambda t: sketch.hll_distinct(rd.from_arrow(t), "lang", "text")),
+        ("quant", lambda t: sketch.exact_quantiles(rd.from_arrow(t), "lang", "n_chars")),
+        ("topk", lambda t: bucket_topk(
+            rd.from_arrow(t).select_columns(["lang", "doc_id", "n_chars"]),
+            "lang", "n_chars", 3, "doc_id")),
+        ("minhash", lambda t: dedup.minhash_lsh_dedup(rd.from_arrow(t))),
+    ]
+    for name, fn in cases:
+        for label, t, want in (("empty", empty, 0), ("one", one, None)):
+            r = fn(t)
+            df = r.to_pandas() if hasattr(r, "to_pandas") else r
+            if want is not None:
+                assert len(df) == want, (name, label, len(df))
+            else:
+                assert len(df) >= (0 if name == "bpe" else 1), (name, label)
