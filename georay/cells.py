@@ -117,3 +117,46 @@ def ring_cells(cell: int, ring: int) -> np.ndarray:
     ys = np.arange(max(0, iy - ring), min(n - 1, iy + ring) + 1, dtype=np.uint64)
     gx, gy = np.meshgrid(xs, ys)
     return encode_xy(gx.ravel(), gy.ravel(), res)
+
+
+# ---------------------------------------------------------------------------
+# geohash (r4c) — the Niemeyer base32 cell id, closed form: quantize
+# lon/lat to 2^k bins, interleave bits (lon first, per the standard),
+# emit 5-bit base32 groups.  Identical integer arithmetic in SQL
+# (sqlgen.q_geohash_pts), so the strings hash-match exactly.
+# ---------------------------------------------------------------------------
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon: np.ndarray, lat: np.ndarray, precision: int = 8) -> list[str]:
+    """Base32 geohash strings of precision characters (vectorized bit
+    interleave; precision * 5 bits total, lon gets ceil(half))."""
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    x = np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64)
+    y = np.floor((np.asarray(lat, np.float64) + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64)
+    x = np.clip(x, 0, (1 << lon_bits) - 1)
+    y = np.clip(y, 0, (1 << lat_bits) - 1)
+    # interleave: bit j of the code (MSB first) comes from lon when j
+    # is even, lat when j is odd
+    code = np.zeros(len(x), np.uint64)
+    xi = lon_bits
+    yi = lat_bits
+    for j in range(nbits):
+        code <<= np.uint64(1)
+        if j % 2 == 0:
+            xi -= 1
+            code |= ((x >> xi) & 1).astype(np.uint64)
+        else:
+            yi -= 1
+            code |= ((y >> yi) & 1).astype(np.uint64)
+    out = []
+    for c in code:
+        c = int(c)
+        out.append("".join(
+            GEOHASH_B32[(c >> (5 * (precision - 1 - i))) & 31]
+            for i in range(precision)
+        ))
+    return out

@@ -3487,3 +3487,24 @@ def docs_rollup(sf_dir: str):
 
 
 QUERIES["docs_rollup"] = docs_rollup
+
+
+def geohash_pts(sf_dir: str):
+    """Geohash cell ids (precision 8) of the image points — the
+    Niemeyer base32 encoding via closed-form integer bit interleave
+    (cells.geohash_encode; spec vectors u4pruydq / ezs42 pytest-pinned);
+    the SQL oracle recomputes the identical integers and characters."""
+    from .cells import geohash_encode
+
+    def f(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "geohash": pa.array(geohash_encode(lon, lat, 8), pa.string()),
+        })
+
+    return _points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["geohash_pts"] = geohash_pts

@@ -3866,3 +3866,42 @@ def q_docs_rollup(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["docs_rollup"] = q_docs_rollup
+
+
+def q_geohash_pts(sf_dir: str) -> str:
+    """Geohash in SQL (r4c, cells.geohash_encode): identical integer
+    quantization, an unrolled 40-bit interleave, base32 chars via
+    substr over the alphabet."""
+    precision = 8
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    terms = []
+    xi, yi = lon_bits, lat_bits
+    for j in range(nbits):
+        shift = nbits - 1 - j
+        if j % 2 == 0:
+            xi -= 1
+            terms.append(f"(((xq >> {xi}) & 1) << {shift})")
+        else:
+            yi -= 1
+            terms.append(f"(((yq >> {yi}) & 1) << {shift})")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"(((code >> {5 * (precision - 1 - i)}) & 31) + 1)::INTEGER, 1)"
+        for i in range(precision)
+    )
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"q AS (SELECT image_id, "
+        f"  LEAST(GREATEST(floor((lon + 180.0) / 360.0 * {1 << lon_bits}), 0), "
+        f"    {(1 << lon_bits) - 1})::BIGINT AS xq, "
+        f"  LEAST(GREATEST(floor((lat + 90.0) / 180.0 * {1 << lat_bits}), 0), "
+        f"    {(1 << lat_bits) - 1})::BIGINT AS yq FROM pts), "
+        f"c AS (SELECT image_id, ({code})::BIGINT AS code FROM q) "
+        f"SELECT image_id, {chars} AS geohash FROM c"
+    )
+
+
+ORACLE_BUILDERS["geohash_pts"] = q_geohash_pts

@@ -599,3 +599,21 @@ def test_wkb_known_answer_and_roundtrip():
         gio.parse_wkb(b"\x02\x01\x00\x00\x00")
     with pytest.raises(ValueError):
         gio.parse_wkb(gio.to_wkb("point", (1.0, 2.0)) + b"\x00")
+
+
+def test_geohash_known_vectors():
+    """Canonical geohash vectors: (57.64911, 10.40744) -> u4pruydq
+    (the reference example), (42.6, -5.6) -> ezs42 (Niemeyer's
+    original), plus prefix consistency across precisions."""
+    import numpy as np
+
+    from georay.cells import geohash_encode
+
+    assert geohash_encode(np.array([10.40744]), np.array([57.64911]), 8) == ["u4pruydq"]
+    assert geohash_encode(np.array([-5.6]), np.array([42.6]), 5) == ["ezs42"]
+    # shorter precision is a prefix of longer (same cell hierarchy)
+    long = geohash_encode(np.array([10.40744]), np.array([57.64911]), 12)[0]
+    for p in (1, 4, 8):
+        assert geohash_encode(np.array([10.40744]), np.array([57.64911]), p)[0] == long[:p]
+    # corners clamp without crashing
+    assert len(geohash_encode(np.array([180.0, -180.0]), np.array([90.0, -90.0]), 6)) == 2
