@@ -41,6 +41,7 @@ QUERIES = [
     "bpe_top_pairs",
     "corpus_pipeline",
     "top_tokens_per_lang",
+    "docs_rollup",
 ]
 
 _WORKER = '''
