@@ -160,3 +160,27 @@ def geohash_encode(lon: np.ndarray, lat: np.ndarray, precision: int = 8) -> list
             for i in range(precision)
         ))
     return out
+
+
+def geohash_decode(codes: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Cell-center (lon, lat) of base32 geohash strings (inverse of
+    geohash_encode up to the cell quantization)."""
+    lons = np.empty(len(codes), np.float64)
+    lats = np.empty(len(codes), np.float64)
+    for i, gh in enumerate(codes):
+        nbits = len(gh) * 5
+        lon_bits = (nbits + 1) // 2
+        code = 0
+        for ch in gh:
+            code = (code << 5) | GEOHASH_B32.index(ch)
+        x = y = 0
+        for j in range(nbits):
+            bit = (code >> (nbits - 1 - j)) & 1
+            if j % 2 == 0:
+                x = (x << 1) | bit
+            else:
+                y = (y << 1) | bit
+        lat_bits = nbits // 2
+        lons[i] = (x + 0.5) / (1 << lon_bits) * 360.0 - 180.0
+        lats[i] = (y + 0.5) / (1 << lat_bits) * 180.0 - 90.0
+    return lons, lats

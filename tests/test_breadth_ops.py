@@ -617,3 +617,21 @@ def test_geohash_known_vectors():
         assert geohash_encode(np.array([10.40744]), np.array([57.64911]), p)[0] == long[:p]
     # corners clamp without crashing
     assert len(geohash_encode(np.array([180.0, -180.0]), np.array([90.0, -90.0]), 6)) == 2
+
+
+def test_geohash_roundtrip_property():
+    """decode(encode(p)) stays within the precision-8 cell size
+    (~19m lon x 19m lat at the equator in degrees)."""
+    import numpy as np
+
+    from georay.cells import geohash_decode, geohash_encode
+
+    rs = np.random.RandomState(7)
+    lon = rs.uniform(-180, 180, 500)
+    lat = rs.uniform(-90, 90, 500)
+    ghs = geohash_encode(lon, lat, 8)
+    lon2, lat2 = geohash_decode(ghs)
+    assert np.abs(lon2 - lon).max() <= 360.0 / (1 << 20)
+    assert np.abs(lat2 - lat).max() <= 180.0 / (1 << 20)
+    # decode is the exact cell center: re-encoding reproduces the code
+    assert geohash_encode(lon2, lat2, 8) == ghs
