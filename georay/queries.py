@@ -3508,3 +3508,33 @@ def geohash_pts(sf_dir: str):
 
 
 QUERIES["geohash_pts"] = geohash_pts
+
+
+IVJ_N = 240
+IVJ_BASE_US = 1704067200_000_000        # 2024-01-01
+IVJ_STEP_US = 90 * 60 * 1_000_000       # 90 min
+IVJ_CELL_US = 3600 * 1_000_000          # 1 h cells
+
+
+def interval_join(sf_dir: str):
+    """Range/interval join (temporal.interval_join_ds): events whose
+    ts falls in any of 240 deterministic OVERLAPPING intervals
+    (len = (1 + k%5) hours, start = base + k*90min) — the classic
+    cell-bucketed plan (intervals replicate to overlapped time cells,
+    points land once, exact filter inside each bucket).  Never
+    all-pairs; oracle is the direct BETWEEN join."""
+    from . import temporal
+
+    ks = np.arange(IVJ_N, dtype=np.int64)
+    lo = IVJ_BASE_US + ks * IVJ_STEP_US
+    hi = lo + (1 + ks % 5) * 3600 * 1_000_000
+    ivs = rd.from_arrow(pa.table({
+        "interval_id": pa.array(ks),
+        "lo": pa.array(lo),
+        "hi": pa.array(hi),
+    }))
+    events = _testdata(sf_dir, "events").select_columns(["event_id", "ts"])
+    return temporal.interval_join_ds(events, ivs, cell_us=IVJ_CELL_US)
+
+
+QUERIES["interval_join"] = interval_join

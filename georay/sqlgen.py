@@ -3905,3 +3905,20 @@ def q_geohash_pts(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["geohash_pts"] = q_geohash_pts
+
+
+def q_interval_join(sf_dir: str) -> str:
+    from .queries import IVJ_BASE_US, IVJ_N, IVJ_STEP_US
+
+    return (
+        f"WITH iv AS (SELECT unnest(range(0, {IVJ_N})) AS interval_id), "
+        f"b AS (SELECT interval_id, "
+        f"  {IVJ_BASE_US} + interval_id * {IVJ_STEP_US} AS lo, "
+        f"  {IVJ_BASE_US} + interval_id * {IVJ_STEP_US} "
+        f"    + (1 + interval_id % 5) * 3600000000 AS hi FROM iv) "
+        f"SELECT e.event_id, b.interval_id FROM events e JOIN b "
+        f"ON epoch_us(e.ts) >= b.lo AND epoch_us(e.ts) < b.hi"
+    )
+
+
+ORACLE_BUILDERS["interval_join"] = q_interval_join

@@ -232,3 +232,116 @@ def asof_join_ds(events, right, p: int = DEFAULT_P,
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# interval / range join (r4c) — the remaining member of the mission's
+# temporal-join family (as-of join / sessionize / windows already
+# bucket-vectorized above).  Classic cell-bucketed plan: pick a time
+# cell width, each POINT lands in exactly one cell, each INTERVAL
+# replicates to every cell it overlaps (replication factor =
+# interval_len / cell_width + 1 — pick the cell near the median
+# interval length), both sides shuffle by hash(cell) % P, and within a
+# bucket one lexsort + a vectorized per-cell cross product + the exact
+# lo <= ts < hi filter produce the matches.  Never an all-pairs
+# product; skewed cells cost their own |points| x |intervals| only.
+# ---------------------------------------------------------------------------
+
+
+def interval_join_ds(points, intervals, cell_us: int, p: int = 64,
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     iv_col: str = "interval_id", lo_col: str = "lo",
+                     hi_col: str = "hi"):
+    """(points ts) x (intervals [lo, hi)) -> (event_id, interval_id)
+    for every containment, both timestamp[us] columns."""
+    import pyarrow.compute as pc
+
+    from .shuffleops import bucket_ids
+
+    def prep_points(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cell = ts // cell_us
+        t = pa.table({
+            "cell": pa.array(cell),
+            "is_pt": pa.array(np.ones(len(ts), bool)),
+            id_col: b.column(id_col).combine_chunks().cast(pa.int64()),
+            "ts": pa.array(ts),
+            iv_col: pa.nulls(len(ts), pa.int64()),
+            "lo": pa.nulls(len(ts), pa.int64()),
+            "hi": pa.nulls(len(ts), pa.int64()),
+        })
+        return t.append_column("__bucket", pa.array(bucket_ids(t.column("cell"), p)))
+
+    def prep_intervals(b: pa.Table) -> pa.Table:
+        lo = b.column(lo_col).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hi = b.column(hi_col).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        iv = b.column(iv_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        c0 = lo // cell_us
+        c1 = np.maximum((hi - 1) // cell_us, c0)  # empty intervals still land once
+        reps = (c1 - c0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(iv), dtype=np.int64), reps)
+        total = int(reps.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        cell = c0[idx] + within
+        t = pa.table({
+            "cell": pa.array(cell),
+            "is_pt": pa.array(np.zeros(total, bool)),
+            id_col: pa.nulls(total, pa.int64()),
+            "ts": pa.nulls(total, pa.int64()),
+            iv_col: pa.array(iv[idx]),
+            "lo": pa.array(lo[idx]),
+            "hi": pa.array(hi[idx]),
+        })
+        return t.append_column("__bucket", pa.array(bucket_ids(t.column("cell"), p)))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        is_pt = g.column("is_pt").to_numpy(zero_copy_only=False)
+        cell = g.column("cell").to_numpy(zero_copy_only=False)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          iv_col: pa.array([], pa.int64())})
+        if not is_pt.any() or is_pt.all():
+            return empty
+        order = np.lexsort((is_pt, cell))  # per cell: intervals (False) first
+        cell, is_pt = cell[order], is_pt[order]
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)[order]
+        ts = g.column("ts").to_numpy(zero_copy_only=False)[order]
+        iv = g.column(iv_col).to_numpy(zero_copy_only=False)[order]
+        lo = g.column("lo").to_numpy(zero_copy_only=False)[order]
+        hi = g.column("hi").to_numpy(zero_copy_only=False)[order]
+        n = len(cell)
+        new_cell = np.r_[True, cell[1:] != cell[:-1]]
+        seg_id = np.cumsum(new_cell) - 1
+        n_seg = int(seg_id[-1]) + 1
+        n_iv = np.bincount(seg_id, weights=~is_pt, minlength=n_seg).astype(np.int64)
+        n_pt = np.bincount(seg_id, weights=is_pt, minlength=n_seg).astype(np.int64)
+        seg_start = np.nonzero(new_cell)[0]
+        # cross product per cell: each point row pairs with every
+        # interval row of its cell (intervals sorted first in the cell)
+        pt_rows = np.nonzero(is_pt)[0]
+        reps = n_iv[seg_id[pt_rows]]
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        pt_idx = np.repeat(pt_rows, reps)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        iv_idx = np.repeat(seg_start[seg_id[pt_rows]], reps) + within
+        keep = (lo[iv_idx] <= ts[pt_idx]) & (ts[pt_idx] < hi[iv_idx])
+        out = pa.table({
+            id_col: pa.array(ids[pt_idx[keep]].astype(np.int64)),
+            iv_col: pa.array(iv[iv_idx[keep]].astype(np.int64)),
+        })
+        # an interval replicated to k cells meets a point only in the
+        # point's single cell, so no dedup is needed
+        return out
+
+    return (
+        points.map_batches(prep_points, batch_format="pyarrow")
+        .union(intervals.map_batches(prep_intervals, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )

@@ -139,3 +139,44 @@ def test_lift_overflow_guard():
     t = np.array([0, 10**15], dtype=np.int64)
     with pytest.raises(ValueError, match="increase p"):
         _lift(seg, t, 10**9)
+
+
+def test_interval_join_vs_brute(ray_session):
+    """Cell-bucketed interval join == the brute BETWEEN join, across
+    cell widths smaller/larger than the intervals, overlapping
+    intervals, empty intervals, and boundary timestamps."""
+    import pandas as pd
+    import ray.data as rd
+
+    from georay.temporal import interval_join_ds
+
+    rs = np.random.RandomState(13)
+    base = 1_000_000_000
+    ts = base + rs.randint(0, 10_000, 400).astype(np.int64)
+    # include exact boundary hits
+    ts[:3] = [base + 100, base + 200, base + 1_000]
+    pts = pa.table({
+        "event_id": pa.array(np.arange(len(ts), dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+    })
+    lo = base + rs.randint(0, 9_000, 60).astype(np.int64)
+    ln = rs.randint(0, 2_000, 60).astype(np.int64)  # some EMPTY (len 0)
+    lo[:2] = [base + 100, base + 150]
+    ln[:2] = [900, 50]
+    ivs = pa.table({
+        "interval_id": pa.array(np.arange(60, dtype=np.int64)),
+        "lo": pa.array(lo),
+        "hi": pa.array(lo + ln),
+    })
+    want = set()
+    for e, t in enumerate(ts):
+        for k in range(60):
+            if lo[k] <= t < lo[k] + ln[k]:
+                want.add((e, k))
+    for cell in (100, 1_000, 50_000):
+        got = interval_join_ds(
+            rd.from_arrow(pts).repartition(3), rd.from_arrow(ivs),
+            cell_us=cell,
+        ).to_pandas()
+        assert set(zip(got["event_id"], got["interval_id"])) == want, cell
+        assert len(got) == len(want), cell  # no duplicate matches
