@@ -42,6 +42,7 @@ QUERIES = [
     "corpus_pipeline",
     "top_tokens_per_lang",
     "docs_rollup",
+    "interval_join",
 ]
 
 _WORKER = '''
