@@ -292,7 +292,9 @@ def attach_labels(nodes, labels, node_col: str, typ=None, types_map: dict | None
 
 def _types_of(ds, fallback: dict | None) -> dict | None:
     # caller-declared types first: Dataset.schema() executes a lazy
-    # plan up to its first block (see shuffleops._schema_types, r4b)
+    # plan up to its first block (see shuffleops._schema_types, r4b).
+    # Declared types are trusted verbatim, not validated — see the
+    # caller contract on shuffleops._schema_types (ADVICE r4).
     if fallback is not None:
         return dict(fallback)
     schema = ds.schema()

@@ -142,10 +142,14 @@ def _bucket_pairs_from_keys(ds, key_cols: list[str], id_col: str, p: int | None 
     tiny-vocabulary corpus drives band-collision probability to ~0.9
     and candidate pairs toward n^2).  Segments above the cap emit a
     consecutive CHAIN of pairs instead of all pairs: O(m) instead of
-    O(m^2), and truly-identical content still verifies (J = 1 along
-    the chain) so exact-dup groups of ANY size survive; only
-    merely-similar pairs inside mega-buckets can be missed — the
-    standard df-cap recall trade, stated rather than silent.  None
+    O(m^2).  Identical content verifies (J = 1) along any chain link
+    joining two identical docs, so exact-dup groups survive when the
+    hot segment is homogeneous (all-identical); in a MIXED hot segment
+    identical docs sorted by doc_id need not be adjacent, so a chain
+    pair can route through a non-identical intermediate that fails
+    Jaccard verification and split the group (ADVICE r4).  Both
+    merely-similar and that mixed-segment exact case are the standard
+    df-cap recall trade, stated rather than silent.  None
     (default) preserves the exact all-pairs semantics the SQL oracles
     assume (sf-scale buckets never approach the cap)."""
     from .geom import _ranges
@@ -876,8 +880,15 @@ def semantic_dedup(
         .to_pandas()
         .sort_values(id_col)
     )
+    if len(cb) == 0:
+        raise ValueError(
+            f"semantic_dedup: empty codebook — no {id_col} % {cent_mod} == 0 "
+            "rows in the embedding table; lower cent_mod so the id sample "
+            "is non-empty"
+        )
     cmat = np.stack([np.asarray(v, dtype=np.float64) for v in cb[vec_col]])
-    cmat_n = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cmat_n = cmat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
     cref = ray.put(cmat_n)
 
     def assign(b: pa.Table) -> pa.Table:

@@ -5,13 +5,17 @@ The sandbox has no PIL/cv2, so the engine carries:
 * a real, spec-conformant encoder/decoder for 8-bit RGB non-interlaced
   PNG (filter type 0 only) built on zlib — rows with ``fmt='png'`` are
   genuine PNG files any external tool could open;
-* a deterministic "lossy" codec (``fmt='jpeg'`` rows) standing in for
-  JPEG: pixels quantized to 4-level steps (PSNR vs the original
-  ~46 dB >= the 40 dB invariant), zlib-compressed in a tagged
-  container.  Real JPEG entropy coding is out of scope in this
-  container; the Ray-side plumbing (binary column, batch sizing, decode
-  actors, PSNR checks) is real and tested.  See BASELINE.md per-row
-  invariant.
+* a REAL baseline JFIF JPEG encoder/decoder (r4, ``encode_jpeg`` /
+  ``decode_jpeg`` below): 8x8 DCT, Annex-K standard quantization +
+  Huffman tables, 4:4:4 sampling, quality 98 (PSNR >= 40 dB even on
+  the white-noise synthetic corpus, JPEG's worst case) — rows with
+  ``fmt='jpeg'`` are genuine JPEG files any external decoder opens;
+* a legacy deterministic "GRJF" tagged-zlib container kept only for
+  decoding rounds-1-3 fixtures (``decode_fake_jpeg``); datagen no
+  longer emits it.
+
+See BASELINE.md per-row invariant (decoded-pixel PSNR >= 40 dB +
+byte-exact captions).
 """
 
 from __future__ import annotations

@@ -2991,7 +2991,7 @@ QUERIES["wkb_roundtrip"] = wkb_roundtrip
 
 def events_pruned_agg(sf_dir: str):
     """Predicate + projection pushdown demonstration: the read carries
-    BOTH a column projection and an Arrow row filter (value > 450), so
+    BOTH a column projection and an Arrow row filter (value > 250), so
     only matching row groups / columns leave storage — per-user count
     and sum of the surviving events."""
     from .shuffleops import bucket_reduce

@@ -238,7 +238,15 @@ def _schema_types(ds, fallback: dict | None) -> dict | None:
     """Column->type map for a join side.  Explicit caller types win:
     ``Dataset.schema()`` on a lazy pipeline EXECUTES it up to the first
     block (r4b: the dup-n-gram probe re-ran two full shuffles just to
-    read a schema), so only sides without declared types pay that."""
+    read a schema), so only sides without declared types pay that.
+
+    CALLER CONTRACT (ADVICE r4): a declared ``left_types`` /
+    ``right_types`` map is trusted verbatim and is NOT validated
+    against the dataset's actual schema (validating would execute the
+    pipeline and defeat the short-circuit).  A wrong declared type
+    surfaces downstream as a miscast join column or a hash mismatch —
+    declare exactly the post-transform Arrow types, or pass None to
+    pay one block's execution for the real schema."""
     if fallback is not None:
         return dict(fallback)
     schema = ds.schema()

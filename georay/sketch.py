@@ -144,7 +144,10 @@ def hll_distinct(ds, key: str, text_col: str, p: int = 64):
 
     from .shuffleops import bucket_join
 
-    ktype = pa.string()
+    # parts is already materialized above, so schema() is free here —
+    # derive the key's real Arrow type instead of assuming string
+    # (ADVICE r4: a non-string key got wrong declared join types).
+    ktype = dict(zip(parts.schema().names, parts.schema().types))[key]
     return bucket_join(
         exact, sketch, key, key,
         left_types={key: ktype, "n_exact": pa.int64()},
