@@ -147,7 +147,10 @@ def hll_distinct(ds, key: str, text_col: str, p: int = 64):
     # parts is already materialized above, so schema() is free here —
     # derive the key's real Arrow type instead of assuming string
     # (ADVICE r4: a non-string key got wrong declared join types).
-    ktype = dict(zip(parts.schema().names, parts.schema().types))[key]
+    # schema() is None for an empty dataset; any type is then vacuous.
+    pschema = parts.schema()
+    ktype = (dict(zip(pschema.names, pschema.types))[key]
+             if pschema is not None else pa.string())
     return bucket_join(
         exact, sketch, key, key,
         left_types={key: ktype, "n_exact": pa.int64()},

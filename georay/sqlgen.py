@@ -3922,3 +3922,198 @@ def q_interval_join(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["interval_join"] = q_interval_join
+
+
+# ---------------------------------------------------------------------------
+# r5: EPSG-table reprojection oracles.  Each evaluates the IDENTICAL
+# closed-form expression tree as kernels.crs (constants interpolated as
+# the exact doubles the kernel derives; hyperbolics via exp/ln); the
+# domain fold matches queries._fold verbatim (non-negative dividends so
+# DuckDB fmod % == numpy mod bitwise).
+# ---------------------------------------------------------------------------
+
+def _Dc(v: float) -> str:
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
+def _fold_cte(sf_dir: str, fold: tuple) -> str:
+    lon_lo, lon_w, lat_lo, lat_w = fold
+    return (
+        f"WITH pts AS ({_pts_cte(sf_dir)}), "
+        f"f AS (SELECT image_id, "
+        f"  {_Dc(lon_lo)} + ((lon + 180.0) % {_Dc(lon_w)}) AS lon, "
+        f"  {_Dc(lat_lo)} + ((lat + 90.0) % {_Dc(lat_w)}) AS lat FROM f0) "
+    ).replace("FROM f0", "FROM pts")
+
+
+def _kruger_sql(sf_dir: str, code: int, fold: tuple, xname: str, yname: str) -> str:
+    """Krüger order-6 TM forward as SQL (crs.tm_forward's tree): exact
+    conformal latitude (sinh/atanh via exp/ln), 6 alpha terms, scale +
+    false offsets."""
+    from .kernels import crs
+
+    # reproduce the kernel's parameter resolution for this code
+    if code == 27700:
+        kw = dict(lon0=-2.0, lat0=49.0, k0=0.9996012717,
+                  fe=400000.0, fn=-100000.0, ell="AIRY1830")
+    else:
+        zone = code % 100
+        south = code >= 32701
+        kw = dict(lon0=zone * 6.0 - 183.0, lat0=0.0, k0=crs.UTM_K0,
+                  fe=crs.UTM_FALSE_EASTING,
+                  fn=crs.UTM_FALSE_NORTHING_S if south else 0.0, ell="WGS84")
+    import numpy as _np
+
+    A, alpha, _, e = crs._kruger_consts(kw["ell"])
+    lam0 = _np.radians(kw["lon0"])
+    if kw["lat0"] != 0.0:
+        xi0 = float(crs._kruger_xieta(_np.asarray(lam0),
+                                      _np.asarray(_np.radians(kw["lat0"])),
+                                      lam0, kw["ell"])[0])
+    else:
+        xi0 = 0.0
+    eD, kA = _Dc(float(e)), _Dc(kw["k0"])
+    AD = _Dc(float(A))
+    sinh = lambda t: f"((exp({t}) - exp(-({t}))) / 2.0)"
+    cosh = lambda t: f"((exp({t}) + exp(-({t}))) / 2.0)"
+    series_xi = " + ".join(
+        f"{_Dc(float(aj))} * sin({2*j}.0 * xip) * {cosh(f'{2*j}.0 * etap')}"
+        for j, aj in enumerate(alpha, start=1)
+    )
+    series_eta = " + ".join(
+        f"{_Dc(float(aj))} * cos({2*j}.0 * xip) * {sinh(f'{2*j}.0 * etap')}"
+        for j, aj in enumerate(alpha, start=1)
+    )
+    atanh_v = "0.5 * ln((1.0 + v) / (1.0 - v))"
+    w = "(sdl / sqrt(taup * taup + cdl * cdl))"
+    return (
+        _fold_cte(sf_dir, fold)
+        + f", g AS (SELECT image_id, radians(lon - {_Dc(kw['lon0'])}) AS dlam, "
+        f"  tan(radians(lat)) AS tau FROM f), "
+        f"h AS (SELECT *, {eD} * tau / sqrt(1.0 + tau * tau) AS v FROM g), "
+        f"i AS (SELECT *, {sinh(f'{eD} * ({atanh_v})')} AS sigma FROM h), "
+        f"j AS (SELECT image_id, dlam, "
+        f"  tau * sqrt(1.0 + sigma * sigma) - sigma * sqrt(1.0 + tau * tau) AS taup "
+        f"  FROM i), "
+        f"k AS (SELECT image_id, taup, cos(dlam) AS cdl, sin(dlam) AS sdl FROM j), "
+        f"l AS (SELECT image_id, atan2(taup, cdl) AS xip, "
+        f"  ln({w} + sqrt({w} * {w} + 1.0)) AS etap FROM k), "
+        f"m AS (SELECT image_id, xip + {series_xi} AS xi, "
+        f"  etap + {series_eta} AS eta FROM l) "
+        f"SELECT image_id, "
+        f"round({_Dc(kw['fe'])} + {kA} * {AD} * eta, 3) AS {xname}, "
+        f"round({_Dc(kw['fn'])} + {kA} * {AD} * (xi - {_Dc(xi0)}), 3) AS {yname} "
+        f"FROM m"
+    )
+
+
+def q_crs_bng_pts(sf_dir: str) -> str:
+    from .queries import CRS_FOLDS
+
+    code, fold, xn, yn = CRS_FOLDS["crs_bng_pts"]
+    return _kruger_sql(sf_dir, code, fold, xn, yn)
+
+
+def q_crs_utm33s_pts(sf_dir: str) -> str:
+    from .queries import CRS_FOLDS
+
+    code, fold, xn, yn = CRS_FOLDS["crs_utm33s_pts"]
+    return _kruger_sql(sf_dir, code, fold, xn, yn)
+
+
+def q_crs_polar_pts(sf_dir: str) -> str:
+    """EPSG:3413 variant-B polar stereographic (crs.polar_stereo_forward
+    north, lat_ts=70, lon0=-45): rho = a*mc*t/tc with mc/tc constants
+    derived by the kernel."""
+    import numpy as _np
+
+    from .kernels import crs
+    from .queries import CRS_FOLDS
+
+    _, fold, xn, yn = CRS_FOLDS["crs_polar_pts"]
+    a, e2, e = crs._ell("WGS84")
+    mc = float(crs._m_factor(_np.radians(70.0), e2))
+    tc = float(crs._t_of(_np.radians(70.0), e))
+    eD = _Dc(float(e))
+    t = (
+        f"(tan(pi() / 4.0 - radians(lat) / 2.0) / "
+        f"power((1.0 - {eD} * sin(radians(lat))) / (1.0 + {eD} * sin(radians(lat))), "
+        f"{eD} / 2.0))"
+    )
+    rho = f"({_Dc(a)} * {_Dc(mc)} * {t} / {_Dc(tc)})"
+    th = f"radians(lon - {_Dc(-45.0)})"
+    return (
+        _fold_cte(sf_dir, fold)
+        + f"SELECT image_id, "
+        f"round(0.0 + {rho} * sin({th}), 3) AS {xn}, "
+        f"round(0.0 - {rho} * cos({th}), 3) AS {yn} FROM f"
+    )
+
+
+def q_crs_laea_pts(sf_dir: str) -> str:
+    """EPSG:3035 LAEA Europe (crs.laea_forward, Snyder 24-2..24-14):
+    authalic q per row; qp/beta0/rq/d constants from the kernel."""
+    import numpy as _np
+
+    from .kernels import crs
+    from .queries import CRS_FOLDS
+
+    _, fold, xn, yn = CRS_FOLDS["crs_laea_pts"]
+    a, e2, e = crs._ell("GRS80")
+    qp = float(crs._q_of(_np.asarray(_np.pi / 2.0), e, e2))
+    q0 = float(crs._q_of(_np.radians(52.0), e, e2))
+    beta0 = float(_np.arcsin(_np.clip(q0 / qp, -1.0, 1.0)))
+    rq = float(a * _np.sqrt(qp / 2.0))
+    d = float(a * crs._m_factor(_np.radians(52.0), e2) / (rq * _np.cos(beta0)))
+    sb0, cb0 = float(_np.sin(beta0)), float(_np.cos(beta0))
+    eD, e2D = _Dc(float(e)), _Dc(float(e2))
+    q = (
+        f"((1.0 - {e2D}) * (s / (1.0 - {e2D} * s * s) "
+        f"- ln((1.0 - {eD} * s) / (1.0 + {eD} * s)) / (2.0 * {eD})))"
+    )
+    return (
+        _fold_cte(sf_dir, fold)
+        + f", g AS (SELECT image_id, sin(radians(lat)) AS s, "
+        f"  radians(lon - {_Dc(10.0)}) AS dlam FROM f), "
+        f"h AS (SELECT image_id, asin({q} / {_Dc(qp)}) AS beta, dlam FROM g), "
+        f"i AS (SELECT image_id, beta, dlam, "
+        f"  {_Dc(rq)} * sqrt(2.0 / (1.0 + {_Dc(sb0)} * sin(beta) "
+        f"    + {_Dc(cb0)} * cos(beta) * cos(dlam))) AS b FROM h) "
+        f"SELECT image_id, "
+        f"round({_Dc(4321000.0)} + b * {_Dc(d)} * cos(beta) * sin(dlam), 3) AS {xn}, "
+        f"round({_Dc(3210000.0)} + (b / {_Dc(d)}) * ({_Dc(cb0)} * sin(beta) "
+        f"  - {_Dc(sb0)} * cos(beta) * cos(dlam)), 3) AS {yn} FROM i"
+    )
+
+
+def q_crs_merc_pts(sf_dir: str) -> str:
+    """EPSG:3395 ellipsoidal Mercator (crs.mercator_forward):
+    y = -a ln(t(phi)) with the exact conformal factor."""
+    from .kernels import crs
+    from .queries import CRS_FOLDS
+
+    _, fold, xn, yn = CRS_FOLDS["crs_merc_pts"]
+    a, _, e = crs._ell("WGS84")
+    eD = _Dc(float(e))
+    t = (
+        f"(tan(pi() / 4.0 - radians(lat) / 2.0) / "
+        f"power((1.0 - {eD} * sin(radians(lat))) / (1.0 + {eD} * sin(radians(lat))), "
+        f"{eD} / 2.0))"
+    )
+    return (
+        _fold_cte(sf_dir, fold)
+        + f"SELECT image_id, "
+        f"round(0.0 + {_Dc(a)} * 1.0 * radians(lon - 0.0), 3) AS {xn}, "
+        f"round(0.0 - {_Dc(a)} * 1.0 * ln({t}), 3) AS {yn} FROM f"
+    )
+
+
+ORACLE_BUILDERS.update(
+    {
+        "crs_bng_pts": q_crs_bng_pts,
+        "crs_utm33s_pts": q_crs_utm33s_pts,
+        "crs_polar_pts": q_crs_polar_pts,
+        "crs_laea_pts": q_crs_laea_pts,
+        "crs_merc_pts": q_crs_merc_pts,
+    }
+)
