@@ -262,3 +262,211 @@ def voronoi_cells(
             ring = _clip_halfplane(ring, a, b, c)
         cells_out.append(ring)
     return cells_out
+
+
+# ---------------------------------------------------------------------------
+# r5: CONSTRAINED Delaunay (TriangulateSpade parity — the reference's
+# triangulate_delaunay.rs:3,63-75 triangulates POLYGONS via spade's CDT;
+# the unconstrained Bowyer-Watson above covers only point sets).
+# Constraint-edge insertion is Anglada's algorithm (public, "An improved
+# incremental algorithm for constructing restricted Delaunay
+# triangulations", 1997): walk the channel of triangles crossed by the
+# missing edge, remove them, re-triangulate the upper/lower
+# pseudo-polygons recursively with the empty-circumcircle choice.  No
+# Steiner points are added, so a polygon with V distinct ring vertices
+# and H holes triangulates into exactly V + 2H - 2 triangles (Euler) —
+# the cdt_stats oracle checks that count, the exact area partition, and
+# that every ring edge is present in the output.
+# ---------------------------------------------------------------------------
+
+
+def _edge_map(tris: list[tuple[int, int, int]]) -> dict:
+    em: dict[tuple[int, int], list[int]] = {}
+    for ti, (a, b, c) in enumerate(tris):
+        for e in ((a, b), (b, c), (c, a)):
+            em.setdefault((min(e), max(e)), []).append(ti)
+    return em
+
+
+def _tri_pseudo(chain: list[int], a: int, b: int, pts: np.ndarray,
+                out: list[tuple[int, int, int]]) -> None:
+    """Triangulate the pseudo-polygon bounded by base edge (a -> b) and
+    the vertex chain on its left, preserving the Delaunay criterion
+    (Anglada 1997 fig. 5)."""
+    if not chain:
+        return
+    ci = 0
+    if len(chain) > 1:
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        for i in range(1, len(chain)):
+            cx, cy = pts[chain[ci]]
+            if _incircle(ax, ay, bx, by, cx, cy, *pts[chain[i]]) > 0:
+                ci = i
+    c = chain[ci]
+    _tri_pseudo(chain[:ci], a, c, pts, out)
+    _tri_pseudo(chain[ci + 1:], c, b, pts, out)
+    out.append((a, b, c))
+
+
+def _on_segment(u: int, v: int, pts: np.ndarray) -> list[int]:
+    """Vertices lying exactly on the open segment (u, v), ordered along
+    it.  Float-exact semantics (det == 0.0, 0 < s < |uv|^2) mirrored by
+    the cdt_stats SQL oracle."""
+    ux, uy = pts[u]
+    vx, vy = pts[v]
+    dx, dy = vx - ux, vy - uy
+    out = []
+    for w in range(len(pts)):
+        if w in (u, v):
+            continue
+        px, py = pts[w]
+        if dx * (py - uy) - dy * (px - ux) == 0.0:
+            s = (px - ux) * dx + (py - uy) * dy
+            if 0.0 < s < dx * dx + dy * dy:
+                out.append((s, w))
+    return [w for _, w in sorted(out)]
+
+
+def _insert_constraint(tris: list[tuple[int, int, int]], u: int, v: int,
+                       pts: np.ndarray) -> list[tuple[int, int, int]]:
+    """Force edge (u, v) into a triangulation (vertices already
+    present).  Splits the constraint at any vertex lying exactly on it."""
+    key = (min(u, v), max(u, v))
+    em = _edge_map(tris)
+    if key in em:
+        return tris
+    ux, uy = pts[u]
+    vx, vy = pts[v]
+    # collinear-vertex split (pinch point: a ring vertex exactly ON the
+    # constraint).  The predicate is the PLAIN float determinant == 0 —
+    # deliberately not the exact-rational orient — so the SQL oracle's
+    # identical expression makes the identical split decision.
+    for w in _on_segment(u, v, pts):
+        tris = _insert_constraint(tris, u, w, pts)
+        return _insert_constraint(tris, w, v, pts)
+    # starting triangle: incident to u, ray u->v exits its opposite edge
+    start = None
+    for ti, t in enumerate(tris):
+        if u not in t:
+            continue
+        i = t.index(u)
+        p, q = t[(i + 1) % 3], t[(i + 2) % 3]  # CCW opposite edge p->q
+        # for a CCW triangle the interior ray u->v exiting through p->q
+        # has p strictly on its RIGHT and q strictly on its LEFT
+        op = _orient_exact(ux, uy, vx, vy, *pts[p])
+        oq = _orient_exact(ux, uy, vx, vy, *pts[q])
+        if op < 0 < oq:
+            # crossing point of pq with line uv must lie in the v direction
+            r = op / (op - oq)
+            zx = pts[p, 0] + r * (pts[q, 0] - pts[p, 0])
+            zy = pts[p, 1] + r * (pts[q, 1] - pts[p, 1])
+            if (zx - ux) * (vx - ux) + (zy - uy) * (vy - uy) > 0.0:
+                start = (ti, q, p)
+                break
+    if start is None:
+        raise ValueError(f"constraint ({u},{v}) walk found no starting triangle")
+    ti, up, lo = start  # up strictly left of u->v, lo strictly right
+    crossed = {ti}
+    upper, lower = [up], [lo]
+    while True:
+        e = (min(up, lo), max(up, lo))
+        nxt = [t for t in em[e] if t not in crossed]
+        if not nxt:
+            raise ValueError(f"constraint ({u},{v}) walk left the triangulation")
+        ti = nxt[0]
+        crossed.add(ti)
+        w = next(x for x in tris[ti] if x not in (up, lo))
+        if w == v:
+            break
+        o = _orient_exact(ux, uy, vx, vy, *pts[w])
+        if o > 0:
+            upper.append(w)
+            up = w
+        else:
+            lower.append(w)
+            lo = w
+    new: list[tuple[int, int, int]] = []
+    _tri_pseudo(upper, u, v, pts, new)  # upper chain is left of u->v
+    _tri_pseudo(list(reversed(lower)), v, u, pts, new)  # left of v->u
+    return [t for ti, t in enumerate(tris) if ti not in crossed] + new
+
+
+def _point_in_rings(x: float, y: float, rings: list[np.ndarray]) -> bool:
+    """Even-odd raycast over all rings (holes flip parity)."""
+    inside = False
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        for i in range(len(r) - 1):
+            x1, y1 = r[i]
+            x2, y2 = r[i + 1]
+            if (y1 > y) != (y2 > y):
+                xc = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+                if xc > x:
+                    inside = not inside
+    return inside
+
+
+def constrained_delaunay(
+    rings: list[np.ndarray],
+) -> tuple[np.ndarray, list[tuple[int, int, int]], set[tuple[int, int]]]:
+    """CDT of a polygon (rings[0] exterior, rest holes; closed or open
+    rings accepted).  Returns (vertex array, interior CCW triangles,
+    constraint edge set as sorted index pairs).  Triangles exactly
+    partition the polygon interior."""
+    pts_list: list[tuple[float, float]] = []
+    index: dict[tuple[float, float], int] = {}
+    ring_idxs: list[list[int]] = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        idxs = []
+        for xy in r:
+            key = (float(xy[0]), float(xy[1]))
+            if key not in index:
+                index[key] = len(pts_list)
+                pts_list.append(key)
+            idxs.append(index[key])
+        ring_idxs.append(idxs)
+    pts = np.asarray(pts_list, dtype=np.float64)
+    if len(pts) < 3:
+        return pts, [], set()
+    tris = delaunay(pts)
+    tris = [
+        t if _orient_exact(*pts[t[0]], *pts[t[1]], *pts[t[2]]) > 0 else (t[0], t[2], t[1])
+        for t in tris
+    ]
+    constraints: set[tuple[int, int]] = set()
+    for idxs in ring_idxs:
+        k = len(idxs)
+        for i in range(k):
+            u, v = idxs[i], idxs[(i + 1) % k]
+            if u != v:
+                constraints.add((min(u, v), max(u, v)))
+    for u, v in sorted(constraints):
+        tris = _insert_constraint(tris, u, v, pts)
+    # resolved constraints: each ring edge split at any pinch vertices
+    # lying exactly on it (same predicate as _insert_constraint).  Every
+    # resolved edge MUST be an edge of the full CDT — internal invariant
+    # checked here, before the interior filter (a zero-width overlapped
+    # boundary correctly has no interior triangle on it afterwards).
+    resolved: set[tuple[int, int]] = set()
+    for u, v in constraints:
+        chain = [u] + _on_segment(u, v, pts) + [v]
+        for a, b in zip(chain, chain[1:]):
+            resolved.add((min(a, b), max(a, b)))
+    full_em = _edge_map(tris)
+    missing = [e for e in resolved if e not in full_em]
+    if missing:
+        raise ValueError(f"CDT invariant violated: constraints {missing} absent")
+    constraints = resolved
+    keep = []
+    for a, b, c in tris:
+        cx = (pts[a, 0] + pts[b, 0] + pts[c, 0]) / 3.0
+        cy = (pts[a, 1] + pts[b, 1] + pts[c, 1]) / 3.0
+        if _point_in_rings(cx, cy, rings):
+            keep.append((a, b, c))
+    return pts, keep, constraints

@@ -3638,3 +3638,48 @@ QUERIES["crs_utm33s_pts"] = crs_utm33s_pts
 QUERIES["crs_polar_pts"] = crs_polar_pts
 QUERIES["crs_laea_pts"] = crs_laea_pts
 QUERIES["crs_merc_pts"] = crs_merc_pts
+
+
+def cdt_stats(sf_dir: str):
+    """CONSTRAINED Delaunay per polygon with holes (TriangulateSpade
+    parity — triangulate_delaunay.rs:3,63-75 uses spade's CDT; here
+    kernels.triangulate.constrained_delaunay, Anglada insertion).
+    Oracled via Euler's formula (no Steiner points: n_tri = V + 2H - 2),
+    the exact area partition (tri areas sum to |ext| - sum|holes|), and
+    every ring edge present (n_cons == distinct non-degenerate segment
+    count)."""
+    from .kernels import triangulate as ktri
+
+    def f(b: pa.Table) -> pa.Table:
+        layer = _layer_batch(b)
+        n_tri = np.zeros(layer.num_polys, dtype=np.int64)
+        n_cons = np.zeros(layer.num_polys, dtype=np.int64)
+        tarea = np.zeros(layer.num_polys)
+        for p in range(layer.num_polys):
+            rings = layer.poly_rings(p)
+            # constrained_delaunay raises if any resolved constraint is
+            # absent from the full CDT, so cons is the verified edge set
+            pts, tris, cons = ktri.constrained_delaunay(rings)
+            n_tri[p] = len(tris)
+            n_cons[p] = len(cons)
+            tarea[p] = sum(
+                abs(
+                    (pts[t1, 0] - pts[t0, 0]) * (pts[t2, 1] - pts[t0, 1])
+                    - (pts[t1, 1] - pts[t0, 1]) * (pts[t2, 0] - pts[t0, 0])
+                )
+                / 2.0
+                for t0, t1, t2 in tris
+            )
+        return pa.table(
+            {
+                "polygon_id": b.column("polygon_id"),
+                "n_tri": pa.array(n_tri),
+                "n_cons": pa.array(n_cons),
+                "tri_area": pa.array(np.round(tarea, 6)),
+            }
+        )
+
+    return _polygons_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["cdt_stats"] = cdt_stats

@@ -4117,3 +4117,84 @@ ORACLE_BUILDERS.update(
         "crs_merc_pts": q_crs_merc_pts,
     }
 )
+
+
+def q_cdt_stats(sf_dir: str) -> str:
+    """CDT oracle.  Some generated rings have PINCH points (a ring
+    vertex exactly on another ring edge); the engine splits those
+    constraints, so the boundary edge count is E_b = distinct ring
+    edges + pinch incidences, and the generalized Euler count (no
+    Steiner points, connected interior) is T = 2V - E_b - 2 + 2H
+    (reduces to V + 2H - 2 when pinch-free).  n_cons = E_b checks every
+    resolved constraint edge is present; tri_area checks the exact area
+    partition (|exterior| - sum |holes|).  The pinch predicate is the
+    identical float expression the engine's _on_segment uses."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH s AS (SELECT * FROM read_parquet('{segs}')), "
+        f"vs AS (SELECT DISTINCT polygon_id, x, y FROM "
+        f"  (SELECT polygon_id, x1 AS x, y1 AS y FROM s "
+        f"   UNION ALL SELECT polygon_id, x2, y2 FROM s)), "
+        f"verts AS (SELECT polygon_id, count(*) AS nv FROM vs GROUP BY polygon_id), "
+        f"holes AS (SELECT polygon_id, count(DISTINCT ring_idx) - 1 AS nh "
+        f"  FROM s GROUP BY polygon_id), "
+        f"ring_area AS (SELECT polygon_id, ring_idx, "
+        f"  abs(sum(x1 * y2 - x2 * y1)) / 2.0 AS a FROM s "
+        f"  GROUP BY polygon_id, ring_idx), "
+        f"areas AS (SELECT polygon_id, "
+        f"  sum(CASE WHEN ring_idx = 0 THEN a ELSE -a END) AS tri_area "
+        f"  FROM ring_area GROUP BY polygon_id), "
+        f"ed AS (SELECT DISTINCT polygon_id, "
+        f"  CASE WHEN (x1, y1) < (x2, y2) THEN x1 ELSE x2 END AS ux, "
+        f"  CASE WHEN (x1, y1) < (x2, y2) THEN y1 ELSE y2 END AS uy, "
+        f"  CASE WHEN (x1, y1) < (x2, y2) THEN x2 ELSE x1 END AS vx, "
+        f"  CASE WHEN (x1, y1) < (x2, y2) THEN y2 ELSE y1 END AS vy "
+        f"  FROM s WHERE (x1, y1) <> (x2, y2)), "
+        f"nedges AS (SELECT polygon_id, count(*) AS ne FROM ed GROUP BY polygon_id), "
+        f"pinch AS (SELECT e.polygon_id, count(*) AS ninc FROM ed e JOIN vs p "
+        f"  ON p.polygon_id = e.polygon_id "
+        f"  AND NOT (p.x = e.ux AND p.y = e.uy) AND NOT (p.x = e.vx AND p.y = e.vy) "
+        f"  AND (e.vx - e.ux) * (p.y - e.uy) - (e.vy - e.uy) * (p.x - e.ux) = 0.0 "
+        f"  AND (p.x - e.ux) * (e.vx - e.ux) + (p.y - e.uy) * (e.vy - e.uy) > 0.0 "
+        f"  AND (p.x - e.ux) * (e.vx - e.ux) + (p.y - e.uy) * (e.vy - e.uy) "
+        f"    < (e.vx - e.ux) * (e.vx - e.ux) + (e.vy - e.uy) * (e.vy - e.uy) "
+        f"  GROUP BY e.polygon_id), "
+        f"eb AS (SELECT n.polygon_id, n.ne + COALESCE(p.ninc, 0) AS ebn "
+        f"  FROM nedges n LEFT JOIN pinch p USING (polygon_id)), "
+        # resolved constraint edges: split edges broken at their on-
+        # vertices (window over s), unioned with unsplit edges, then
+        # coordinate-canonicalized and DISTINCT-counted (an overlapped
+        # boundary makes a sub-edge coincide with a ring edge)
+        f"pv AS (SELECT e.polygon_id, e.ux, e.uy, e.vx, e.vy, p.x, p.y, "
+        f"  (p.x - e.ux) * (e.vx - e.ux) + (p.y - e.uy) * (e.vy - e.uy) AS s "
+        f"  FROM ed e JOIN vs p ON p.polygon_id = e.polygon_id "
+        f"  AND NOT (p.x = e.ux AND p.y = e.uy) AND NOT (p.x = e.vx AND p.y = e.vy) "
+        f"  AND (e.vx - e.ux) * (p.y - e.uy) - (e.vy - e.uy) * (p.x - e.ux) = 0.0 "
+        f"  AND (p.x - e.ux) * (e.vx - e.ux) + (p.y - e.uy) * (e.vy - e.uy) > 0.0 "
+        f"  AND (p.x - e.ux) * (e.vx - e.ux) + (p.y - e.uy) * (e.vy - e.uy) "
+        f"    < (e.vx - e.ux) * (e.vx - e.ux) + (e.vy - e.uy) * (e.vy - e.uy)), "
+        f"chainp AS (SELECT polygon_id, "
+        f"  COALESCE(lag(x) OVER w, ux) AS ax, COALESCE(lag(y) OVER w, uy) AS ay, "
+        f"  x AS bx, y AS by FROM pv "
+        f"  WINDOW w AS (PARTITION BY polygon_id, ux, uy, vx, vy ORDER BY s)), "
+        f"lastp AS (SELECT polygon_id, arg_max(x, s) AS ax, arg_max(y, s) AS ay, "
+        f"  vx AS bx, vy AS by FROM pv GROUP BY polygon_id, ux, uy, vx, vy), "
+        f"unsplit AS (SELECT e.polygon_id, e.ux AS ax, e.uy AS ay, "
+        f"  e.vx AS bx, e.vy AS by FROM ed e ANTI JOIN "
+        f"  (SELECT DISTINCT polygon_id, ux, uy, vx, vy FROM pv) q "
+        f"  ON e.polygon_id = q.polygon_id AND e.ux = q.ux AND e.uy = q.uy "
+        f"  AND e.vx = q.vx AND e.vy = q.vy), "
+        f"res AS (SELECT polygon_id, count(DISTINCT CASE "
+        f"  WHEN (ax, ay) < (bx, by) THEN (ax, ay, bx, by) "
+        f"  ELSE (bx, by, ax, ay) END) AS ncons FROM "
+        f"  (SELECT * FROM chainp UNION ALL SELECT * FROM lastp "
+        f"   UNION ALL SELECT * FROM unsplit) GROUP BY polygon_id) "
+        f"SELECT v.polygon_id, (2 * v.nv - e.ebn - 2 + 2 * h.nh)::BIGINT AS n_tri, "
+        f"r.ncons::BIGINT AS n_cons, round(a.tri_area, 6) AS tri_area "
+        f"FROM verts v JOIN holes h USING (polygon_id) "
+        f"JOIN areas a USING (polygon_id) JOIN eb e USING (polygon_id) "
+        f"JOIN res r USING (polygon_id)"
+    )
+
+
+ORACLE_BUILDERS["cdt_stats"] = q_cdt_stats

@@ -261,3 +261,76 @@ def test_voronoi_tiles_envelope():
         x, y = rs.uniform(1, 99, 2)
         near = int(np.argmin((pts[:, 0] - x) ** 2 + (pts[:, 1] - y) ** 2))
         assert oracle.polygon_position(x, y, [cells_[near]]) != oracle.OUTSIDE
+
+
+def test_constrained_delaunay_polygons_with_holes():
+    """r5 CDT (TriangulateSpade parity, triangulate_delaunay.rs:3,63-75):
+    exact area partition, Euler triangle count V + 2H - 2 (no Steiner
+    points), every constraint edge present, all on random simple star
+    polygons with 0-2 holes."""
+    from georay.kernels import triangulate
+    from georay.kernels.triangulate import _edge_map, constrained_delaunay
+
+    def shoe(r):
+        s = 0.0
+        for i in range(len(r)):
+            x1, y1 = r[i]
+            x2, y2 = r[(i + 1) % len(r)]
+            s += x1 * y2 - x2 * y1
+        return abs(s) / 2.0
+
+    rng = np.random.default_rng(3)
+    for trial in range(40):
+        k = int(rng.integers(6, 18))
+        # bounded angular gaps -> guaranteed simple star polygon
+        ang = (np.arange(k) + rng.uniform(0.1, 0.9, k)) * 2 * np.pi / k
+        rad = rng.uniform(5, 10, k)
+        ext = np.c_[rad * np.cos(ang), rad * np.sin(ang)]
+        nh = int(rng.integers(0, 3))
+        holes = []
+        for cx, cy in [(-0.7, -0.7), (0.7, 0.7)][:nh]:
+            kh = int(rng.integers(4, 9))
+            angh = ((np.arange(kh) + rng.uniform(0.1, 0.9, kh)) * 2 * np.pi / kh)[::-1]
+            radh = rng.uniform(0.2, 0.6, kh)
+            holes.append(np.c_[cx + radh * np.cos(angh), cy + radh * np.sin(angh)])
+        rings = [ext] + holes
+        pts, tris, cons = constrained_delaunay(rings)
+        assert len(tris) == len(pts) + 2 * len(holes) - 2, trial
+        area = sum(
+            abs(
+                (pts[b, 0] - pts[a, 0]) * (pts[c, 1] - pts[a, 1])
+                - (pts[b, 1] - pts[a, 1]) * (pts[c, 0] - pts[a, 0])
+            )
+            / 2.0
+            for a, b, c in tris
+        )
+        want = shoe(ext) - sum(shoe(h) for h in holes)
+        assert area == pytest.approx(want, rel=1e-9), trial
+        em = _edge_map(tris)
+        assert all(e in em for e in cons), trial
+        # all interior triangles CCW
+        for a, b, c in tris:
+            assert triangulate._ccw(*pts[a], *pts[b], *pts[c]) > 0
+
+
+def test_constrained_delaunay_pinch_and_degenerate():
+    from georay.kernels.triangulate import constrained_delaunay
+
+    # vertex of the ring exactly ON another (vertical) edge: the
+    # constraint splits; area partition stays exact
+    ext = np.array(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 5]], dtype=float
+    )  # (0,5) lies on edge (0,10)-(0,0)
+    pts, tris, cons = constrained_delaunay([ext])
+    area = sum(
+        abs(
+            (pts[b, 0] - pts[a, 0]) * (pts[c, 1] - pts[a, 1])
+            - (pts[b, 1] - pts[a, 1]) * (pts[c, 0] - pts[a, 0])
+        )
+        / 2.0
+        for a, b, c in tris
+    )
+    assert area == pytest.approx(100.0, rel=1e-12)
+    # degenerate inputs
+    assert constrained_delaunay([np.zeros((0, 2))])[1] == []
+    assert constrained_delaunay([np.array([[0.0, 0.0], [1.0, 1.0]])])[1] == []
