@@ -4198,3 +4198,155 @@ def q_cdt_stats(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["cdt_stats"] = q_cdt_stats
+
+
+def q_dissolve_area(sf_dir: str) -> str:
+    """r5 promotion (VERDICT r4 #4): exact strip-NERVE topology of the
+    n-way union in SQL — nodes = maximal covered intervals per strip
+    (the union_area_sweep machinery + run extraction), edges = strictly
+    overlapping boundary traces of adjacent strips (STRICT: pinch-
+    touching faces stay separate, matching the overlay's output
+    polygons), C via recursive label-flood, H = E - V + C (nerve
+    lemma).  Mirrors georay/nerve.py verbatim."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH RECURSIVE s AS MATERIALIZED (SELECT polygon_id, x1, y1, x2, y2, "
+        f"  least(x1, x2) AS xlo, greatest(x1, x2) AS xhi, "
+        f"  least(y1, y2) AS ylo, greatest(y1, y2) AS yhi "
+        f"  FROM read_parquet('{segs}')), "
+        f"bx AS (SELECT x1 AS x FROM s UNION SELECT x2 FROM s "
+        f"  UNION SELECT a.x1 + (a.d3 / (a.d3 - a.d4)) * (a.x2 - a.x1) FROM ("
+        f"    SELECT a.x1, a.x2, "
+        f"      (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d3, "
+        f"      (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d4 "
+        f"    FROM s a JOIN s b ON a.xlo <= b.xhi AND a.xhi >= b.xlo "
+        f"      AND a.ylo <= b.yhi AND a.yhi >= b.ylo "
+        f"    WHERE sign((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1)) * "
+        f"          sign((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0 "
+        f"      AND sign((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1)) * "
+        f"          sign((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0) a "
+        f"  WHERE a.d3 - a.d4 <> 0), "
+        f"strips AS (SELECT x AS xl, lead(x) OVER (ORDER BY x) AS xr, "
+        f"  row_number() OVER (ORDER BY x) AS sid FROM (SELECT DISTINCT x FROM bx)), "
+        f"st2 AS (SELECT sid, xl, xr, (xl + xr) / 2.0 AS mid FROM strips "
+        f"  WHERE xr IS NOT NULL), "
+        f"ev AS (SELECT t.sid, t.xl, t.xr, s.polygon_id, "
+        f"  s.y1 + (t.mid - s.x1) * ((s.y2 - s.y1) / (s.x2 - s.x1)) AS y, "
+        f"  s.y1 + (t.xl - s.x1) * ((s.y2 - s.y1) / (s.x2 - s.x1)) AS ylb, "
+        f"  s.y1 + (t.xr - s.x1) * ((s.y2 - s.y1) / (s.x2 - s.x1)) AS yrb "
+        f"  FROM st2 t JOIN s ON s.xlo <= t.mid AND s.xhi > t.mid AND s.x1 <> s.x2), "
+        f"tog AS (SELECT *, CASE WHEN row_number() OVER "
+        f"  (PARTITION BY sid, polygon_id ORDER BY y) % 2 = 1 THEN 1 ELSE -1 END AS delta "
+        f"  FROM ev), "
+        f"cum AS (SELECT *, sum(delta) OVER "
+        f"  (PARTITION BY sid ORDER BY y, polygon_id, delta ROWS UNBOUNDED PRECEDING) AS cnt "
+        f"  FROM tog), "
+        f"runs AS (SELECT *, lag(cnt, 1, 0) OVER "
+        f"  (PARTITION BY sid ORDER BY y, polygon_id, delta) AS pcnt FROM cum), "
+        f"opens AS (SELECT sid, xl, xr, y AS lo, ylb AS lo_l, yrb AS lo_r, "
+        f"  row_number() OVER (PARTITION BY sid ORDER BY y, polygon_id, delta) AS rn "
+        f"  FROM runs WHERE cnt > 0 AND pcnt = 0), "
+        f"closes AS (SELECT sid, y AS hi, ylb AS hi_l, yrb AS hi_r, "
+        f"  row_number() OVER (PARTITION BY sid ORDER BY y, polygon_id, delta) AS rn "
+        f"  FROM runs WHERE cnt = 0 AND pcnt > 0), "
+        f"iv AS (SELECT o.sid, o.xl, o.xr, o.lo, c.hi, o.lo_l, c.hi_l, o.lo_r, c.hi_r "
+        f"  FROM opens o JOIN closes c ON c.sid = o.sid AND c.rn = o.rn "
+        f"  WHERE c.hi > o.lo), "
+        f"nodes AS MATERIALIZED (SELECT row_number() OVER (ORDER BY sid, lo) AS nid, * FROM iv), "
+        f"edges AS MATERIALIZED (SELECT a.nid AS src, b.nid AS dst FROM nodes a JOIN nodes b "
+        f"  ON b.sid = a.sid + 1 AND least(a.hi_r, b.hi_l) > greatest(a.lo_r, b.lo_l)), "
+        f"sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges), "
+        f"flood AS (SELECT nid AS node, nid AS lbl FROM nodes "
+        f"  UNION SELECT e.dst AS node, f.lbl FROM flood f JOIN sym e ON e.src = f.node "
+        f"    WHERE f.lbl < e.dst), "
+        f"comp AS (SELECT node, min(lbl) AS lbl FROM flood GROUP BY node), "
+        f"stats AS (SELECT (SELECT count(DISTINCT lbl) FROM comp) AS c, "
+        f"  (SELECT count(*) FROM nodes) AS v, (SELECT count(*) FROM edges) AS e, "
+        f"  (SELECT sum((xr - xl) * (hi - lo)) FROM nodes) AS area) "
+        f"SELECT c::BIGINT AS n_components, (e - v + c)::BIGINT AS n_holes, "
+        f"round(area, 6) AS total_area FROM stats"
+    )
+
+
+ORACLE_BUILDERS["dissolve_area"] = q_dissolve_area
+
+
+def q_make_valid_stats(sf_dir: str) -> str:
+    """r5 promotion (VERDICT r4 #4): the corrupted exterior ring is
+    rebuilt in SQL (vertex positions 1 and 1+n//2 swapped when n >= 5,
+    exactly queries.make_valid_stats's swap), then its odd-even repair
+    is measured as the exact per-polygon strip-NERVE: parity membership
+    (prepair's rule), components via STRICT-overlap label-flood (pinch-
+    touching faces separate, matching make_valid's output polygons),
+    area as the exact strip integral.  Mirrors georay/nerve.py
+    mode='parity' verbatim."""
+    segs = datagen.segments_path(sf_dir)
+    return (
+        f"WITH RECURSIVE v0 AS (SELECT polygon_id, seg_idx AS k, x1 AS x, y1 AS y, "
+        f"  count(*) OVER (PARTITION BY polygon_id) AS n "
+        f"  FROM read_parquet('{segs}') WHERE ring_idx = 0), "
+        f"sw AS (SELECT polygon_id, n, CASE "
+        f"  WHEN n >= 5 AND k = 1 THEN 1 + n // 2 "
+        f"  WHEN n >= 5 AND k = 1 + n // 2 THEN 1 ELSE k END AS kk, x, y FROM v0), "
+        f"s AS MATERIALIZED (SELECT a.polygon_id, a.x AS x1, a.y AS y1, "
+        f"  b.x AS x2, b.y AS y2, "
+        f"  least(a.x, b.x) AS xlo, greatest(a.x, b.x) AS xhi, "
+        f"  least(a.y, b.y) AS ylo, greatest(a.y, b.y) AS yhi "
+        f"  FROM sw a JOIN sw b ON b.polygon_id = a.polygon_id "
+        f"  AND b.kk = (a.kk + 1) % a.n), "
+        f"bx AS (SELECT polygon_id, x1 AS x FROM s "
+        f"  UNION SELECT polygon_id, x2 FROM s "
+        f"  UNION SELECT polygon_id, a.x1 + (a.d3 / (a.d3 - a.d4)) * (a.x2 - a.x1) FROM ("
+        f"    SELECT a.polygon_id, a.x1, a.x2, "
+        f"      (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d3, "
+        f"      (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d4 "
+        f"    FROM s a JOIN s b ON b.polygon_id = a.polygon_id "
+        f"      AND a.xlo <= b.xhi AND a.xhi >= b.xlo "
+        f"      AND a.ylo <= b.yhi AND a.yhi >= b.ylo "
+        f"    WHERE sign((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1)) * "
+        f"          sign((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0 "
+        f"      AND sign((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1)) * "
+        f"          sign((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0) a "
+        f"  WHERE a.d3 - a.d4 <> 0), "
+        f"strips AS (SELECT polygon_id, x AS xl, "
+        f"  lead(x) OVER (PARTITION BY polygon_id ORDER BY x) AS xr, "
+        f"  row_number() OVER (PARTITION BY polygon_id ORDER BY x) AS sid "
+        f"  FROM (SELECT DISTINCT polygon_id, x FROM bx)), "
+        f"st2 AS (SELECT polygon_id, sid, xl, xr, (xl + xr) / 2.0 AS mid FROM strips "
+        f"  WHERE xr IS NOT NULL), "
+        f"ev AS (SELECT t.polygon_id, t.sid, t.xl, t.xr, "
+        f"  s.y1 + (t.mid - s.x1) * ((s.y2 - s.y1) / (s.x2 - s.x1)) AS y, "
+        f"  s.y1 + (t.xl - s.x1) * ((s.y2 - s.y1) / (s.x2 - s.x1)) AS ylb, "
+        f"  s.y1 + (t.xr - s.x1) * ((s.y2 - s.y1) / (s.x2 - s.x1)) AS yrb "
+        f"  FROM st2 t JOIN s ON s.polygon_id = t.polygon_id "
+        f"  AND s.xlo <= t.mid AND s.xhi > t.mid AND s.x1 <> s.x2), "
+        f"pos AS (SELECT *, row_number() OVER "
+        f"  (PARTITION BY polygon_id, sid ORDER BY y) AS rk FROM ev), "
+        f"opens AS (SELECT polygon_id, sid, xl, xr, y AS lo, yrb AS lo_r, ylb AS lo_l, "
+        f"  (rk + 1) // 2 AS rn FROM pos WHERE rk % 2 = 1), "
+        f"closes AS (SELECT polygon_id, sid, y AS hi, yrb AS hi_r, ylb AS hi_l, "
+        f"  rk // 2 AS rn FROM pos WHERE rk % 2 = 0), "
+        f"iv AS (SELECT o.polygon_id, o.sid, o.xl, o.xr, o.lo, c.hi, "
+        f"  o.lo_l, c.hi_l, o.lo_r, c.hi_r "
+        f"  FROM opens o JOIN closes c ON c.polygon_id = o.polygon_id "
+        f"  AND c.sid = o.sid AND c.rn = o.rn WHERE c.hi > o.lo), "
+        f"nodes AS MATERIALIZED (SELECT row_number() OVER (ORDER BY polygon_id, sid, lo) "
+        f"  AS nid, * FROM iv), "
+        f"edges AS MATERIALIZED (SELECT a.polygon_id, a.nid AS src, b.nid AS dst "
+        f"  FROM nodes a JOIN nodes b ON b.polygon_id = a.polygon_id "
+        f"  AND b.sid = a.sid + 1 AND least(a.hi_r, b.hi_l) > greatest(a.lo_r, b.lo_l)), "
+        f"sym AS MATERIALIZED (SELECT src, dst FROM edges "
+        f"  UNION SELECT dst AS src, src AS dst FROM edges), "
+        f"flood AS (SELECT nid AS node, nid AS lbl FROM nodes "
+        f"  UNION SELECT e.dst AS node, f.lbl FROM flood f JOIN sym e ON e.src = f.node "
+        f"    WHERE f.lbl < e.dst), "
+        f"comp AS (SELECT node, min(lbl) AS lbl FROM flood GROUP BY node), "
+        f"pc AS (SELECT n.polygon_id, count(DISTINCT c.lbl) AS ncomp, "
+        f"  sum((n.xr - n.xl) * (n.hi - n.lo)) AS area "
+        f"  FROM nodes n JOIN comp c ON c.node = n.nid GROUP BY n.polygon_id) "
+        f"SELECT polygon_id, ncomp::BIGINT AS n_components, "
+        f"round(area, 6) AS repaired_area FROM pc"
+    )
+
+
+ORACLE_BUILDERS["make_valid_stats"] = q_make_valid_stats
