@@ -105,6 +105,10 @@ def audio_path(sf_dir: str) -> str:
     return os.path.join(data_dir(sf_dir), "audio_v2.parquet")
 
 
+def videos_path(sf_dir: str) -> str:
+    return os.path.join(data_dir(sf_dir), "videos.parquet")
+
+
 def polygons_path(sf_dir: str) -> str:
     return os.path.join(data_dir(sf_dir), "polygons.parquet")
 
@@ -238,6 +242,61 @@ def generate_audio(n: int) -> pa.Table:
             "sr": pa.array(np.full(n, AUDIO_SR, np.int32)),
             "n_samples": pa.array(ns),
             "fmt": pa.array(["wav"] * n, pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# video table (r5) — real MJPEG-in-AVI clips (videocodec.py): every
+# frame is a real baseline JPEG of counter-mode splitmix64 pixels, so
+# the SQL oracle regenerates any frame's DECODED bytes through the same
+# DCT pipeline already used for the image table
+# (sqlgen._img_decoded_bytes_ctes / q_video_frames).
+# ---------------------------------------------------------------------------
+
+TAG_VFRAME = 0x1111AA08
+VID_MAXF = 16      # frame-index stride inside the rng stream
+VID_FPS = 10
+
+
+def video_params(i: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) for clip index i — dims stay 8-aligned
+    for the JPEG codec and small so the per-frame SQL oracle is cheap."""
+    return 16 + 8 * (i % 2), 16, 6 + (i % 3) * 3
+
+
+def _vframe_pixels(i: int, f: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixels for frame f of clip i."""
+    n_u64 = (w * h * 3 + 7) // 8
+    base = (np.uint64(i) * np.uint64(VID_MAXF) + np.uint64(f)) * np.uint64(1 << 12)
+    words = rng.stream(TAG_VFRAME, base + np.arange(n_u64, dtype=np.uint64))
+    return words.view(np.uint8)[: w * h * 3].reshape(h, w, 3)
+
+
+def generate_videos(n: int) -> pa.Table:
+    from . import videocodec
+
+    ids, blobs = [], []
+    ws = np.empty(n, np.int32)
+    hs = np.empty(n, np.int32)
+    nf = np.empty(n, np.int32)
+    for i in range(n):
+        w, h, k = video_params(i)
+        frames = [
+            imagecodec.encode_jpeg(_vframe_pixels(i, f, w, h)) for f in range(k)
+        ]
+        ids.append(f"vid-{i:08d}")
+        blobs.append(videocodec.encode_avi(frames, w, h, fps=VID_FPS))
+        ws[i], hs[i], nf[i] = w, h, k
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws),
+            "h": pa.array(hs),
+            "n_frames": pa.array(nf),
+            "fps": pa.array(np.full(n, VID_FPS, np.int32)),
+            "fmt": pa.array(["avi"] * n, pa.string()),
         }
     )
 
@@ -473,7 +532,11 @@ def ensure_tables(sf_dir: str, force: bool = False) -> dict[str, str]:
         "line_segments": line_segments_path(sf_dir),
         "lsh_planes": lsh_planes_path(sf_dir),
         "audio": audio_path(sf_dir),
+        "videos": videos_path(sf_dir),
     }
+    if force or not os.path.exists(paths["videos"]):
+        n_videos = max(24, min(800, int(10_000 * sf)))
+        _atomic_write(generate_videos(n_videos), paths["videos"])
     if force or not os.path.exists(paths["lsh_planes"]):
         _atomic_write(lsh_planes_table(), paths["lsh_planes"])
     n_lines = max(96, min(6144, int(15_000 * sf)))

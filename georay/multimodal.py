@@ -8,10 +8,11 @@ batch, and fat ``bytes`` columns force small ``batch_size`` (the block
 holds rows x ~KB payloads; see run_flagship's 8192-row batches).
 
 Codec reality in this container (no PIL/cv2/ffmpeg): PNG, baseline
-JPEG (r4) and RIFF/WAVE PCM16 audio (r4c, georay.audiocodec) decode
-are real spec-conformant implementations; video decode raises
-NotImplementedError with the exact actor signature kept real and
-tested so swapping a library in is a one-line change.
+JPEG (r4), RIFF/WAVE PCM16 audio (r4c, georay.audiocodec) and
+MJPEG-in-AVI video (r5, georay.videocodec) are all real
+spec-conformant implementations — FrameSample demuxes AVI and decodes
+real JPEG frames natively; only non-MJPEG containers still need an
+external library and raise with the actor signature kept real.
 """
 
 from __future__ import annotations
@@ -122,24 +123,71 @@ class Resize:
 
 
 class FrameSample:
-    """Actor stage signature for video frame sampling.
+    """Actor stage: video -> one row per sampled frame (REAL, r5).
 
-    Real decode requires ffmpeg/av, absent in this container — the
-    stage raises NotImplementedError per batch; its contract (input
-    ``bytes`` + ``fmt='video/*'``, output one row per sampled frame with
-    frame_idx + frame bytes) is pinned by tests so the Ray-side plumbing
-    (schema, explode semantics, actor pooling) is already real.
-    """
+    MJPEG-in-AVI clips demux with the repo's RIFF walker and each
+    sampled frame re-encodes LOSSLESSLY as PNG (videocodec.py,
+    imagecodec.py — no external ffmpeg/PyAV needed), so the exploded
+    frames compose directly with the image stages: the output
+    (image_id='<video_id>#<frame_idx>', frame stats via DecodeStats,
+    dHash, tiling) all work unchanged downstream.  Containers other
+    than AVI/MJPEG still need an external demuxer and raise with a
+    clear message.
+
+    Scale: pure per-row explode, no shuffle — clips stream through an
+    actor pool in small batches (fat binary rows) and only sampled
+    frames leave the stage."""
 
     def __init__(self, every_n: int = 30):
         self.every_n = every_n
+        from .videocodec import decode_avi
+
+        self.demux = decode_avi
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video decode needs an external library (ffmpeg/PyAV) not present "
-            "in this container; plug one in here — the stage contract is "
-            "(image_id, bytes, fmt) -> (image_id, frame_idx, bytes)"
+        from .imagecodec import decode_jpeg, encode_png
+
+        ids, fidx, blobs, ws, hs = [], [], [], [], []
+        for vid, blob, fmt in zip(
+            batch.column("video_id").to_pylist(),
+            batch.column("bytes").to_pylist(),
+            batch.column("fmt").to_pylist(),
+        ):
+            if fmt not in ("avi", "video/avi", "video/x-msvideo"):
+                raise NotImplementedError(
+                    f"container {fmt!r} needs an external demuxer (ffmpeg/PyAV); "
+                    "only MJPEG-in-AVI decodes natively"
+                )
+            w, h, _fps, frames = self.demux(blob)
+            for f in range(0, len(frames), self.every_n):
+                px = decode_jpeg(frames[f])
+                ids.append(f"{vid}#{f:04d}")
+                fidx.append(f)
+                blobs.append(encode_png(px))
+                ws.append(px.shape[1])
+                hs.append(px.shape[0])
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["png"] * len(ids), pa.string()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+            }
         )
+
+
+def frame_sample(videos, every_n: int = 3, concurrency=(1, 8), batch_size: int = 64):
+    """videos: Dataset with (video_id, bytes, fmt) -> one row per
+    sampled frame, PNG-encoded, image-stage-compatible schema."""
+    return videos.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,  # whole clips per row -> small batches
+        concurrency=concurrency,
+    )
 
 
 def decode_stats(images, concurrency=(1, 8), batch_size: int = 2048):

@@ -887,6 +887,7 @@ def doc_fingerprints(sf_dir: str):
 
 
 IMG_STATS_MOD = 10
+VID_FRAME_EVERY = 3
 
 
 def image_stats(sf_dir: str):
@@ -909,6 +910,44 @@ def image_stats(sf_dir: str):
     return multimodal.decode_stats(
         images.map_batches(pick, batch_format="pyarrow"), concurrency=(1, 8), batch_size=2048
     )
+
+
+def video_frames(sf_dir: str):
+    """Video frame sampling (r5, VERDICT r4 'next round' #5): real
+    MJPEG-in-AVI demux + per-frame baseline-JPEG decode
+    (georay/videocodec.py — no ffmpeg) in an actor-pool explode stage
+    (multimodal.FrameSample, every 3rd frame), each frame re-encoded
+    losslessly as PNG and pushed through the SAME image DecodeStats
+    stage as image_stats — per-frame channel means + integer-exact
+    aHash.  Oracled: sqlgen.q_video_frames regenerates every sampled
+    frame's decoded bytes through the shared SQL DCT chain."""
+    from . import multimodal
+
+    paths = datagen.ensure_tables(sf_dir)
+    videos = rd.read_parquet(paths["videos"], columns=["video_id", "bytes", "fmt"])
+    frames = multimodal.frame_sample(videos, every_n=VID_FRAME_EVERY)
+    stats = frames.map_batches(
+        multimodal.DecodeStats, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 8),
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        return pa.table(
+            {
+                "video_id": pa.array([s.split("#")[0] for s in ids], pa.string()),
+                "frame_idx": pa.array([int(s.split("#")[1]) for s in ids], pa.int64()),
+                "mean_r": t.column("mean_r"),
+                "mean_g": t.column("mean_g"),
+                "mean_b": t.column("mean_b"),
+                "ahash": t.column("ahash"),
+            }
+        )
+
+    return stats.map_batches(split, batch_format="pyarrow")
+
+
+QUERIES["video_frames"] = video_frames
 
 
 def dbscan_hot(sf_dir: str):

@@ -2098,22 +2098,11 @@ def _img_decoded_bytes_ctes(sf_dir: str, mod: int, residue: int = 0) -> str:
 
     from . import rng as _rng
     from .datagen import TAG_PIXEL
-    from .imagecodec import _D8, jpeg_quant_tables
 
     base = int(_rng.splitmix64(np.uint64(TAG_PIXEL)))
     images = datagen.images_path(sf_dir)
-    M = 18446744073709551616
-    u = f"(({base} + i * 4096 + k.k) % {M})"
+    u = f"(({base} + i * 4096 + k.k) % {M64})"
     word = _rng.sql_splitmix64(u)
-    dvals = ", ".join(
-        f"({u_}, {x_}, {_D8[u_, x_]!r})" for u_ in range(8) for x_ in range(8)
-    )
-    qy, qc = jpeg_quant_tables()
-    qvals = ", ".join(
-        f"({cls}, {u_}, {v_}, {int((qy if cls == 0 else qc)[u_, v_])})"
-        for cls in (0, 1) for u_ in range(8) for v_ in range(8)
-    )
-    rha = "floor(abs({x}) + 0.5) * sign({x})"
     return (
         f"im AS (SELECT image_id, CAST(substr(image_id, 5) AS BIGINT) AS i "
         f"  FROM read_parquet('{images}') "
@@ -2125,6 +2114,33 @@ def _img_decoded_bytes_ctes(sf_dir: str, mod: int, residue: int = 0) -> str:
         f"ks AS (SELECT unnest(range(0, 384)) AS k), "
         f"wd AS (SELECT d.image_id, d.i % 2 AS lossy, d.w, d.h, k.k, {word} AS word "
         f"  FROM d JOIN ks k ON k.k < (d.w * d.h * 3) // 8), "
+        + _lossy_chain_ctes()
+    )
+
+
+M64 = 18446744073709551616
+
+
+def _lossy_chain_ctes() -> str:
+    """The decode chain shared by the image AND video oracles (r5,
+    factored so q_video_frames reuses the exact DCT pipeline): given a
+    ``wd(image_id, lossy, w, h, k, word)`` CTE of 8-byte rng words,
+    explodes bytes and emits ``bt(image_id, w, h, m, v)`` — byte m of
+    the DECODED stream with value v (lossy=0 rows pass through
+    losslessly, lossy=1 rows run the full RGB->YCbCr / DCT / Q98
+    quantize / IDCT / clamp round trip)."""
+    from .imagecodec import _D8, jpeg_quant_tables
+
+    dvals = ", ".join(
+        f"({u_}, {x_}, {_D8[u_, x_]!r})" for u_ in range(8) for x_ in range(8)
+    )
+    qy, qc = jpeg_quant_tables()
+    qvals = ", ".join(
+        f"({cls}, {u_}, {v_}, {int((qy if cls == 0 else qc)[u_, v_])})"
+        for cls in (0, 1) for u_ in range(8) for v_ in range(8)
+    )
+    rha = "floor(abs({x}) + 0.5) * sign({x})"
+    return (
         f"raw AS (SELECT image_id, lossy, w, h, k * 8 + o.b AS m, "
         f"  ((word // (1::HUGEINT << (8 * o.b))) % 256)::DOUBLE AS v "
         f"  FROM wd, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS o(b)), "
@@ -4350,3 +4366,64 @@ def q_make_valid_stats(sf_dir: str) -> str:
 
 
 ORACLE_BUILDERS["make_valid_stats"] = q_make_valid_stats
+
+
+def q_video_frames(sf_dir: str) -> str:
+    """Video frame stats WITHOUT an AVI parser (r5): every sampled
+    frame of every clip is a real baseline JPEG of counter-mode
+    splitmix64 pixels (datagen._vframe_pixels), so the oracle
+    regenerates each frame's DECODED bytes through the exact shared
+    DCT chain (_lossy_chain_ctes — the same pipeline q_image_stats
+    uses) and rolls up channel means + the integer-exact aHash.  The
+    engine side exercises the real demux (videocodec.decode_avi) +
+    JPEG decode + PNG re-encode + image-stage composition; byte-level
+    container conformance is pytest-gated (test roundtrips the mux)."""
+    import numpy as np
+
+    from . import rng as _rng
+    from .datagen import TAG_VFRAME, VID_MAXF
+    from .queries import VID_FRAME_EVERY
+
+    base = int(_rng.splitmix64(np.uint64(TAG_VFRAME)))
+    videos = datagen.videos_path(sf_dir)
+    u = f"(({base} + (i * {VID_MAXF} + f) * 4096 + k.k) % {M64})"
+    word = _rng.sql_splitmix64(u)
+    return (
+        f"WITH vm AS (SELECT video_id, CAST(substr(video_id, 5) AS BIGINT) AS i, "
+        f"  n_frames FROM read_parquet('{videos}')), "
+        f"fr AS (SELECT video_id, i, unnest(range(0, n_frames)) AS f FROM vm), "
+        f"d AS (SELECT video_id || '#' || lpad(CAST(f AS VARCHAR), 4, '0') AS image_id, "
+        f"  video_id, i, f, 16 + 8 * (i % 2) AS w, 16 AS h "
+        f"  FROM fr WHERE f % {VID_FRAME_EVERY} = 0), "
+        f"ks AS (SELECT unnest(range(0, 144)) AS k), "
+        f"wd AS (SELECT d.image_id, 1 AS lossy, d.w, d.h, k.k, {word} AS word "
+        f"  FROM d JOIN ks k ON k.k < (d.w * d.h * 3) // 8), "
+        + _lossy_chain_ctes()
+        # one-pass rollup, identical shape to q_image_stats
+        + f"g1 AS (SELECT image_id, max(w) AS w, max(h) AS h, "
+        f"  (((m // 3) // w) * 8) // h AS cy, (((m // 3) % w) * 8) // w AS cx, "
+        f"  m % 3 AS c, sum(v)::BIGINT AS s, count(*) AS n "
+        f"  FROM bt GROUP BY image_id, (((m // 3) // w) * 8) // h, "
+        f"  (((m // 3) % w) * 8) // w, m % 3), "
+        f"ch AS (SELECT image_id, c, sum(s)::DOUBLE / sum(n) AS mv "
+        f"  FROM g1 GROUP BY image_id, c), "
+        f"cell AS (SELECT image_id, max(w) AS w, max(h) AS h, cy, cx, "
+        f"  sum(s)::BIGINT AS s FROM g1 GROUP BY image_id, cy, cx), "
+        f"tot AS (SELECT image_id, sum(s) AS st FROM cell GROUP BY image_id), "
+        f"ah AS (SELECT c.image_id, "
+        f"  sum(CASE WHEN c.s * (c.w * c.h) > tot.st * ((c.w * c.h) // 64) "
+        f"      THEN (1::HUGEINT << (c.cy * 8 + c.cx)) ELSE 0::HUGEINT END) AS u "
+        f"  FROM cell c JOIN tot ON tot.image_id = c.image_id GROUP BY c.image_id) "
+        f"SELECT d.video_id, d.f::BIGINT AS frame_idx, "
+        f"round(max(CASE WHEN ch.c = 0 THEN ch.mv END), 4) AS mean_r, "
+        f"round(max(CASE WHEN ch.c = 1 THEN ch.mv END), 4) AS mean_g, "
+        f"round(max(CASE WHEN ch.c = 2 THEN ch.mv END), 4) AS mean_b, "
+        f"max((CASE WHEN ah.u >= 9223372036854775808::HUGEINT "
+        f"  THEN ah.u - {M64} ELSE ah.u END)::BIGINT) AS ahash "
+        f"FROM d JOIN ch ON ch.image_id = d.image_id "
+        f"JOIN ah ON ah.image_id = d.image_id "
+        f"GROUP BY d.video_id, d.f"
+    )
+
+
+ORACLE_BUILDERS["video_frames"] = q_video_frames

@@ -271,21 +271,76 @@ def test_decode_stats_and_resize(ray_session, tiny_sf):
     assert decoded.shape == (12, 8, 3)
 
 
-def test_frame_sample_contract(ray_session):
+def test_avi_mjpeg_roundtrip():
+    """Mux/demux is byte-exact per frame and preserves header metadata;
+    a frame decoded out of the container equals a frame decoded from
+    the JPEG it was muxed from."""
+    import numpy as np
+
+    from georay import imagecodec, videocodec
+
+    pxs = [
+        ((np.arange(16 * 24 * 3).reshape(16, 24, 3) * 7 + f * 31) % 256).astype(
+            np.uint8
+        )
+        for f in range(5)
+    ]
+    frames = [imagecodec.encode_jpeg(p) for p in pxs]
+    blob = videocodec.encode_avi(frames, 24, 16, fps=10)
+    w, h, fps, out = videocodec.decode_avi(blob)
+    assert (w, h, fps, len(out)) == (24, 16, 10, 5)
+    assert all(a == b for a, b in zip(frames, out))
+    np.testing.assert_array_equal(
+        imagecodec.decode_jpeg(out[3]), imagecodec.decode_jpeg(frames[3])
+    )
+    with pytest.raises(ValueError):
+        videocodec.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_frame_sample_real(ray_session):
+    """FrameSample demuxes real MJPEG AVI clips, samples every_n
+    frames, and emits image-stage-compatible PNG rows whose pixels
+    match the datagen frame generator through the JPEG round trip."""
+    import numpy as np
     import ray.data as rd
 
-    from georay.multimodal import FrameSample
+    from georay import datagen, imagecodec, multimodal
 
+    vids = datagen.generate_videos(3)
+    out = (
+        multimodal.frame_sample(
+            rd.from_arrow(vids.select(["video_id", "bytes", "fmt"])),
+            every_n=3,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values(["image_id"])
+        .reset_index(drop=True)
+    )
+    # clip i has 6 + (i % 3) * 3 frames -> sampled ceil(k/3): 2, 3, 4
+    counts = out["image_id"].str.slice(0, 12).value_counts()
+    assert counts["vid-00000000"] == 2
+    assert counts["vid-00000001"] == 3
+    assert counts["vid-00000002"] == 4
+    assert list(out["frame_idx"][:2]) == [0, 3]
+    # PNG rows decode to the JPEG-roundtripped generator pixels
+    r = out[out["image_id"] == "vid-00000002#0006"].iloc[0]
+    w, h, _ = datagen.video_params(2)
+    want = imagecodec.decode_jpeg(
+        imagecodec.encode_jpeg(datagen._vframe_pixels(2, 6, w, h))
+    )
+    np.testing.assert_array_equal(imagecodec.decode_png(r["bytes"]), want)
+    # non-MJPEG containers still raise with a clear message
     t = pa.table(
         {
-            "image_id": pa.array(["v1"]),
+            "video_id": pa.array(["v1"]),
             "bytes": pa.array([b"\x00\x01"], pa.binary()),
             "fmt": pa.array(["video/mp4"]),
         }
     )
     with pytest.raises(Exception) as ei:
         rd.from_arrow(t).map_batches(
-            FrameSample, batch_format="pyarrow", concurrency=1
+            multimodal.FrameSample, batch_format="pyarrow", concurrency=1
         ).to_pandas()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
