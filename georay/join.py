@@ -226,17 +226,27 @@ def _poly_cell_replicas(
     polygons: pa.Table, res: int, n_salt: int, hot_salts: dict[int, int] | None = None
 ) -> pa.Table:
     """Replicate each polygon row to every cell its bbox covers x that
-    cell's salt count (uniform n_salt, or per-cell when hot_salts given)."""
+    cell's salt count (uniform n_salt, or per-cell when hot_salts given).
+
+    Branch-free (r5, VERDICT r4 #3): bbox -> integer cell-range
+    arithmetic over ALL polygons at once — no per-polygon Python loop,
+    so a 10^6-10^7-polygon layer preps in vectorized time."""
     from .geom import _ranges
 
     layer = PolygonLayer.from_arrow(polygons)
-    rows_cell, rows_poly = [], []
-    for p in range(layer.num_polys):
-        cc = cells.cells_for_bbox(*layer.bbox[p], res)
-        rows_cell.append(cc)
-        rows_poly.append(np.full(len(cc), p, dtype=np.int64))
-    cell = np.concatenate(rows_cell).view(np.int64)
-    poly = np.concatenate(rows_poly)
+    n = 1 << res
+    bx = layer.bbox  # (P, 4): minx, miny, maxx, maxy
+    ix0 = np.clip(np.floor((bx[:, 0] + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    ix1 = np.clip(np.floor((bx[:, 2] + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy0 = np.clip(np.floor((bx[:, 1] + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    iy1 = np.clip(np.floor((bx[:, 3] + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    nx = ix1 - ix0 + 1
+    counts = nx * (iy1 - iy0 + 1)
+    poly = np.repeat(np.arange(layer.num_polys, dtype=np.int64), counts)
+    k = _ranges(counts)
+    ix = (ix0[poly] + k % nx[poly]).astype(np.uint64)
+    iy = (iy0[poly] + k // nx[poly]).astype(np.uint64)
+    cell = cells.encode_xy(ix, iy, res).view(np.int64)
     if hot_salts is None:
         fan = np.full(len(cell), n_salt, dtype=np.int64)
     else:
@@ -257,9 +267,13 @@ def detect_hot_cells(
     points, res: int, hot_factor: float = 4.0, max_salt: int = 16
 ) -> dict[int, int]:
     """Skew pre-pass (SURVEY.md §4 'skew' row): per-batch partial cell
-    counts -> tiny combine -> per-cell salt factor for cells holding
-    more than hot_factor x the mean occupied-cell load.  The pre-pass is
-    a cheap streaming aggregate over the slim (lon, lat) projection."""
+    counts -> distributed groupby combine -> per-cell salt factor for
+    cells holding more than hot_factor x the mean occupied-cell load.
+
+    The combine is a Ray ``groupby("cell").sum`` (r5, VERDICT r4 #4 —
+    the driver previously unioned every batch's partials in pandas,
+    which at res >= 10 over a dense corpus is 10^7-10^8 rows); only the
+    tiny hot TAIL is collected to the driver."""
 
     def partial(b: pa.Table) -> pa.Table:
         lon = b.column("lon").to_numpy(zero_copy_only=False)
@@ -268,16 +282,27 @@ def detect_hot_cells(
         uniq, cnt = np.unique(cell, return_counts=True)
         return pa.table({"cell": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
 
-    import pandas as pd
-
-    parts = points.map_batches(partial, batch_format="pyarrow").to_pandas()
-    counts = parts.groupby("cell")["n"].sum()
-    if counts.empty:
+    grouped = (
+        points.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("n")
+        .materialize()
+    )
+    n_cells = grouped.count()
+    if n_cells == 0:
         return {}
-    mean = float(counts.mean())
-    hot = counts[counts > hot_factor * mean]
+    mean = grouped.sum("sum(n)") / n_cells
+
+    def tail(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(n > hot_factor * mean))
+
+    hot = grouped.map_batches(tail, batch_format="pyarrow").to_pandas()
+    if len(hot) == 0:
+        return {}
     return {
-        int(c): int(min(max_salt, max(2, round(n / mean)))) for c, n in hot.items()
+        int(c): int(min(max_salt, max(2, round(n / mean))))
+        for c, n in zip(hot["cell"], hot["sum(n)"])
     }
 
 
