@@ -222,3 +222,44 @@ def test_embed_ann_ivf_recall_vs_exact(ray_session, tiny_sf):
     n_cells = len([i for i in range(n) if i % ANN_CENT_MOD == 0])
     baseline = min(1.0, ANN_NPROBE / max(n_cells, 1))
     assert recall >= max(2.5 * baseline, 0.25), (recall, baseline)
+
+
+def test_topk_pruned_identical_to_dense():
+    """The r5 sub-grid refinement (_topk_pruned) must return the exact
+    dense-block result — including under adversarial exact-duplicate
+    coordinates, where ties at the kth distance must break by smallest
+    neighbor_id (the SQL oracle's ordering) on BOTH paths."""
+    import numpy as np
+
+    from georay import knn
+
+    rng = np.random.default_rng(11)
+    # uniform dense cell
+    q, c = 800, 12000
+    qlon = rng.uniform(10, 10.5, q)
+    qlat = rng.uniform(40, 40.5, q)
+    clon = np.concatenate([qlon, rng.uniform(9.5, 11, c - q)])
+    clat = np.concatenate([qlat, rng.uniform(39.5, 41, c - q)])
+    qid = np.array([f"q{i}" for i in range(q)], object)
+    cid = np.concatenate([qid, np.array([f"c{i}" for i in range(c - q)], object)])
+    # duplicate-point blob: many candidates exactly tied at d=0
+    qlon2 = np.concatenate([np.full(120, 10.0), rng.normal(10, 1e-4, 280)])
+    qlat2 = np.concatenate([np.full(120, 40.0), rng.normal(40, 1e-4, 280)])
+    clon2 = np.concatenate([qlon2, rng.normal(10, 1e-3, 4600)])
+    clat2 = np.concatenate([qlat2, rng.normal(40, 1e-3, 4600)])
+    qid2 = np.array([f"q{i}" for i in range(400)], object)
+    cid2 = np.concatenate(
+        [qid2, np.array([f"c{i}" for i in range(4600)], object)]
+    )
+    for args in (
+        (qlon, qlat, qid, clon, clat, cid),
+        (qlon2, qlat2, qid2, clon2, clat2, cid2),
+    ):
+        for metric in ("haversine", "euclidean"):
+            a = knn._topk_block(*args, 5, metric)
+            b = knn._topk_pruned(*args, 5, metric)
+            assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    # duplicate blob: every tied neighbor of q0 is the smallest-id one
+    rows, cols, dist = knn._topk_pruned(qlon2, qlat2, qid2, clon2, clat2, cid2, 5)
+    nb0 = [cid2[c_] for c_, r, d in zip(cols, rows, dist) if r == 0 and d == 0.0]
+    assert nb0 == sorted(nb0)
