@@ -526,6 +526,110 @@ def embed_neardup_pairs(embeds, threshold: float = 0.8, id_col: str = "vec_id", 
     return embeds.map_batches(block, batch_format="pyarrow")
 
 
+def embed_neardup_pairs_blocked(
+    embeds,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    target_block: int = 4096,
+    chunk: int = 1024,
+):
+    """All (a < b) pairs with cosine similarity >= threshold — EXACT,
+    fully DISTRIBUTED (triangle block join; the scale path for
+    :func:`embed_neardup_pairs`, whose broadcast side is O(n) per
+    worker and whose matrix build runs on the driver).
+
+    Rows hash into B = ``n_blocks`` id-blocks; every unordered block
+    pair (i <= j) is one shuffle bucket (B(B+1)/2 buckets total).  The
+    replicate stage sends each row to the B buckets it participates in
+    — the classic triangle / grid theta-join: exact all-pairs work is
+    inherently O(n^2) dot products, and this layout pays O(n*B)
+    communication to bound per-bucket memory at O(n/B) rows and
+    per-bucket work at O((n/B)^2).  Pick ``target_block`` (the n/B
+    goal) to a worker's comfortable matrix size; B then grows as
+    n/target_block and communication as work/target_block, the standard
+    trade.  Inside a bucket ONE chunked matmul scores the cross (or
+    intra upper-triangle) pairs; each unordered pair lands in exactly
+    one bucket, so the union needs no dedup.  Output is identical to
+    the broadcast path and the all-pairs SQL oracle.
+
+    Reference role: geo's BallTree/rstar bulk queries assume one
+    in-memory index (ball_tree.rs); this is the shuffle-native exact
+    replacement when neither side fits one node."""
+    if n_blocks is None:
+        n = embeds.count()
+        n_blocks = max(1, -(-int(n) // int(target_block)))
+    B = int(n_blocks)
+
+    def _pbkt(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        # dense index of the upper-triangle pair (lo <= hi) in [0, B(B+1)/2)
+        return lo * B - (lo * (lo - 1)) // 2 + (hi - lo)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        blk = ids % B
+        partner = np.tile(np.arange(B, dtype=np.int64), n)
+        rblk = np.repeat(blk, B)
+        lo = np.minimum(rblk, partner)
+        hi = np.maximum(rblk, partner)
+        t = b.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), B)))
+        return pa.table(
+            {
+                "__pbkt": pa.array(_pbkt(lo, hi), pa.int64()),
+                "__blk": pa.array(rblk, pa.int64()),
+                id_col: t.column(id_col),
+                "vec": t.column(vec_col),
+            }
+        )
+
+    def _emit(sims, ida, idb, cross: bool):
+        if cross:
+            ii, jj = np.nonzero(sims >= threshold)
+            a = np.minimum(ida[ii], idb[jj])
+            bb = np.maximum(ida[ii], idb[jj])
+        else:
+            ii, jj = np.nonzero((sims >= threshold) & (ida[:, None] < idb[None, :]))
+            a, bb = ida[ii], idb[jj]
+        return a, bb
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) < 2:
+            return empty
+        blk = g.column("__blk").to_numpy(zero_copy_only=False)
+        flat = np.asarray(g.column("vec").combine_chunks().flatten(), dtype=np.float64)
+        m = flat.reshape(len(ids), -1)
+        nm = np.linalg.norm(m, axis=1)
+        nm = np.where(nm == 0, 1.0, nm)
+        lo, hi = int(blk.min()), int(blk.max())
+        if lo == hi:
+            sel = np.ones(len(ids), dtype=bool)
+        else:
+            sel = blk == lo
+        mA, idA, nA = m[sel], ids[sel], nm[sel]
+        mB, idB, nB = (m, ids, nm) if lo == hi else (m[~sel], ids[~sel], nm[~sel])
+        outs_a, outs_b = [], []
+        for s in range(0, len(idA), chunk):
+            e = min(s + chunk, len(idA))
+            sims = (mA[s:e] @ mB.T) / (nA[s:e, None] * nB[None, :])
+            a, bb = _emit(sims, idA[s:e], idB, cross=(lo != hi))
+            outs_a.append(a)
+            outs_b.append(bb)
+        a = np.concatenate(outs_a) if outs_a else np.array([], np.int64)
+        bb = np.concatenate(outs_b) if outs_b else np.array([], np.int64)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(bb, pa.int64())})
+
+    return (
+        embeds.select_columns([id_col, vec_col])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("__pbkt")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+
 def lsh_params_for(
     threshold: float, target_recall: float = 0.9, max_tables: int = 32,
     max_bits: int = 16,

@@ -797,6 +797,23 @@ def embed_neardup(sf_dir: str):
     return pa.concat_tables(batches) if batches else schema.empty_table()
 
 
+def embed_neardup_blocked(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs via the DISTRIBUTED
+    triangle block join (georay.dedup.embed_neardup_pairs_blocked) —
+    same result set as embed_neardup, no driver materialization and no
+    full-matrix broadcast; n_blocks forced > 1 so the sf-scale run
+    actually exercises the cross-block buckets."""
+    from . import dedup as gdedup
+    from .sqlgen import EMB_NEARDUP_T
+
+    ds = gdedup.embed_neardup_pairs_blocked(
+        _testdata(sf_dir, "embeddings"), threshold=EMB_NEARDUP_T, n_blocks=4
+    )
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if len(b)]
+    return pa.concat_tables(batches) if batches else schema.empty_table()
+
+
 def embed_neardup_lsh_pairs(sf_dir: str):
     """Random-hyperplane-LSH near-dup pairs — the 100-TB path
     (bucketed groupby, no corpus broadcast; Charikar 2002).  Rows-only
@@ -1015,6 +1032,7 @@ QUERIES.update(
         "lang_guess": lang_guess,
         "ngram_jaccard": ngram_jaccard,
         "embed_neardup": embed_neardup,
+        "embed_neardup_blocked": embed_neardup_blocked,
         "embed_neardup_lsh": embed_neardup_lsh_pairs,
         "embed_lsh_candidates": embed_lsh_candidates,
         "minhash_dedup": minhash_dedup,

@@ -519,6 +519,9 @@ ORACLE_BUILDERS.update(
         "lang_guess": q_lang_guess,
         "ngram_jaccard": q_ngram_jaccard,
         "embed_neardup": q_embed_neardup,
+        # the blocked triangle-join scale path computes the SAME pair
+        # set as the broadcast validation path — one oracle, two engines
+        "embed_neardup_blocked": q_embed_neardup,
     }
 )
 

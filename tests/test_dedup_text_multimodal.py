@@ -113,6 +113,39 @@ def test_embed_neardup_pairs(ray_session):
     assert pairs == expected
 
 
+def test_embed_neardup_blocked_matches_broadcast(ray_session):
+    """The distributed triangle block join (scale path) emits EXACTLY
+    the broadcast validation path's pair set, each pair once, for
+    every block count including B=1 and B > n_rows."""
+    import ray.data as rd
+
+    from georay.dedup import embed_neardup_pairs, embed_neardup_pairs_blocked
+
+    rs = np.random.RandomState(11)
+    base = rs.randn(60, 12).astype(np.float32)
+    near = base[:6] + rs.randn(6, 12).astype(np.float32) * 0.01
+    mat = np.vstack([base, near])
+    # non-contiguous, shuffled ids so block hashing sees real id space
+    ids = (np.arange(len(mat)) * 7 + 3).astype(np.int64)
+    rs.shuffle(ids)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        }
+    )
+    ref = embed_neardup_pairs(rd.from_arrow(t), threshold=0.95).to_pandas()
+    ref_pairs = sorted(zip(ref["a"], ref["b"]))
+    assert len(ref_pairs) >= 6
+    for B in (1, 3, 5, 200):
+        got = embed_neardup_pairs_blocked(
+            rd.from_arrow(t), threshold=0.95, n_blocks=B, chunk=17
+        ).to_pandas()
+        got_pairs = sorted(zip(got["a"], got["b"]))
+        assert got_pairs == ref_pairs, f"n_blocks={B}"
+        assert len(got_pairs) == len(set(got_pairs))
+
+
 def test_minhash_distributed_matches_driver_reference_10x(ray_session):
     """VERDICT r1 #1 done-gate: the distributed LSH pipeline produces
     IDENTICAL groups to a driver-side reference (same signature
