@@ -490,6 +490,99 @@ def simhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id", max_hamm
     return _labels_to_output(sigs, labels, "doc_id", extra_payload=("simhash",))
 
 
+def hamming_neardup_pairs(
+    sigs,
+    max_dist: int = 8,
+    id_col: str = "key",
+    hash_col: str = "hash",
+):
+    """Generic banded 64-bit Hamming join: all (a < b) id pairs whose
+    hashes differ in <= ``max_dist`` bits, with the exact distance.
+
+    EXACT recall by pigeonhole: the 64 bits split into B = max_dist+1
+    contiguous bands, so any pair within distance max_dist has at least
+    one band with zero differing bits and meets in that band's bucket.
+    Stages: band explosion -> hash(band, chunk) % P shuffle ->
+    per-bucket lexsort + segment all-pairs + vectorized popcount ->
+    distinct (a, b, dist).  Identical-hash pairs (dist 0) collide in
+    every band and are deduplicated by the final distinct, never lost.
+    Generalizes the 4x16 SimHash banding (simhash_dedup) to any
+    max_dist and keeps the verified distance in the output."""
+    B = int(max_dist) + 1
+    cuts = [(k * 64) // B for k in range(B + 1)]
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column(hash_col).to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(ids)
+        bands, chunks = [], []
+        for k in range(B):
+            lo, hi = cuts[k], cuts[k + 1]
+            mask = np.uint64((1 << (hi - lo)) - 1)
+            bands.append(np.full(n, k, np.int64))
+            chunks.append(((h >> np.uint64(lo)) & mask).astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands)),
+                "chunk": pa.array(np.concatenate(chunks)),
+                id_col: pa.array(np.tile(ids, B)),
+                hash_col: pa.array(np.tile(h.view(np.int64), B)),
+            }
+        )
+
+    from .shuffleops import DEFAULT_P, bucket_ids, segment_pairs
+
+    def prepare(b: pa.Table) -> pa.Table:
+        bid = bucket_ids(b.column("band"), DEFAULT_P, b.column("chunk"))
+        return b.append_column("__bucket", pa.array(bid))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        n = len(g)
+        if n < 2:
+            return empty
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        chunk = g.column("chunk").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g.column(hash_col).to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, chunk, band))
+        band, chunk, ids, h = band[order], chunk[order], ids[order], h[order]
+        seg_new = np.r_[True, (band[1:] != band[:-1]) | (chunk[1:] != chunk[:-1])]
+        seg_starts = np.nonzero(seg_new)[0]
+        seg_ends = np.r_[seg_starts[1:], n]
+        pi, pj = segment_pairs(seg_starts, seg_ends)
+        if len(pi) == 0:
+            return empty
+        x = h[pi] ^ h[pj]
+        pc = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+        keep = pc <= max_dist
+        a = np.minimum(ids[pi[keep]], ids[pj[keep]])
+        bb = np.maximum(ids[pi[keep]], ids[pj[keep]])
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(bb, pa.int64()),
+                "dist": pa.array(pc[keep], pa.int64()),
+            }
+        )
+
+    from .shuffleops import bucket_distinct
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .map_batches(prepare, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return bucket_distinct(pairs, ["a", "b", "dist"])
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine
 # ---------------------------------------------------------------------------

@@ -268,6 +268,37 @@ def dhash(images, concurrency=(1, 8), batch_size: int = 2048):
     )
 
 
+class DHashVariants:
+    """Actor stage: decode ONCE, emit the dHash of the original AND of
+    a brightness-shifted copy (every channel byte +``delta``, clipped
+    at 255 — the classic perceptual-hash robustness perturbation:
+    adding a constant preserves adjacent-cell brightness comparisons
+    except where the clip bites, so the two hashes land within a small
+    Hamming distance).  Output rows (key = 2*image_index + variant,
+    dhash) feed dedup.hamming_neardup_pairs; the SQL oracle
+    (sqlgen.q_image_neardup) regenerates BOTH hashes from the decoded
+    byte stream with the identical integer arithmetic."""
+
+    def __init__(self, delta: int = 8):
+        self.decode = decode_image
+        self.delta = int(delta)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        keys = np.empty(2 * len(ids), np.int64)
+        hashes = np.empty(2 * len(ids), np.int64)
+        for i, (img_id, blob, fmt) in enumerate(
+            zip(ids, batch.column("bytes").to_pylist(), batch.column("fmt").to_pylist())
+        ):
+            px = self.decode(blob, fmt).astype(np.int64)
+            idx = int(img_id[4:])
+            keys[2 * i] = 2 * idx
+            keys[2 * i + 1] = 2 * idx + 1
+            hashes[2 * i] = DHash._dhash(px)
+            hashes[2 * i + 1] = DHash._dhash(np.minimum(px + self.delta, 255))
+        return pa.table({"key": pa.array(keys), "hash": pa.array(hashes)})
+
+
 class AudioFeatures:
     """Actor stage: WAV decode -> per-window integer features.
 

@@ -2951,6 +2951,45 @@ def image_dhash(sf_dir: str):
 QUERIES["image_dhash"] = image_dhash
 
 
+IMG_NEARDUP_DIST = 8
+
+
+def image_neardup(sf_dir: str):
+    """Image near-duplicate pairs by banded dHash Hamming join: each
+    sampled image (residue 1 of the mod-10 split, the image_dhash
+    rows) decodes ONCE and contributes its original and a
+    brightness+8-clipped variant (multimodal.DHashVariants); the
+    banded join (dedup.hamming_neardup_pairs, 9 bands) then finds all
+    key pairs within Hamming distance 8 — EXACT recall by pigeonhole,
+    so the all-pairs SQL oracle (sqlgen.q_image_neardup) matches
+    bit-for-bit."""
+    from . import multimodal
+    from .dedup import hamming_neardup_pairs
+
+    paths = datagen.ensure_tables(sf_dir)
+    images = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "fmt"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        i = pa.array(
+            [int(s[4:]) % IMG_STATS_MOD == 1 for s in t.column("image_id").to_pylist()]
+        )
+        return t.filter(i)
+
+    sigs = images.map_batches(pick, batch_format="pyarrow").map_batches(
+        multimodal.DHashVariants,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+    ds = hamming_neardup_pairs(sigs, max_dist=IMG_NEARDUP_DIST)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("dist", pa.int64())])
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if len(b)]
+    return pa.concat_tables(batches) if batches else schema.empty_table()
+
+
+QUERIES["image_neardup"] = image_neardup
+
+
 AUDIO_SAMPLE_MOD = 5
 AUDIO_WINDOW = 512
 

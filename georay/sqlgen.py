@@ -3393,6 +3393,56 @@ def q_image_dhash(sf_dir: str) -> str:
 ORACLE_BUILDERS["image_dhash"] = q_image_dhash
 
 
+def q_image_neardup(sf_dir: str) -> str:
+    """Image near-dup pairs in SQL (r5, multimodal.DHashVariants +
+    dedup.hamming_neardup_pairs): the shared decoded-byte chain rolls
+    up to TWO 8x9 grids per image — original sums and
+    least(v+delta, 255) brightness-shifted sums — producing hash keys
+    2*i and 2*i+1; the all-pairs join then keeps every key pair within
+    Hamming distance IMG_NEARDUP_DIST (bit_count of the xor).  The
+    banded engine path has exact recall at that distance by pigeonhole,
+    so the two result sets are identical."""
+    from .queries import IMG_NEARDUP_DIST, IMG_STATS_MOD
+
+    M = 18446744073709551616
+    return (
+        f"WITH {_img_decoded_bytes_ctes(sf_dir, IMG_STATS_MOD, 1)} "
+        f"g1 AS (SELECT image_id, "
+        f"  (((m // 3) // w) * 8) // h AS cy, (((m // 3) % w) * 9) // w AS cx, "
+        f"  sum(v)::BIGINT AS s, sum(least(v + 8, 255))::BIGINT AS sv, "
+        f"  (count(*) // 3)::BIGINT AS n "
+        f"  FROM bt GROUP BY image_id, (((m // 3) // w) * 8) // h, "
+        f"  (((m // 3) % w) * 9) // w), "
+        # MATERIALIZED: dh feeds BOTH branches of the u UNION — inlined,
+        # the decoded-byte chain would run once per branch
+        f"dh AS MATERIALIZED (SELECT a.image_id, "
+        f"  sum(CASE WHEN b.s * a.n > a.s * b.n "
+        f"      THEN (1::HUGEINT << (a.cy * 8 + a.cx)) ELSE 0::HUGEINT END) AS u0, "
+        f"  sum(CASE WHEN b.sv * a.n > a.sv * b.n "
+        f"      THEN (1::HUGEINT << (a.cy * 8 + a.cx)) ELSE 0::HUGEINT END) AS u1 "
+        f"  FROM g1 a JOIN g1 b ON b.image_id = a.image_id "
+        f"  AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx <= 7 "
+        f"  GROUP BY a.image_id), "
+        # MATERIALIZED: u is self-joined below — inlined, DuckDB would
+        # re-run the whole decoded-byte chain once per join side
+        f"u AS MATERIALIZED (SELECT 2 * im.i AS key, "
+        f"  (CASE WHEN dh.u0 >= 9223372036854775808::HUGEINT "
+        f"    THEN dh.u0 - {M} ELSE dh.u0 END)::BIGINT AS h "
+        f"  FROM im JOIN dh ON dh.image_id = im.image_id "
+        f"  UNION ALL SELECT 2 * im.i + 1 AS key, "
+        f"  (CASE WHEN dh.u1 >= 9223372036854775808::HUGEINT "
+        f"    THEN dh.u1 - {M} ELSE dh.u1 END)::BIGINT AS h "
+        f"  FROM im JOIN dh ON dh.image_id = im.image_id) "
+        f"SELECT a.key AS a, b.key AS b, "
+        f"bit_count(xor(a.h, b.h))::BIGINT AS dist "
+        f"FROM u a JOIN u b ON a.key < b.key "
+        f"WHERE bit_count(xor(a.h, b.h)) <= {IMG_NEARDUP_DIST}"
+    )
+
+
+ORACLE_BUILDERS["image_neardup"] = q_image_neardup
+
+
 def q_audio_features(sf_dir: str) -> str:
     """Windowed audio features WITHOUT decoding (r4c,
     multimodal.AudioFeatures): the PCM samples are an integer triangle

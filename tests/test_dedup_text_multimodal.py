@@ -146,6 +146,66 @@ def test_embed_neardup_blocked_matches_broadcast(ray_session):
         assert len(got_pairs) == len(set(got_pairs))
 
 
+def test_hamming_neardup_pairs_brute_parity(ray_session):
+    """Banded Hamming join == brute-force all-pairs popcount filter,
+    including dist-0 (identical hash) pairs, for several max_dist."""
+    import ray.data as rd
+
+    from georay.dedup import hamming_neardup_pairs
+
+    rs = np.random.RandomState(5)
+    base = rs.randint(-(2**62), 2**62, size=80).astype(np.int64)
+    # plant near-dups: flip 1..6 random bits of the first 20 hashes
+    pert = base[:20].copy()
+    for i in range(20):
+        for bit in rs.choice(64, size=1 + i % 6, replace=False):
+            pert[i] ^= np.int64(np.uint64(1) << np.uint64(bit))
+    # and exact dups (dist 0) of the next 5
+    h = np.concatenate([base, pert, base[20:25]])
+    keys = np.arange(len(h), dtype=np.int64) * 3 + 1
+    t = pa.table({"key": pa.array(keys), "hash": pa.array(h)})
+    hu = h.view(np.uint64)
+    for d in (3, 8):
+        got = hamming_neardup_pairs(rd.from_arrow(t), max_dist=d).to_pandas()
+        got_set = {tuple(r) for r in got[["a", "b", "dist"]].itertuples(index=False)}
+        exp = set()
+        for i in range(len(h)):
+            for j in range(i + 1, len(h)):
+                pc = bin(int(hu[i] ^ hu[j])).count("1")
+                if pc <= d:
+                    ka, kb = int(keys[i]), int(keys[j])
+                    exp.add((min(ka, kb), max(ka, kb), pc))
+        assert got_set == exp, f"max_dist={d}"
+        assert len(got) == len(got_set)  # distinct stage killed band dups
+
+
+def test_dhash_variants_near_original(ray_session):
+    """The brightness+8-clipped variant's dHash stays within the
+    query's Hamming budget of the original on real decoded images."""
+    from georay import imagecodec
+    from georay.multimodal import DHash, DHashVariants
+
+    rs = np.random.RandomState(3)
+    st = DHashVariants()
+    for trial in range(6):
+        px = rs.randint(0, 256, size=(16, 24, 3)).astype(np.uint8)
+        blob = imagecodec.encode_png(px)
+        t = pa.table(
+            {
+                "image_id": pa.array([f"img-{trial:012d}"]),
+                "bytes": pa.array([blob], pa.binary()),
+                "fmt": pa.array(["png"]),
+            }
+        )
+        out = st(t)
+        keys = out.column("key").to_pylist()
+        hashes = out.column("hash").to_numpy().view(np.uint64)
+        assert keys == [2 * trial, 2 * trial + 1]
+        assert hashes[0] == np.uint64(np.int64(DHash._dhash(px.astype(np.int64)))), "orig hash"
+        d = bin(int(hashes[0] ^ hashes[1])).count("1")
+        assert d <= 8, f"variant drifted {d} bits"
+
+
 def test_minhash_distributed_matches_driver_reference_10x(ray_session):
     """VERDICT r1 #1 done-gate: the distributed LSH pipeline produces
     IDENTICAL groups to a driver-side reference (same signature
