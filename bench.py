@@ -168,6 +168,26 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         times[f"dupgram_{n_doc // 1000}k"] = round(dt, 3)
         times["dupgram_docs_per_sec"] = round(n_doc / dt)
 
+    # blocked exact embedding near-dup at scale (r5b): the triangle
+    # block join's O(n^2) matmul distributed over B(B+1)/2 shuffle
+    # buckets — n^2 = 2.5e9 candidate dots at the 50k default, a scale
+    # where the broadcast validation path's full-matrix ray.put is
+    # already the wrong shape
+    n_emb = int(os.environ.get("GEORAY_EMBED_BLOCKED_N", "50000"))
+    if n_emb:
+        import ray.data as rd
+
+        from georay import datagen, dedup
+
+        emb_path = datagen.ensure_bench_embeds(n_emb)
+        ds = rd.read_parquet(emb_path)
+        t0 = time.time()
+        pairs = dedup.embed_neardup_pairs_blocked(ds, threshold=0.95).count()
+        dt = time.time() - t0
+        assert pairs >= n_emb // 41 - 32, pairs  # planted near-dups found
+        times[f"embed_blocked_{n_emb // 1000}k"] = round(dt, 3)
+        times["embed_blocked_dots_per_sec"] = round(n_emb * (n_emb - 1) / 2 / dt)
+
     # document-scoring family at scale (r4c): corpus-trained bigram LM
     # + TF-IDF over the same 200k-doc corpus — two count-shuffle /
     # score-join pipelines (lmscore.py), ~4.8M token occurrences

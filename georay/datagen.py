@@ -641,3 +641,43 @@ def ensure_bench_docs(n: int, words_per_doc: int = 48, n_shards: int = 32) -> st
         with open(done, "w") as f:
             f.write("ok")
     return root
+
+
+TAG_BEMBED = 0x1111AA0B
+
+
+def ensure_bench_embeds(n: int, dim: int = 16, n_shards: int = 32) -> str:
+    """Deterministic synthetic embedding table for the blocked exact
+    near-dup bench: unit-scale float32 vectors from splitmix64 streams
+    (uniform in [-1, 1] per coordinate), with every 41st vector a tiny
+    perturbation of its predecessor so true near-dup pairs exist.
+    Sharded parquet, cached like ensure_bench_points."""
+    root = os.path.join(DATA_ROOT, f"bench_embeds_{n}_{dim}")
+    done = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(done):
+        per = (n + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            lo, hi = s * per, min(n, (s + 1) * per)
+            if lo >= hi:
+                break
+            m = hi - lo
+            idx = (
+                np.arange(lo, hi, dtype=np.uint64)[:, None] * np.uint64(dim)
+                + np.arange(dim, dtype=np.uint64)[None, :]
+            )
+            u = rng.uniform01(rng.stream(TAG_BEMBED, idx.ravel())).reshape(m, dim)
+            mat = (2.0 * u - 1.0).astype(np.float32)
+            ids = np.arange(lo, hi, dtype=np.int64)
+            dup = (ids % 41 == 0) & (ids > lo)
+            rows = np.nonzero(dup)[0]
+            mat[rows] = mat[rows - 1] + (mat[rows] * np.float32(0.01))
+            table = pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+                }
+            )
+            _atomic_write(table, os.path.join(root, f"shard-{s:04d}.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return root
