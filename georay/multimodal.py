@@ -44,19 +44,19 @@ class DecodeStats:
         produce)."""
         gray = px.astype(np.int64).sum(axis=2)  # 3x the gray value: scale-free
         h, w = gray.shape
-        ys = (np.arange(8) * h) // 8
-        ye = ((np.arange(8) + 1) * h) // 8
-        xs = (np.arange(8) * w) // 8
-        xe = ((np.arange(8) + 1) * w) // 8
+        # one bincount over the flattened cell ids replaces the 8x8
+        # Python slice loop (r5b); float64 weights exact (< 765*h*w << 2^53)
+        cy = (np.arange(h, dtype=np.int64) * 8) // h
+        cx = (np.arange(w, dtype=np.int64) * 8) // w
+        cell = (cy[:, None] * 8 + cx[None, :]).ravel()
+        s = np.bincount(cell, weights=gray.ravel(), minlength=64).astype(np.int64)
+        n_cell = np.bincount(cell, minlength=64).astype(np.int64)
         total = int(gray.sum())
         n_total = h * w
+        bits = s * n_total > total * n_cell
         out = np.uint64(0)
-        for i in range(8):
-            for j in range(8):
-                s = int(gray[ys[i] : ye[i], xs[j] : xe[j]].sum())
-                n_cell = (ye[i] - ys[i]) * (xe[j] - xs[j])
-                if s * n_total > total * n_cell:
-                    out |= np.uint64(1) << np.uint64(i * 8 + j)
+        for k in np.nonzero(bits)[0]:
+            out |= np.uint64(1) << np.uint64(k)
         return int(out.astype(np.int64).view(np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -190,7 +190,7 @@ def frame_sample(videos, every_n: int = 3, concurrency=(1, 8), batch_size: int =
     )
 
 
-def decode_stats(images, concurrency=(1, 8), batch_size: int = 2048):
+def decode_stats(images, concurrency=(1, 8), batch_size: int = 256):
     """images: Dataset with (image_id, bytes, fmt) -> decoded stats."""
     return images.map_batches(
         DecodeStats,
@@ -200,7 +200,7 @@ def decode_stats(images, concurrency=(1, 8), batch_size: int = 2048):
     )
 
 
-def resize(images, factor: int = 2, concurrency=(1, 8), batch_size: int = 2048):
+def resize(images, factor: int = 2, concurrency=(1, 8), batch_size: int = 256):
     return images.map_batches(
         Resize,
         fn_constructor_kwargs={"factor": factor},
@@ -229,17 +229,16 @@ class DHash:
     def _dhash(px: np.ndarray) -> int:
         gray = px.astype(np.int64).sum(axis=2)  # 3x gray: scale-free
         h, w = gray.shape
-        # CEIL boundaries: cell j = {x : (x*9)//w == j}, the exact
-        # inverse of the index map the SQL rollup uses — floor
-        # boundaries (j*w)//9 disagree at cell edges when 9 !| w
-        ys = (np.arange(9) * h + 7) // 8
-        xs = (np.arange(10) * w + 8) // 9
-        s = np.empty((8, 9), np.int64)
-        n = np.empty((8, 9), np.int64)
-        for i in range(8):
-            for j in range(9):
-                s[i, j] = int(gray[ys[i]: ys[i + 1], xs[j]: xs[j + 1]].sum())
-                n[i, j] = (ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j])
+        # cell of pixel (y, x) = ((y*8)//h, (x*9)//w) — the exact index
+        # map the SQL rollup uses; one bincount over the flattened cell
+        # ids replaces the 8x9 Python slice loop (r5b).  float64
+        # bincount weights are exact here: a cell sum is < 765 * h * w
+        # << 2^53
+        cy = (np.arange(h, dtype=np.int64) * 8) // h
+        cx = (np.arange(w, dtype=np.int64) * 9) // w
+        cell = (cy[:, None] * 9 + cx[None, :]).ravel()
+        s = np.bincount(cell, weights=gray.ravel(), minlength=72).astype(np.int64).reshape(8, 9)
+        n = np.bincount(cell, minlength=72).astype(np.int64).reshape(8, 9)
         bits = s[:, 1:] * n[:, :-1] > s[:, :-1] * n[:, 1:]
         out = np.uint64(0)
         for i in range(8):
@@ -258,7 +257,7 @@ class DHash:
         return pa.table({"image_id": ids, "dhash": pa.array(hashes)})
 
 
-def dhash(images, concurrency=(1, 8), batch_size: int = 2048):
+def dhash(images, concurrency=(1, 8), batch_size: int = 256):
     """images: Dataset with (image_id, bytes, fmt) -> (image_id, dhash)."""
     return images.map_batches(
         DHash,
@@ -472,7 +471,7 @@ class TileCrop:
         })
 
 
-def tile_crop(images, concurrency=(1, 8), batch_size: int = 2048):
+def tile_crop(images, concurrency=(1, 8), batch_size: int = 256):
     return images.map_batches(
         TileCrop, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,

@@ -925,7 +925,7 @@ def image_stats(sf_dir: str):
         return t.filter(i)
 
     return multimodal.decode_stats(
-        images.map_batches(pick, batch_format="pyarrow"), concurrency=(1, 8), batch_size=2048
+        images.map_batches(pick, batch_format="pyarrow"), concurrency=(1, 8), batch_size=256
     )
 
 
@@ -944,7 +944,7 @@ def video_frames(sf_dir: str):
     videos = rd.read_parquet(paths["videos"], columns=["video_id", "bytes", "fmt"])
     frames = multimodal.frame_sample(videos, every_n=VID_FRAME_EVERY)
     stats = frames.map_batches(
-        multimodal.DecodeStats, batch_format="pyarrow", batch_size=2048,
+        multimodal.DecodeStats, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 8),
     )
 
@@ -2944,7 +2944,7 @@ def image_dhash(sf_dir: str):
         return t.filter(i)
 
     return multimodal.dhash(
-        images.map_batches(pick, batch_format="pyarrow"), concurrency=(1, 8), batch_size=2048
+        images.map_batches(pick, batch_format="pyarrow"), concurrency=(1, 8), batch_size=256
     )
 
 
@@ -2978,7 +2978,7 @@ def image_neardup(sf_dir: str):
     sigs = images.map_batches(pick, batch_format="pyarrow").map_batches(
         multimodal.DHashVariants,
         batch_format="pyarrow",
-        batch_size=2048,
+        batch_size=256,
         concurrency=(1, 8),
     )
     ds = hamming_neardup_pairs(sigs, max_dist=IMG_NEARDUP_DIST)

@@ -43,6 +43,9 @@ QUERIES = [
     "top_tokens_per_lang",
     "docs_rollup",
     "interval_join",
+    # r5b additions — block-pair and band-bucket shuffles
+    "embed_neardup_blocked",
+    "image_neardup",
 ]
 
 _WORKER = '''
