@@ -3363,6 +3363,58 @@ def image_tiles(sf_dir: str):
 QUERIES["image_tiles"] = image_tiles
 
 
+def image_resize_stats(sf_dir: str):
+    """Image resize through the FULL chain: decode -> 2x2 box-mean
+    downsample with numpy's round-half-to-EVEN (multimodal.Resize) ->
+    PNG re-encode -> re-decode -> per-channel means of the resized
+    pixels.  Residue 4 of the mod-10 split (a fourth disjoint image
+    sample, PNG rows: the lossless chain keeps the oracle integer-exact
+    end-to-end — JPEG rows would expose single-pixel knife edges where
+    the SQL DCT's float summation ORDER, which DuckDB parallelizes
+    nondeterministically, flips a half-away rounding by one ulp).  Oracle (sqlgen.q_image_resize_stats): 2x2 box sums of
+    the regenerated decoded pixels with the half-even rounding of k/4
+    expressed exactly in integers — (k//4) + 1 iff k%4=3 or (k%4=2 and
+    k//4 odd) — then the same half-away 4dp mean as image_stats."""
+    from . import multimodal
+    from .imagecodec import decode_image
+
+    paths = datagen.ensure_tables(sf_dir)
+    images = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "fmt"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        i = pa.array(
+            [int(s[4:]) % IMG_STATS_MOD == 4 for s in t.column("image_id").to_pylist()]
+        )
+        return t.filter(i)
+
+    resized = multimodal.resize(
+        images.map_batches(pick, batch_format="pyarrow"), factor=2
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id")
+        means = np.empty((len(t), 3))
+        for i, blob in enumerate(t.column("bytes").to_pylist()):
+            px = decode_image(blob, "png")
+            means[i] = px.reshape(-1, 3).mean(axis=0)
+        means = np.floor(means * 1e4 + 0.5) / 1e4  # half-away 4dp, as image_stats
+        return pa.table(
+            {
+                "image_id": ids,
+                "w": t.column("w"),
+                "h": t.column("h"),
+                "mean_r": pa.array(means[:, 0]),
+                "mean_g": pa.array(means[:, 1]),
+                "mean_b": pa.array(means[:, 2]),
+            }
+        )
+
+    return resized.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+QUERIES["image_resize_stats"] = image_resize_stats
+
+
 def events_jsonl_agg(sf_dir: str):
     """Source-format breadth: the same engine pipeline over a JSONL
     copy of the events table (ray.data.read_json) — per-event-type

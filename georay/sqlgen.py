@@ -3443,6 +3443,43 @@ def q_image_neardup(sf_dir: str) -> str:
 ORACLE_BUILDERS["image_neardup"] = q_image_neardup
 
 
+def q_image_resize_stats(sf_dir: str) -> str:
+    """2x2 box-mean resize in SQL (r5b, multimodal.Resize + the
+    image_resize_stats chain): per-channel 2x2 box sums k of the
+    regenerated decoded pixels; numpy's round-half-to-EVEN of k/4 is
+    the exact integer expression (k//4) + 1 iff k%4 = 3 or (k%4 = 2
+    and k//4 odd) — k/4 is exactly representable in float64, so the
+    numpy and integer forms agree bit-for-bit.  PNG re-encode/decode
+    is lossless, so the engine's re-decoded pixels must equal these;
+    means use the same half-away 4dp as q_image_stats (identical
+    IEEE-double division on both sides)."""
+    from .queries import IMG_STATS_MOD
+
+    return (
+        f"WITH {_img_decoded_bytes_ctes(sf_dir, IMG_STATS_MOD, 4)} "
+        f"bx AS (SELECT image_id, max(w) AS w, max(h) AS h, "
+        f"  ((m // 3) // w) // 2 AS ry, ((m // 3) % w) // 2 AS rx, m % 3 AS c, "
+        f"  sum(v)::BIGINT AS k "
+        f"  FROM bt GROUP BY image_id, ((m // 3) // w) // 2, "
+        f"  ((m // 3) % w) // 2, m % 3), "
+        f"rp AS (SELECT image_id, w, h, c, "
+        f"  (k // 4) + (CASE WHEN k % 4 = 3 THEN 1 "
+        f"    WHEN k % 4 = 2 AND (k // 4) % 2 = 1 THEN 1 ELSE 0 END) AS rv "
+        f"  FROM bx), "
+        f"ag AS (SELECT image_id, max(w) AS w, max(h) AS h, c, "
+        f"  sum(rv)::BIGINT AS s, count(*)::BIGINT AS n FROM rp "
+        f"  GROUP BY image_id, c) "
+        f"SELECT image_id, (max(w) // 2)::INT AS w, (max(h) // 2)::INT AS h, "
+        f"floor(max(CASE WHEN c = 0 THEN s END)::DOUBLE / max(n) * 10000 + 0.5) / 10000 AS mean_r, "
+        f"floor(max(CASE WHEN c = 1 THEN s END)::DOUBLE / max(n) * 10000 + 0.5) / 10000 AS mean_g, "
+        f"floor(max(CASE WHEN c = 2 THEN s END)::DOUBLE / max(n) * 10000 + 0.5) / 10000 AS mean_b "
+        f"FROM ag GROUP BY image_id"
+    )
+
+
+ORACLE_BUILDERS["image_resize_stats"] = q_image_resize_stats
+
+
 def q_audio_features(sf_dir: str) -> str:
     """Windowed audio features WITHOUT decoding (r4c,
     multimodal.AudioFeatures): the PCM samples are an integer triangle
