@@ -2990,6 +2990,42 @@ def image_neardup(sf_dir: str):
 QUERIES["image_neardup"] = image_neardup
 
 
+def image_dedup_groups(sf_dir: str):
+    """End-to-end image dedup: the image_neardup pair stage feeds
+    distributed connected components, emitting (key, group, keep) with
+    group = min key of the component and keep = (key == group) — the
+    same output contract as the text/embedding dedup ops
+    (minhash_dedup, semantic_dedup), closing the image axis's
+    pairs -> groups -> keep chain.  Oracle: the q_image_neardup hash
+    CTEs + recursive min-label propagation
+    (sqlgen.q_image_dedup_groups)."""
+    from . import multimodal
+    from .cc import connected_components
+    from .dedup import _labels_to_output, hamming_neardup_pairs
+
+    paths = datagen.ensure_tables(sf_dir)
+    images = rd.read_parquet(paths["images"], columns=["image_id", "bytes", "fmt"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        i = pa.array(
+            [int(s[4:]) % IMG_STATS_MOD == 1 for s in t.column("image_id").to_pylist()]
+        )
+        return t.filter(i)
+
+    sigs = images.map_batches(pick, batch_format="pyarrow").map_batches(
+        multimodal.DHashVariants,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+    )
+    pairs = hamming_neardup_pairs(sigs, max_dist=IMG_NEARDUP_DIST).select_columns(["a", "b"])
+    labels = connected_components(pairs, typ=pa.int64())
+    return _labels_to_output(sigs, labels, "key")
+
+
+QUERIES["image_dedup_groups"] = image_dedup_groups
+
+
 AUDIO_SAMPLE_MOD = 5
 AUDIO_WINDOW = 512
 

@@ -3402,11 +3402,28 @@ def q_image_neardup(sf_dir: str) -> str:
     Hamming distance IMG_NEARDUP_DIST (bit_count of the xor).  The
     banded engine path has exact recall at that distance by pigeonhole,
     so the two result sets are identical."""
-    from .queries import IMG_NEARDUP_DIST, IMG_STATS_MOD
+    from .queries import IMG_NEARDUP_DIST
+
+    return (
+        f"WITH {_img_dhash_union_ctes(sf_dir)} "
+        f"xx AS (SELECT 1) "
+        f"SELECT a.key AS a, b.key AS b, "
+        f"bit_count(xor(a.h, b.h))::BIGINT AS dist "
+        f"FROM u a JOIN u b ON a.key < b.key "
+        f"WHERE bit_count(xor(a.h, b.h)) <= {IMG_NEARDUP_DIST}"
+    )
+
+
+def _img_dhash_union_ctes(sf_dir: str) -> str:
+    """Shared CTE chain for the image near-dup family: decoded-byte
+    regeneration -> original + brightness-variant dHash grids ->
+    ``u(key, h)`` with key = 2*image_index + variant.  Emits CTEs for a
+    ``WITH <this> <suffix...>`` continuation (trailing comma)."""
+    from .queries import IMG_STATS_MOD
 
     M = 18446744073709551616
     return (
-        f"WITH {_img_decoded_bytes_ctes(sf_dir, IMG_STATS_MOD, 1)} "
+        f"{_img_decoded_bytes_ctes(sf_dir, IMG_STATS_MOD, 1)} "
         f"g1 AS (SELECT image_id, "
         f"  (((m // 3) // w) * 8) // h AS cy, (((m // 3) % w) * 9) // w AS cx, "
         f"  sum(v)::BIGINT AS s, sum(least(v + 8, 255))::BIGINT AS sv, "
@@ -3432,15 +3449,38 @@ def q_image_neardup(sf_dir: str) -> str:
         f"  UNION ALL SELECT 2 * im.i + 1 AS key, "
         f"  (CASE WHEN dh.u1 >= 9223372036854775808::HUGEINT "
         f"    THEN dh.u1 - {M} ELSE dh.u1 END)::BIGINT AS h "
-        f"  FROM im JOIN dh ON dh.image_id = im.image_id) "
-        f"SELECT a.key AS a, b.key AS b, "
-        f"bit_count(xor(a.h, b.h))::BIGINT AS dist "
-        f"FROM u a JOIN u b ON a.key < b.key "
-        f"WHERE bit_count(xor(a.h, b.h)) <= {IMG_NEARDUP_DIST}"
+        f"  FROM im JOIN dh ON dh.image_id = im.image_id), "
     )
 
 
 ORACLE_BUILDERS["image_neardup"] = q_image_neardup
+
+
+def q_image_dedup_groups(sf_dir: str) -> str:
+    """Image dedup groups in SQL (r5b, image_dedup_groups): the shared
+    dHash-union chain, pairs at Hamming <= IMG_NEARDUP_DIST, then the
+    same recursive min-label component propagation as q_minhash_dedup /
+    q_semantic_dedup; group = min key of the component, keep = (key ==
+    group), singletons keep themselves."""
+    from .queries import IMG_NEARDUP_DIST
+
+    return (
+        f"WITH RECURSIVE {_img_dhash_union_ctes(sf_dir)} "
+        f"ed AS (SELECT a.key AS ka, b.key AS kb "
+        f"  FROM u a JOIN u b ON a.key < b.key "
+        f"  WHERE bit_count(xor(a.h, b.h)) <= {IMG_NEARDUP_DIST}), "
+        f"bi AS (SELECT ka AS a, kb AS b FROM ed UNION ALL SELECT kb, ka FROM ed), "
+        f"reach(id, lbl) AS ("
+        f"  SELECT DISTINCT a, a FROM bi "
+        f"  UNION SELECT e.b, r.lbl FROM reach r JOIN bi e ON e.a = r.id WHERE r.lbl < e.b), "
+        f"lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) "
+        f"SELECT u.key, coalesce(lab.lbl, u.key) AS \"group\", "
+        f"(coalesce(lab.lbl, u.key) = u.key) AS keep "
+        f"FROM u LEFT JOIN lab ON lab.id = u.key"
+    )
+
+
+ORACLE_BUILDERS["image_dedup_groups"] = q_image_dedup_groups
 
 
 def q_image_resize_stats(sf_dir: str) -> str:
