@@ -168,6 +168,27 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         times[f"dupgram_{n_doc // 1000}k"] = round(dt, 3)
         times["dupgram_docs_per_sec"] = round(n_doc / dt)
 
+    # multimodal decode throughput at scale (r5b): REAL PNG/JPEG decode
+    # + dHash over an actor pool — the image-axis hot path (the pure
+    # numpy baseline-JPEG decoder dominates; 16 actors, 256-row batches
+    # of fat binary rows)
+    n_img = int(os.environ.get("GEORAY_IMAGE_BENCH_N", "20000"))
+    if n_img:
+        import ray.data as rd
+
+        from georay import datagen, multimodal
+
+        paths = datagen.ensure_tables(sf_dir)
+        imgs = rd.read_parquet(
+            paths["images"], columns=["image_id", "bytes", "fmt"]
+        ).limit(n_img)
+        t0 = time.time()
+        n_done = multimodal.dhash(imgs, concurrency=(1, 16), batch_size=256).count()
+        dt = time.time() - t0
+        assert n_done == n_img, (n_done, n_img)
+        times[f"image_dhash_{n_img // 1000}k"] = round(dt, 3)
+        times["image_decode_per_sec"] = round(n_img / dt)
+
     # blocked exact embedding near-dup at scale (r5b): the triangle
     # block join's O(n^2) matmul distributed over B(B+1)/2 shuffle
     # buckets — n^2 = 2.5e9 candidate dots at the 50k default, a scale

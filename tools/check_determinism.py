@@ -46,6 +46,7 @@ QUERIES = [
     # r5b additions — block-pair and band-bucket shuffles
     "embed_neardup_blocked",
     "image_neardup",
+    "image_dedup_groups",
 ]
 
 _WORKER = '''
