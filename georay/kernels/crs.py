@@ -341,6 +341,7 @@ ELLIPSOIDS = {
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "AIRY1830": (6377563.396, 1.0 / 299.3249646),
     "INTL1924": (6378388.0, 1.0 / 297.0),
+    "BESSEL1841": (6377397.155, 1.0 / 299.1528128),
     "SPHERE": (6378137.0, 0.0),
 }
 
@@ -635,6 +636,79 @@ def laea_inverse(x, y, lon0: float, lat0: float,
 
 # --- parameterized conics (generalize the fixed-parameter r4b forms) -------
 
+# --- Hotine oblique Mercator, variant B (EPSG method 9815) -----------------
+# Swiss LV95/LV03, Hungarian EOV, Malaysian RSO, Alaska zone 1 all use
+# this family.  Constants and per-point forms per the published EPSG
+# guidance note 7-2 / Snyder chapter 9; validated by center-anchor,
+# roundtrip, numeric conformality and an independent spherical-rotation
+# reference in tests (test_breadth_ops).
+
+
+def _hom_consts(latc: float, lonc: float, alphac: float, k0: float, ell: str):
+    a, e2, e = _ell(ell)
+    pc = np.radians(latc)
+    ac = np.radians(alphac)
+    B = np.sqrt(1.0 + e2 * np.cos(pc) ** 4 / (1.0 - e2))
+    A = a * B * k0 * np.sqrt(1.0 - e2) / (1.0 - e2 * np.sin(pc) ** 2)
+    t0 = float(_t_of(pc, e))
+    D = B * np.sqrt(1.0 - e2) / (np.cos(pc) * np.sqrt(1.0 - e2 * np.sin(pc) ** 2))
+    D2 = max(D * D, 1.0)
+    sgn = 1.0 if latc >= 0 else -1.0
+    F = D + np.sqrt(D2 - 1.0) * sgn
+    H = F * t0**B
+    G = (F - 1.0 / F) / 2.0
+    gamma0 = np.arcsin(np.sin(ac) / D)
+    # alphac = 90 deg makes G*tan(gamma0) == 1 exactly (G = sqrt(D^2-1),
+    # tan(gamma0) = 1/sqrt(D^2-1)); clip the float noise
+    lam0 = np.radians(lonc) - np.arcsin(min(max(G * np.tan(gamma0), -1.0), 1.0)) / B
+    uc = (A / B) * np.arctan2(np.sqrt(D2 - 1.0), np.cos(ac)) * sgn
+    return e, B, A, H, gamma0, lam0, uc, sgn
+
+
+def hom_forward(lon, lat, latc: float, lonc: float, alphac: float,
+                gammac: float | None = None, k0: float = 1.0,
+                ec: float = 0.0, nc: float = 0.0, ell: str = "WGS84"):
+    """Hotine oblique Mercator variant B: (lon, lat) -> (E, N) with the
+    false grid coordinates (ec, nc) AT THE PROJECTION CENTRE."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    gc = np.radians(alphac if gammac is None else gammac)
+    e, B, A, H, g0, lam0, uc, sgn = _hom_consts(latc, lonc, alphac, k0, ell)
+    t = _t_of(np.radians(lat), e)
+    Q = H / t**B
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    dl = B * (np.radians(lon) - lam0)
+    # fold B*(lam-lam0) to (-pi, pi] so the atan2 branch matches the
+    # center-line parameterization on wide domains
+    dl = np.arctan2(np.sin(dl), np.cos(dl))
+    V = np.sin(dl)
+    U = (-V * np.cos(g0) + S * np.sin(g0)) / T
+    v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = A * np.arctan2(S * np.cos(g0) + V * np.sin(g0), np.cos(dl)) / B - abs(uc) * sgn
+    return ec + v * np.cos(gc) + u * np.sin(gc), nc + u * np.cos(gc) - v * np.sin(gc)
+
+
+def hom_inverse(x, y, latc: float, lonc: float, alphac: float,
+                gammac: float | None = None, k0: float = 1.0,
+                ec: float = 0.0, nc: float = 0.0, ell: str = "WGS84"):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    gc = np.radians(alphac if gammac is None else gammac)
+    e, B, A, H, g0, lam0, uc, sgn = _hom_consts(latc, lonc, alphac, k0, ell)
+    vp = (x - ec) * np.cos(gc) - (y - nc) * np.sin(gc)
+    up = (y - nc) * np.cos(gc) + (x - ec) * np.sin(gc) + abs(uc) * sgn
+    Qp = np.exp(-B * vp / A)
+    Sp = (Qp - 1.0 / Qp) / 2.0
+    Tp = (Qp + 1.0 / Qp) / 2.0
+    Vp = np.sin(B * up / A)
+    Up = (Vp * np.cos(g0) + Sp * np.sin(g0)) / Tp
+    tp = (H / np.sqrt((1.0 + Up) / (1.0 - Up))) ** (1.0 / B)
+    phi = _phi_from_t(tp, e)
+    lam = lam0 - np.arctan2(Sp * np.cos(g0) - Vp * np.sin(g0), np.cos(B * up / A)) / B
+    return np.degrees(lam), np.degrees(phi)
+
+
 def lcc2sp_forward(lon, lat, lat1: float, lat2: float, lat0: float, lon0: float,
                    fe: float = 0.0, fn: float = 0.0, ell: str = "GRS80"):
     lon = np.asarray(lon, dtype=np.float64)
@@ -758,10 +832,19 @@ def epsg_method(code: int):
         kw = dict(lon0=0.0, north=False, lat_ts=-71.0, fe=0.0, fn=0.0, ell="WGS84")
         return (lambda lo, la: polar_stereo_forward(lo, la, **kw),
                 lambda x, y: polar_stereo_inverse(x, y, **kw))
+    if code in (2056, 21781):  # Swiss LV95 / LV03 (Hotine OM variant B, az 90)
+        kw = dict(latc=46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+                  lonc=7.0 + 26.0 / 60.0 + 22.5 / 3600.0,
+                  alphac=90.0, gammac=90.0, k0=1.0,
+                  ec=2600000.0 if code == 2056 else 600000.0,
+                  nc=1200000.0 if code == 2056 else 200000.0,
+                  ell="BESSEL1841")
+        return (lambda lo, la: hom_forward(lo, la, **kw),
+                lambda x, y: hom_inverse(x, y, **kw))
     raise KeyError(
         f"EPSG:{code} not in the closed-form table (UTM 326xx/327xx, 3857, "
-        "3395, 27700, 2154, 5070, 3035, 32661/32761, 3413, 3031, 4326); "
-        "arbitrary codes need PROJ (env-gated, see proj.rs)"
+        "3395, 27700, 2154, 5070, 3035, 32661/32761, 3413, 3031, 2056/21781, "
+        "4326); arbitrary codes need PROJ (env-gated, see proj.rs)"
     )
 
 

@@ -3825,6 +3825,7 @@ CRS_FOLDS = {
     "crs_polar_pts": (3413, (-180.0, 360.0, 50.0, 39.9), "ps_x", "ps_y"),
     "crs_laea_pts": (3035, (-10.5, 40.0, 35.0, 35.0), "laea_x", "laea_y"),
     "crs_merc_pts": (3395, (-179.9, 359.8, -85.0, 170.0), "merc_x", "merc_y"),
+    "crs_swiss_pts": (2056, (6.0, 4.5, 45.8, 2.0), "lv95_e", "lv95_n"),
 }
 
 
@@ -3873,11 +3874,25 @@ def crs_merc_pts(sf_dir: str):
     return _crs_query(sf_dir, code, fold, xn, yn)
 
 
+def crs_swiss_pts(sf_dir: str):
+    """EPSG:4326 -> EPSG:2056 (Swiss LV95; Hotine oblique Mercator
+    variant B, azimuth 90 at Bern on Bessel 1841 —
+    kernels.crs.hom_forward, EPSG method 9815).  The projection family
+    Switzerland, Hungary (EOV) and Malaysia (RSO) use.  Correctness is
+    pinned by center-anchor (Bern -> 2600000/1200000 exactly), 1e-14
+    roundtrip, numeric conformality, and a Karney-geodesic center-line
+    trace (azimuth-90 geodesics land on the E axis with E == arc
+    length to sub-mm at 150 km); mm rounding."""
+    code, fold, xn, yn = CRS_FOLDS["crs_swiss_pts"]
+    return _crs_query(sf_dir, code, fold, xn, yn)
+
+
 QUERIES["crs_bng_pts"] = crs_bng_pts
 QUERIES["crs_utm33s_pts"] = crs_utm33s_pts
 QUERIES["crs_polar_pts"] = crs_polar_pts
 QUERIES["crs_laea_pts"] = crs_laea_pts
 QUERIES["crs_merc_pts"] = crs_merc_pts
+QUERIES["crs_swiss_pts"] = crs_swiss_pts
 
 
 def cdt_stats(sf_dir: str):

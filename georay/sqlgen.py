@@ -4254,6 +4254,48 @@ def q_crs_merc_pts(sf_dir: str) -> str:
     )
 
 
+def q_crs_swiss_pts(sf_dir: str) -> str:
+    """EPSG:2056 Swiss LV95, Hotine oblique Mercator variant B
+    (crs.hom_forward): constants B/A/H/gamma0/lam0/uc folded from the
+    kernel; per-row t, Q = H/t^B, S/T, V = sin(B(lam-lam0)),
+    U = (-V cos g0 + S sin g0)/T, v = A ln((1-U)/(1+U))/(2B),
+    u = A atan2(S cos g0 + V sin g0, cos(B(lam-lam0)))/B - uc; with
+    gamma_c = 90: E = ec + u, N = nc - v.  The Swiss fold domain keeps
+    B(lam-lam0) well inside (-pi, pi), so no branch fold is needed in
+    SQL (the kernel's arctan2 fold is the identity here)."""
+    import numpy as _np
+
+    from .kernels import crs
+    from .queries import CRS_FOLDS
+
+    _, fold, xn, yn = CRS_FOLDS["crs_swiss_pts"]
+    latc = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+    lonc = 7.0 + 26.0 / 60.0 + 22.5 / 3600.0
+    e, B, A, H, g0, lam0, uc, sgn = crs._hom_consts(latc, lonc, 90.0, 1.0, "BESSEL1841")
+    eD, BD, AD = _Dc(float(e)), _Dc(float(B)), _Dc(float(A))
+    sg0, cg0 = _Dc(float(_np.sin(g0))), _Dc(float(_np.cos(g0)))
+    t = (
+        f"(tan(pi() / 4.0 - radians(lat) / 2.0) / "
+        f"power((1.0 - {eD} * sin(radians(lat))) / (1.0 + {eD} * sin(radians(lat))), "
+        f"{eD} / 2.0))"
+    )
+    return (
+        _fold_cte(sf_dir, fold)
+        + f", g AS (SELECT image_id, "
+        f"  {_Dc(float(H))} / power({t}, {BD}) AS q, "
+        f"  {BD} * (radians(lon) - {_Dc(float(lam0))}) AS dl FROM f), "
+        f"h AS (SELECT image_id, (q - 1.0 / q) / 2.0 AS s, "
+        f"  (q + 1.0 / q) / 2.0 AS tt, sin(dl) AS vv, dl FROM g), "
+        f"i AS (SELECT image_id, dl, s, vv, "
+        f"  (-vv * {cg0} + s * {sg0}) / tt AS u0 FROM h) "
+        f"SELECT image_id, "
+        f"round({_Dc(2600000.0)} + {AD} * atan2(s * {cg0} + vv * {sg0}, cos(dl)) "
+        f"  / {BD} - {_Dc(float(abs(uc) * sgn))}, 3) AS {xn}, "
+        f"round({_Dc(1200000.0)} - {AD} * ln((1.0 - u0) / (1.0 + u0)) "
+        f"  / (2.0 * {BD}), 3) AS {yn} FROM i"
+    )
+
+
 ORACLE_BUILDERS.update(
     {
         "crs_bng_pts": q_crs_bng_pts,
@@ -4261,6 +4303,7 @@ ORACLE_BUILDERS.update(
         "crs_polar_pts": q_crs_polar_pts,
         "crs_laea_pts": q_crs_laea_pts,
         "crs_merc_pts": q_crs_merc_pts,
+        "crs_swiss_pts": q_crs_swiss_pts,
     }
 )
 

@@ -658,6 +658,8 @@ def test_epsg_table_roundtrip_1e9():
         (3031, rng.uniform(-179.9, 179.9, n), rng.uniform(-89.9, -50, n)),
         (3395, rng.uniform(-179, 179, n), rng.uniform(-85, 85, n)),
         (3857, rng.uniform(-179, 179, n), rng.uniform(-85, 85, n)),
+        (2056, rng.uniform(4, 12, n), rng.uniform(44, 49, n)),
+        (21781, rng.uniform(4, 12, n), rng.uniform(44, 49, n)),
     ]
     for code, lon, lat in cases:
         fwd, inv = crs.epsg_method(code)
@@ -699,3 +701,69 @@ def test_epsg_goldens_and_consistency():
     lon, lat = crs.epsg_method(3395)[1](x, y)
     assert lon[0] == pytest.approx(-2.0, abs=1e-9)
     assert lat[0] == pytest.approx(49.0, abs=1e-9)
+
+
+def test_hotine_oblique_mercator_invariants():
+    """Hotine OM variant B (EPSG:2056 Swiss LV95, r5b) pinned WITHOUT
+    external goldens by four independent properties:
+
+    1. center anchor — Bern maps to exactly (2600000, 1200000);
+    2. conformality — numeric scale is isotropic (k_east == k_north)
+       and angle-preserving at interior points, with k == kc at the
+       center (the defining property of a conformal projection);
+    3. center-line trace — a Karney geodesic (independently pinned by
+       published goldens in kernels/geodesic.py) launched at azimuth 90
+       from the center lands ON the E axis with E equal to the geodesic
+       arc length to < 1 mm at 150 km: the center line is a unit-scale
+       geodesic, which is WHAT an oblique Mercator is;
+    4. LV03 offset — EPSG:21781 differs from 2056 by exactly the
+       (-2000000, -1000000) false-coordinate shift."""
+    from georay.kernels import crs
+    from georay.kernels import geodesic as geo
+
+    latc = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+    lonc = 7.0 + 26.0 / 60.0 + 22.5 / 3600.0
+    fwd, inv = crs.epsg_method(2056)
+    E, N = fwd(np.array([lonc]), np.array([latc]))
+    assert E[0] == pytest.approx(2600000.0, abs=1e-6)
+    assert N[0] == pytest.approx(1200000.0, abs=1e-6)
+
+    a, e2, _ = crs._ell("BESSEL1841")
+    h = 1e-7
+    for lon0, lat0, kmax in [(lonc, latc, 1.0000001), (6.2, 46.0, 1.001), (10.0, 47.5, 1.001)]:
+        E0, N0 = fwd(np.array([lon0]), np.array([lat0]))
+        E1, N1 = fwd(np.array([lon0 + h]), np.array([lat0]))
+        E2, N2 = fwd(np.array([lon0]), np.array([lat0 + h]))
+        phi = np.radians(lat0)
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        rho = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        vx = np.array([E1[0] - E0[0], N1[0] - N0[0]]) / (np.radians(h) * nu * np.cos(phi))
+        vy = np.array([E2[0] - E0[0], N2[0] - N0[0]]) / (np.radians(h) * rho)
+        kx, ky = np.hypot(*vx), np.hypot(*vy)
+        assert kx == pytest.approx(ky, rel=1e-5)          # isotropic
+        assert abs(vx @ vy) / (kx * ky) < 1e-5            # orthogonal
+        assert 0.999999 < kx < kmax                       # k >= kc = 1
+    # k at center == kc exactly (to differencing noise)
+    E0, N0 = fwd(np.array([lonc]), np.array([latc]))
+    E1, N1 = fwd(np.array([lonc + h]), np.array([latc]))
+    phi = np.radians(latc)
+    nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    k_c = np.hypot(E1[0] - E0[0], N1[0] - N0[0]) / (np.radians(h) * nu * np.cos(phi))
+    assert k_c == pytest.approx(1.0, abs=1e-6)
+
+    f = 1.0 / 299.1528128
+    for dist, az in [(10000.0, 90.0), (150000.0, 90.0), (120000.0, 270.0)]:
+        lo1, la1 = geo.geodesic_destination(
+            np.array([lonc]), np.array([latc]), np.array([az]), np.array([dist]),
+            a=6377397.155, f=f,
+        )
+        E1, N1 = fwd(lo1, la1)
+        s = dist if az == 90.0 else -dist
+        assert E1[0] - 2600000.0 == pytest.approx(s, abs=1e-3)
+        assert N1[0] - 1200000.0 == pytest.approx(0.0, abs=1e-3)
+
+    fwd03, _ = crs.epsg_method(21781)
+    E03, N03 = fwd03(np.array([8.0, 6.5]), np.array([47.0, 46.2]))
+    E95, N95 = fwd(np.array([8.0, 6.5]), np.array([47.0, 46.2]))
+    np.testing.assert_allclose(E95 - E03, 2000000.0, atol=1e-9)
+    np.testing.assert_allclose(N95 - N03, 1000000.0, atol=1e-9)
