@@ -816,13 +816,16 @@ def embed_neardup_blocked(sf_dir: str):
 
 def embed_neardup_lsh_pairs(sf_dir: str):
     """Random-hyperplane-LSH near-dup pairs — the 100-TB path
-    (bucketed groupby, no corpus broadcast; Charikar 2002).  Rows-only
-    for the driver (recall < 1 by design, so no equality oracle); the
-    recall-vs-exact bound is pytest-gated
+    (bucketed groupby, no corpus broadcast; Charikar 2002).  r5b: now
+    ALGORITHM-equality oracled (sqlgen.q_embed_neardup_lsh — the
+    candidate bucket self-join composed with the exact cosine verify),
+    so the engine provably computes the algorithm it documents; the
+    recall-vs-exact bound (inherently < 1) stays pytest-gated
     (test_dedup_text_multimodal.test_embed_lsh_corpus_recall)."""
     from . import dedup as gdedup
     from .sqlgen import EMB_NEARDUP_T
 
+    datagen.ensure_tables(sf_dir)  # the oracle reads the planes export
     ds = gdedup.embed_neardup_lsh(_testdata(sf_dir, "embeddings"), threshold=EMB_NEARDUP_T)
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     batches = [b for b in ds.iter_batches(batch_format="pyarrow") if len(b)]

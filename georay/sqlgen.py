@@ -490,6 +490,39 @@ def q_embed_lsh_candidates(sf_dir: str) -> str:
 ORACLE_BUILDERS["embed_lsh_candidates"] = q_embed_lsh_candidates
 
 
+def q_embed_neardup_lsh(sf_dir: str) -> str:
+    """The FINAL LSH near-dup op as an ALGORITHM-equality oracle (r5b,
+    promoting the last rows-only LLM op): the q_embed_lsh_candidates
+    bucket self-join composed with the exact cosine verify.  This does
+    not claim recall 1 against the exact all-pairs set — the
+    recall-vs-exact bound stays pytest-gated — it claims the engine
+    computes exactly the algorithm it documents: verified pairs =
+    candidates ∩ {cosine >= t}."""
+    planes = datagen.lsh_planes_path(sf_dir)
+    return (
+        f"WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
+        f"  generate_subscripts(embedding, 1) - 1 AS dim_idx FROM embeddings), "
+        f"dot AS (SELECT e.vec_id, p.table_idx, p.bit_idx, "
+        f"  sum(e.v * p.w) AS d "
+        f"  FROM e JOIN read_parquet('{planes}') p ON p.dim_idx = e.dim_idx "
+        f"  GROUP BY e.vec_id, p.table_idx, p.bit_idx), "
+        f"keys AS (SELECT vec_id, table_idx, "
+        f"  sum(CASE WHEN d > 0 THEN power(2, bit_idx)::BIGINT ELSE 0 END) AS k "
+        f"  FROM dot GROUP BY vec_id, table_idx), "
+        f"cand AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS a, "
+        f"  greatest(a.vec_id, b.vec_id) AS b "
+        f"  FROM keys a JOIN keys b ON a.table_idx = b.table_idx "
+        f"  AND a.k = b.k AND a.vec_id < b.vec_id) "
+        f"SELECT c.a, c.b FROM cand c "
+        f"JOIN embeddings ea ON ea.vec_id = c.a "
+        f"JOIN embeddings eb ON eb.vec_id = c.b "
+        f"WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {EMB_NEARDUP_T}"
+    )
+
+
+ORACLE_BUILDERS["embed_neardup_lsh"] = q_embed_neardup_lsh
+
+
 def q_ngram_jaccard(sf_dir: str) -> str:
     # distinct char-3-gram Jaccard for a deterministic doc-pair sample;
     # pairs with zero overlap are omitted (inner join) on both sides
